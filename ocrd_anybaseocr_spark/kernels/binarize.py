@@ -1,0 +1,67 @@
+"""Binarization kernels: Otsu and Sauvola.
+
+The reference binarizes with ``cv2.threshold(..., THRESH_OTSU)``
+(reference: cli/ocrd_anybaseocr_cropping.py:208,669-670); the dropped
+``ocrd-anybaseocr-binarize`` processor offered Otsu and Sauvola
+(reference: CHANGELOG.md:15-22; north_star). Pure numpy implementations:
+Otsu via the standard between-class-variance histogram maximization,
+Sauvola via integral-image windowed mean/std.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Otsu's global threshold on a uint8 grayscale image.
+
+    Same criterion as cv2.THRESH_OTSU: maximize between-class variance;
+    first maximizing bin on ties (deterministic).
+    """
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0
+    omega = np.cumsum(hist) / total              # class-0 probability
+    mu = np.cumsum(hist * np.arange(256)) / total
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = np.where(denom > 0, (mu_t * omega - mu) ** 2 / denom, 0.0)
+    return int(np.argmax(sigma_b))
+
+
+def binarize_otsu(img: np.ndarray) -> np.ndarray:
+    """Return ink mask (True = foreground/dark), inverse-binary like the
+    reference's ruler pass (cli/ocrd_anybaseocr_cropping.py:208)."""
+    return img <= otsu_threshold(img)
+
+
+def _integral(img: np.ndarray) -> np.ndarray:
+    s = np.zeros((img.shape[0] + 1, img.shape[1] + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(img, axis=0, dtype=np.float64), axis=1, out=s[1:, 1:])
+    return s
+
+
+def binarize_sauvola(img: np.ndarray, window: int = 31, k: float = 0.34, r: float = 128.0) -> np.ndarray:
+    """Sauvola local threshold: t = m * (1 + k*(s/r - 1)) over a square window.
+
+    Windowed mean/std via integral images — O(1) per pixel, fully vectorized.
+    """
+    h, w = img.shape
+    half = window // 2
+    pad = np.pad(img.astype(np.float64), half, mode="edge")
+    ii = _integral(pad)
+    ii2 = _integral(pad * pad)
+    ys, xs = np.arange(h), np.arange(w)
+    y1, y2 = ys[:, None], ys[:, None] + window
+    x1, x2 = xs[None, :], xs[None, :] + window
+    area = float(window * window)
+    sm = ii[y2, x2] - ii[y1, x2] - ii[y2, x1] + ii[y1, x1]
+    sm2 = ii2[y2, x2] - ii2[y1, x2] - ii2[y2, x1] + ii2[y1, x1]
+    mean = sm / area
+    var = np.maximum(sm2 / area - mean * mean, 0.0)
+    std = np.sqrt(var)
+    t = mean * (1.0 + k * (std / r - 1.0))
+    return img <= t

@@ -1,0 +1,99 @@
+"""Connected-component labeling without scipy/OpenCV.
+
+Replaces the reference's ``cv2.findContours`` usage
+(reference: cli/ocrd_anybaseocr_cropping.py:209,694-695) for region/ruler
+detection. Run-based two-pass algorithm: vectorized horizontal run
+extraction per row, then union-find over runs of adjacent rows whose column
+ranges overlap (8-connectivity in the horizontal sense via +-1 dilation is
+not needed — 4-connectivity matches our synthetic geometry).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _find_runs(mask: np.ndarray):
+    """Per-row horizontal runs of True. Returns (row, x_start, x_end_excl) arrays."""
+    h, w = mask.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    diff = np.diff(padded, axis=1)
+    sr, sc = np.nonzero(diff == 1)
+    er, ec = np.nonzero(diff == -1)
+    # starts and ends align row-wise by construction (same count per row)
+    return sr, sc, ec
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if ra < rb:
+                self.parent[rb] = ra
+            else:
+                self.parent[ra] = rb
+
+
+def connected_components(mask: np.ndarray):
+    """Label 4-connected components of a boolean mask.
+
+    Returns (labels array of shape (n_runs,), runs (row, x1, x2excl), n_components).
+    Component ids are dense 0..n-1 in first-run order (deterministic).
+    """
+    rows, starts, ends = _find_runs(mask)
+    n = len(rows)
+    uf = _UnionFind(n)
+    # rows are sorted by construction of nonzero; group boundaries per row
+    row_start_idx = np.searchsorted(rows, np.arange(mask.shape[0] + 1))
+    for y in range(1, mask.shape[0]):
+        a0, a1 = row_start_idx[y - 1], row_start_idx[y]
+        b0, b1 = row_start_idx[y], row_start_idx[y + 1]
+        if a0 == a1 or b0 == b1:
+            continue
+        i, j = a0, b0
+        while i < a1 and j < b1:
+            # overlap test: [starts[i], ends[i]) vs [starts[j], ends[j])
+            if starts[i] < ends[j] and starts[j] < ends[i]:
+                uf.union(i, j)
+            if ends[i] < ends[j]:
+                i += 1
+            else:
+                j += 1
+    roots = np.array([uf.find(i) for i in range(n)], dtype=np.int64)
+    _, labels = np.unique(roots, return_inverse=True)
+    ncomp = labels.max() + 1 if n else 0
+    return labels, (rows, starts, ends), int(ncomp)
+
+
+def component_stats(mask: np.ndarray) -> np.ndarray:
+    """Per-component stats: array (n, 6) of [x1, y1, x2, y2, pixel_count, _pad].
+
+    x2/y2 are inclusive. Rows ordered by component id (first-run order).
+    """
+    labels, (rows, starts, ends), n = connected_components(mask)
+    if n == 0:
+        return np.zeros((0, 6), dtype=np.int64)
+    out = np.zeros((n, 6), dtype=np.int64)
+    out[:, 0] = np.full(n, np.iinfo(np.int64).max)
+    out[:, 1] = np.full(n, np.iinfo(np.int64).max)
+    np.minimum.at(out[:, 0], labels, starts)
+    np.minimum.at(out[:, 1], labels, rows)
+    np.maximum.at(out[:, 2], labels, ends - 1)
+    np.maximum.at(out[:, 3], labels, rows)
+    np.add.at(out[:, 4], labels, ends - starts)
+    return out

@@ -1,0 +1,188 @@
+"""The fused image pipeline + checkpointed end-to-end run.
+
+Design (SURVEY.md §4.2): decode → binarize → deskew → ruler → crop → tiseg →
+classify run in ONE ``mapInPandas`` so image bytes cross the JVM↔Python Arrow
+boundary exactly once — the reference's pipeline-of-fileGrps would naively
+become N materializations; we fuse instead and only materialize final spans,
+page results, structure and metrics.
+
+Skew handling (north_rule): rows are repartitioned on a size-bucketed salted
+key before the UDF so a few oversized scans (long-tail documents,
+FIXTURES.md §1) cannot pile onto one task; AQE skew-join stays enabled for
+the media join.
+
+Resumability (north_rule, S6): outputs are partitioned by a deterministic
+doc_id hash bucket; a checkpoint table records (partition_id, doc_count,
+row_count, latency_ms, lineage) per completed bucket; resume filters the
+input with an anti-join against completed buckets and dynamic partition
+overwrite makes rewriting a half-written bucket idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schema as S
+from ..config import DEFAULT_PARAMS
+from .extract import extract_spans, page_index
+from .fold import fold_structure
+
+# PAGE_RESULTS plus the in-flight metrics column (dropped from final output)
+from pyspark.sql import types as T  # noqa: E402
+
+_STAGE_SCHEMA = S.PAGE_RESULTS.add("proc_ms", T.LongType())
+
+N_BUCKETS = 16  # output partition buckets (lineage/checkpoint granularity)
+
+
+def process_pages(pages_with_blobs: DataFrame) -> DataFrame:
+    """Fused per-page stage over (doc_id, media_ref, page_no, image).
+
+    One Arrow hop: bytes in, small structured results out. Kernel code is
+    imported inside the UDF so executors resolve it from --py-files.
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # heavy imports once per task, not per batch (ref model-load-once:
+        # cli/ocrd_anybaseocr_layout_analysis.py:51-67)
+        from ..oracle import process_page
+
+        for pdf in batches:
+            out = []
+            for doc_id, media_ref, page_no, png in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["page_no"], pdf["image"]
+            ):
+                t0 = time.monotonic()
+                r = process_page(bytes(png), DEFAULT_PARAMS)
+                r.update(
+                    doc_id=doc_id,
+                    media_ref=media_ref,
+                    page_no=int(page_no),
+                    proc_ms=int((time.monotonic() - t0) * 1000),
+                )
+                out.append(r)
+            yield pd.DataFrame(out, columns=[f.name for f in _STAGE_SCHEMA.fields])
+
+    return pages_with_blobs.mapInPandas(stage, schema=_STAGE_SCHEMA)
+
+
+def salted_repartition(df: DataFrame, cost_col: str, n_parts: int) -> DataFrame:
+    """Size-bucketed salted repartition (north_rule skew handling).
+
+    Rows are spread by (size_bucket, salt): oversized rows land in their own
+    bucket space and the salt randomizes placement within it, so no task
+    accumulates a disproportionate byte load even when the scan is sorted by
+    document (all big pages adjacent).
+    """
+    bucketed = df.withColumn(
+        "_size_bucket",
+        F.when(F.col(cost_col) >= 1_500_000, F.lit(2))
+        .when(F.col(cost_col) >= 700_000, F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn("_salt", F.pmod(F.hash("media_ref"), F.lit(max(n_parts * 4, 64))))
+    return bucketed.repartition(n_parts, "_size_bucket", "_salt").drop("_size_bucket", "_salt")
+
+
+def build_page_results(documents: DataFrame, blobs: DataFrame, n_parts: int = 32) -> DataFrame:
+    """documents ⋈ page_blobs → fused image stage. The join key media_ref is
+    unique on both sides (no key skew); byte-size skew is handled after the
+    join by salted_repartition on decoded-pixel cost."""
+    pages = page_index(documents)
+    joined = pages.join(blobs.select("media_ref", "image", "width", "height"), "media_ref")
+    joined = joined.withColumn("_cost", F.col("width").cast("long") * F.col("height"))
+    joined = salted_repartition(joined, "_cost", n_parts)
+    return process_pages(joined.select("doc_id", "media_ref", "page_no", "image"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    n_parts: int = 32,
+    resume: bool = True,
+) -> dict:
+    """End-to-end run with checkpointed, idempotent resume.
+
+    Outputs under out_dir: extracted_spans/, page_results/, doc_structure/
+    (parquet partitioned by part_bucket) + checkpoints/ (one row per bucket).
+    Returns summary metrics.
+    """
+    from ..sources.tables import load_corpus
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    documents, blobs = load_corpus(spark, corpus_dir)
+    documents = documents.withColumn(
+        "part_bucket", F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)).cast("int")
+    )
+
+    ckpt_path = os.path.join(out_dir, "checkpoints")
+    done: set[int] = set()
+    if resume and os.path.isdir(ckpt_path):
+        try:
+            done = {
+                r.partition_id
+                for r in spark.read.schema(S.CHECKPOINT).parquet(ckpt_path).collect()
+            }
+        except Exception:
+            done = set()
+    if done:
+        documents = documents.filter(~F.col("part_bucket").isin(*done))
+
+    t0 = time.monotonic()
+    n_docs = documents.count()
+    if n_docs == 0:
+        return {"docs": 0, "pages": 0, "resumed_buckets": sorted(done), "elapsed_s": 0.0}
+
+    extracted = extract_spans(documents.select("doc_id", "spans"))
+    page_results = build_page_results(documents, blobs, n_parts)
+    structure = fold_structure(page_results)
+
+    bucket = F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)).cast("int")
+    (extracted.withColumn("part_bucket", bucket)
+        .write.mode("overwrite").partitionBy("part_bucket")
+        .parquet(os.path.join(out_dir, "extracted_spans")))
+    pr_out = page_results.withColumn("part_bucket", bucket)
+    pr_out.write.mode("overwrite").partitionBy("part_bucket").parquet(
+        os.path.join(out_dir, "page_results")
+    )
+    (structure.withColumn("part_bucket", bucket)
+        .write.mode("overwrite").partitionBy("part_bucket")
+        .parquet(os.path.join(out_dir, "doc_structure")))
+    elapsed_ms = int((time.monotonic() - t0) * 1000)
+
+    # checkpoint rows from the committed output (counts reconcile by construction)
+    lineage = json.dumps(
+        {"input": corpus_dir, "engine": "ocrd_anybaseocr_spark-0.1.0", "n_parts": n_parts}
+    )
+    written = spark.read.parquet(os.path.join(out_dir, "page_results"))
+    metrics = (
+        written.groupBy("part_bucket")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_count"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum("proc_ms").alias("latency_ms"),
+        )
+        .select(
+            F.col("part_bucket").cast("int").alias("partition_id"),
+            "doc_count",
+            "row_count",
+            "latency_ms",
+            F.lit(lineage).alias("lineage"),
+        )
+    )
+    new_rows = [r for r in metrics.collect() if r.partition_id not in done]
+    if new_rows:
+        spark.createDataFrame(new_rows, S.CHECKPOINT).write.mode("append").parquet(ckpt_path)
+    pages = sum(r.row_count for r in new_rows)
+    return {
+        "docs": n_docs,
+        "pages": pages,
+        "resumed_buckets": sorted(done),
+        "elapsed_s": elapsed_ms / 1000.0,
+    }

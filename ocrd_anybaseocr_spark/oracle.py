@@ -1,0 +1,86 @@
+"""Single-process oracle: the same kernels run per-document in plain Python.
+
+This is the pytest golden reference (SURVEY.md §5, FIXTURES.md §3): the
+distributed pipeline's output must equal this, page for page, span for span,
+at every parallelism level — the Spark analogue of the reference's
+serial ≡ parallel test matrix (reference: tests/conftest.py:68-99).
+"""
+
+from __future__ import annotations
+
+from .config import DEFAULT_PARAMS, PipelineParams
+from .kernels.binarize import binarize_otsu
+from .kernels.classify import classify_page
+from .kernels.crop import detect_border, detect_ruler
+from .kernels.deskew import estimate_shear, unshear
+from .kernels.fold import fold_document
+from .png import decode_gray
+
+
+def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
+    """Run binarize → deskew → ruler → crop → tiseg/classify on one page.
+
+    Returns a dict matching schema.PAGE_RESULTS minus doc/page identity.
+    """
+    img, _dpi = decode_gray(png_bytes)
+    ink = binarize_otsu(img)
+    shear = estimate_shear(ink, params.deskew)
+    if shear != 0.0:
+        img = unshear(img, shear)
+        ink = binarize_otsu(img)
+    ruler = detect_ruler(ink, params.crop)
+    border, perfect = detect_border(ink, ruler, params.crop)
+    scores, labels, seg = classify_page(ink, border, params.classify)
+    features = "binarized"
+    if shear != 0.0:
+        features += ",deskewed"
+    features += ",cropped"
+    return {
+        "border": border,
+        "perfect": perfect,
+        "skew": float(shear),
+        "features": features,
+        "scores": scores,
+        "labels": labels,
+        "n_text_regions": seg["n_text"] + seg["n_header"] + seg["n_title"],
+        "n_image_regions": seg["n_image"],
+        "ink_ratio": seg["ink_ratio"],
+    }
+
+
+def extract_document(doc_id: str, spans: list[dict]):
+    """Flagship extraction: reading-order-sorted span sequence
+    (kind, text, media_ref, order) — strict-equality contract of
+    BASELINE.json input_hint."""
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "order": i}
+            for i, s in enumerate(ordered)
+        ],
+    }
+
+
+def process_document(doc: dict, blobs: dict[str, bytes], params: PipelineParams = DEFAULT_PARAMS):
+    """Full per-document oracle: extraction + per-page results + structure fold."""
+    extracted = extract_document(doc["doc_id"], doc["spans"])
+    page_results = []
+    page_labels: list[tuple[str, list[str]]] = []
+    page_no = 0
+    for s in extracted["spans"]:
+        if s["kind"] == "page_image":
+            r = process_page(blobs[s["media_ref"]], params)
+            r["doc_id"] = doc["doc_id"]
+            r["media_ref"] = s["media_ref"]
+            r["page_no"] = page_no
+            page_results.append(r)
+            page_labels.append((s["media_ref"], r["labels"]))
+            page_no += 1
+    divs, links = fold_document(page_labels)
+    structure = {
+        "doc_id": doc["doc_id"],
+        "divs": [{"log_id": d[0], "label": d[1], "parent_id": d[2]} for d in divs],
+        "links": [{"log_id": l[0], "media_ref": l[1]} for l in links],
+    }
+    return extracted, page_results, structure

@@ -1,0 +1,48 @@
+"""Sources/sinks (SURVEY.md §2.1).
+
+Parquet at sandbox scale with an Iceberg-compatible layout: explicit schemas,
+partition-bucket columns, append-only outputs + a checkpoint table — the
+table layout maps 1:1 onto `spark.read.format('iceberg')` on a real cluster
+(S1). The reference's workspace resolve/download (reference:
+tests/conftest.py:30-46) becomes a plain table scan; media blobs are a side
+table joined by media_ref.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schema as S
+
+
+def spark_session(cores: int | str = "*", app: str = "ocrd_anybaseocr_spark",
+                  shuffle_partitions: int = 32, arrow_batch: int = 32) -> SparkSession:
+    """Session tuned for heavy image rows: AQE on (skew-join + coalesce),
+    small Arrow batches so a batch of decoded pages fits executor memory
+    (SURVEY.md §4.3)."""
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_corpus(spark: SparkSession, corpus_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Load the interleaved corpus (documents, page_blobs) with explicit schemas."""
+    docs = spark.read.schema(S.DOCUMENTS).parquet(os.path.join(corpus_dir, "documents.parquet"))
+    blobs = spark.read.schema(S.PAGE_BLOBS).parquet(os.path.join(corpus_dir, "page_blobs.parquet"))
+    return docs, blobs

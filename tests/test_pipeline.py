@@ -1,0 +1,118 @@
+"""End-to-end pipeline tests: Spark output == single-process oracle, with the
+strict span-sequence equality contract (kind, text, media_ref, order) and
+the resume-from-checkpoint invariant (no duplicate doc_id)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocrd_anybaseocr_spark.operators.extract import extract_spans
+from ocrd_anybaseocr_spark.operators.pipeline import run_pipeline
+from ocrd_anybaseocr_spark.oracle import process_document
+from ocrd_anybaseocr_spark.sources.tables import load_corpus
+
+
+@pytest.fixture(scope="module")
+def oracle_results(corpus_dir):
+    docs = pq.read_table(os.path.join(corpus_dir, "documents.parquet")).to_pylist()
+    blobs = pq.read_table(os.path.join(corpus_dir, "page_blobs.parquet")).to_pylist()
+    bmap = {b["media_ref"]: b["image"] for b in blobs}
+    out = {}
+    for d in docs:
+        ext, prs, struct = process_document(d, bmap)
+        out[d["doc_id"]] = (ext, prs, struct)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, corpus_dir, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("out"))
+    summary = run_pipeline(spark, corpus_dir, out_dir, n_parts=8)
+    assert summary["docs"] > 0
+    return out_dir
+
+
+def _spans_tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in spans]
+
+
+def test_extract_spans_strict_equality(spark, corpus_dir, oracle_results):
+    docs, _ = load_corpus(spark, corpus_dir)
+    got = {r["doc_id"]: r["spans"] for r in extract_spans(docs).toPandas().to_dict("records")}
+    assert len(got) == len(oracle_results)
+    for doc_id, (ext, _, _) in oracle_results.items():
+        want = _spans_tuples(ext["spans"])
+        have = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in got[doc_id]]
+        assert have == want, f"span mismatch for {doc_id}"
+
+
+def test_page_results_match_oracle(spark, pipeline_out, oracle_results):
+    pr = spark.read.parquet(os.path.join(pipeline_out, "page_results")).toPandas()
+    want_pages = {
+        (r["doc_id"], r["media_ref"]): r for _, prs, _ in oracle_results.values() for r in prs
+    }
+    assert len(pr) == len(want_pages)
+    for _, row in pr.iterrows():
+        w = want_pages[(row["doc_id"], row["media_ref"])]
+        assert list(row["border"]) == w["border"]
+        assert row["perfect"] == w["perfect"]
+        assert row["skew"] == pytest.approx(w["skew"])
+        assert row["features"] == w["features"]
+        assert list(row["labels"]) == w["labels"]
+        assert row["page_no"] == w["page_no"]
+
+
+def test_doc_structure_matches_oracle(spark, pipeline_out, oracle_results):
+    st = spark.read.parquet(os.path.join(pipeline_out, "doc_structure")).toPandas()
+    assert len(st) == len(oracle_results)
+    for _, row in st.iterrows():
+        _, _, want = oracle_results[row["doc_id"]]
+        got_divs = [(d["log_id"], d["label"], d["parent_id"]) for d in row["divs"]]
+        want_divs = [(d["log_id"], d["label"], d["parent_id"]) for d in want["divs"]]
+        assert got_divs == want_divs, row["doc_id"]
+        got_links = [(l["log_id"], l["media_ref"]) for l in row["links"]]
+        want_links = [(l["log_id"], l["media_ref"]) for l in want["links"]]
+        assert got_links == want_links, row["doc_id"]
+
+
+def test_checkpoints_reconcile(spark, pipeline_out):
+    ck = spark.read.parquet(os.path.join(pipeline_out, "checkpoints")).toPandas()
+    pr = spark.read.parquet(os.path.join(pipeline_out, "page_results"))
+    assert ck["row_count"].sum() == pr.count()
+    assert (ck["latency_ms"] >= 0).all()
+    assert ck["partition_id"].is_unique
+
+
+def test_resume_skips_completed_and_no_duplicates(spark, corpus_dir, pipeline_out):
+    # second run over the same output dir: everything checkpointed → no work
+    summary = run_pipeline(spark, corpus_dir, pipeline_out, n_parts=8)
+    assert summary["docs"] == 0
+    ext = spark.read.parquet(os.path.join(pipeline_out, "extracted_spans"))
+    assert ext.count() == ext.select("doc_id").distinct().count()
+
+
+def test_partial_checkpoint_resume(spark, corpus_dir, tmp_path_factory):
+    # simulate a mid-corpus failure: keep only some checkpoint rows, rerun,
+    # assert full output with no duplicate doc_id (FIXTURES.md §3.4)
+    import shutil
+
+    out_dir = str(tmp_path_factory.mktemp("resume"))
+    run_pipeline(spark, corpus_dir, out_dir, n_parts=8)
+    full = spark.read.parquet(os.path.join(out_dir, "extracted_spans")).count()
+
+    ck_dir = os.path.join(out_dir, "checkpoints")
+    ck = spark.read.parquet(ck_dir).toPandas()
+    keep = ck.iloc[: len(ck) // 2]
+    shutil.rmtree(ck_dir)
+    import ocrd_anybaseocr_spark.schema as S
+
+    spark.createDataFrame(keep, S.CHECKPOINT).write.parquet(ck_dir)
+
+    summary = run_pipeline(spark, corpus_dir, out_dir, n_parts=8)
+    assert summary["docs"] > 0
+    ext = spark.read.parquet(os.path.join(out_dir, "extracted_spans"))
+    assert ext.count() == full
+    assert ext.select("doc_id").distinct().count() == full
