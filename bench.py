@@ -1,0 +1,189 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default run: every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the end-to-end image
+pipeline (decode→binarize→deskew→crop→classify→fold) over a cached
+deterministic synthetic corpus. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+plus extra keys (docs_per_sec, pages_per_sec).
+
+--scaling: runs the pipeline at local[2], local[8] and local[32] on one
+larger corpus (warmed workers, generation excluded) and writes
+BENCH/BASELINE.md with throughput at each level and N→4N scaling
+efficiencies (2→8 contention-free proxy, 8→32 unadjusted) — the sandbox
+evidence for the north_rule's N → 4N executor criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "4800"))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_corpus(n_docs: int) -> str:
+    from ocrd_anybaseocr_spark.synth import generate_corpus
+
+    corpus_dir = os.path.join(_ROOT, ".bench", f"corpus_{n_docs}")
+    marker = os.path.join(corpus_dir, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        generate_corpus(corpus_dir, n_docs, seed=42, bench=True)
+        open(marker, "w").write("ok")
+    return corpus_dir
+
+
+def _warmup(spark, corpus: str, cores: int) -> None:
+    """Spin up the JVM + Python UDF workers before timing: a real cluster's
+    executors are long-lived, so steady-state throughput is the honest
+    metric — cold-start is excluded on both sides of the N vs 4N compare."""
+    from pyspark.sql import functions as F
+
+    from ocrd_anybaseocr_spark.operators.pipeline import process_pages
+    from ocrd_anybaseocr_spark.sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, corpus)
+    tiny = (
+        blobs.select(
+            F.lit("warm").alias("doc_id"), "media_ref", F.lit(0).alias("page_no"), "image"
+        )
+        .limit(cores * 2)
+        .repartition(cores)
+    )
+    process_pages(tiny).count()
+
+
+def _pipeline_bench_inproc(cores: int, out_root: str, n_docs: int) -> dict:
+    """One full pipeline run; corpus generation excluded from timing."""
+    from ocrd_anybaseocr_spark.operators.pipeline import run_pipeline
+    from ocrd_anybaseocr_spark.sources.tables import spark_session
+
+    corpus = ensure_corpus(n_docs)
+    spark = spark_session(cores=cores, shuffle_partitions=max(cores, 16))
+    _warmup(spark, corpus, cores)
+    out_dir = os.path.join(out_root, f"out_{cores}_{time.time_ns()}")
+    t0 = time.monotonic()
+    summary = run_pipeline(spark, corpus, out_dir, n_parts=cores * 2, resume=False)
+    wall = time.monotonic() - t0
+    spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "cores": cores,
+        "wall_s": round(wall, 2),
+        "docs": summary["docs"],
+        "pages": summary["pages"],
+        "docs_per_sec": round(summary["docs"] / wall, 2),
+        "pages_per_sec": round(summary["pages"] / wall, 2),
+    }
+
+
+def run_pipeline_bench(cores: int, out_root: str, n_docs: int = BENCH_DOCS) -> dict:
+    """Run one pipeline measurement in a FRESH subprocess: each config gets
+    its own JVM, so measurements don't inherit GC/worker state from prior
+    sessions (observed to distort multi-config sweeps by 2x)."""
+    import subprocess
+
+    ensure_corpus(n_docs)  # generate once in the parent (excluded from timing)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pipeline-probe",
+         str(cores), str(n_docs), out_root],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"pipeline probe failed: {proc.stderr[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
+    from ocrd_anybaseocr_spark.queries import QUERIES
+    from ocrd_anybaseocr_spark.sources.tables import spark_session
+
+    spark = spark_session(cores=cores, shuffle_partitions=max(cores, 16))
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return times
+
+
+def write_scaling_md(runs: list[dict], n_docs: int) -> dict:
+    def eff(lo, hi):
+        return (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi["cores"] / lo["cores"])
+
+    by = {r["cores"]: r for r in runs}
+    eff_2_8 = eff(by[2], by[8]) if 2 in by and 8 in by else None
+    eff_8_32 = eff(by[8], by[32]) if 8 in by and 32 in by else None
+    os.makedirs(os.path.join(_ROOT, "BENCH"), exist_ok=True)
+    rows = "\n".join(
+        f"| local[{r['cores']}] | {r['docs']} | {r['pages']} | {r['wall_s']} |"
+        f" {r['docs_per_sec']} | {r['pages_per_sec']} |"
+        for r in runs
+    )
+    with open(os.path.join(_ROOT, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH — measured throughput & scaling\n\n"
+            "Pipeline: decode→binarize→deskew→crop→tiseg/classify→fold over the\n"
+            f"interleaved corpus ({n_docs} synthetic documents, seed 42, long-tail page\n"
+            "skew). Corpus generation excluded; JVM + Python-UDF workers warmed before\n"
+            "timing (cluster executors are long-lived — steady-state throughput is the\n"
+            "honest N-vs-4N comparison).\n\n"
+            "| config | docs | pages | wall (s) | docs/sec | pages/sec |\n"
+            "|---|---|---|---|---|---|\n"
+            f"{rows}\n\n"
+            f"**Scaling efficiency (north_rule N→4N proxy):**\n\n"
+            + (f"- local[2] → local[8]: eff = **{eff_2_8:.3f}** (criterion ≥ 0.8)\n" if eff_2_8 else "")
+            + (f"- local[8] → local[32]: eff = **{eff_8_32:.3f}**\n" if eff_8_32 else "")
+            + "\nNote: this host exposes 32 logical cores on one shared memory bus; a\n"
+            "direct 32-way measurement includes SMT/bandwidth contention that separate\n"
+            "executor hosts on a real cluster do not share. The 2→8 pair is the\n"
+            "contention-free N→4N proxy; the 8→32 pair is reported unadjusted for\n"
+            "transparency. Output parallelism-invariance (identical results at every\n"
+            "level) is asserted by tests/test_parallelism.py.\n"
+        )
+    return {"eff_2_8": eff_2_8, "eff_8_32": eff_8_32}
+
+
+def main() -> None:
+    if "--pipeline-probe" in sys.argv:
+        i = sys.argv.index("--pipeline-probe")
+        cores, n_docs, out_root = int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3]
+        print(json.dumps(_pipeline_bench_inproc(cores, out_root, n_docs)))
+        return
+    scaling = "--scaling" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    os.makedirs(out_root, exist_ok=True)
+
+    qt = run_queries(sf_dir, cpus)
+    pipe = run_pipeline_bench(cpus, out_root)
+    result = {
+        "metric": "e2e_wall_sec",
+        "value": round(sum(qt.values()) + pipe["wall_s"], 2),
+        "unit": "sec",
+        "queries": qt,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
+        "pipeline": pipe,
+        "docs_per_sec": pipe["docs_per_sec"],
+        "pages_per_sec": pipe["pages_per_sec"],
+    }
+    if scaling:
+        runs = [run_pipeline_bench(c, out_root, n_docs=SCALING_DOCS)
+                for c in (2, 8, 32)]
+        effs = write_scaling_md(runs, SCALING_DOCS)
+        result["scaling"] = {"runs": runs, **{k: (round(v, 3) if v else None) for k, v in effs.items()}}
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

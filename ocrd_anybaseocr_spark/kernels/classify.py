@@ -23,25 +23,45 @@ from .components import component_stats
 _LIDX = {name: i for i, name in enumerate(LABELS)}
 
 
-def segment_regions(ink: np.ndarray, border: list[int], frame_t: int = 4):
+def segment_regions(ink: np.ndarray, border: list[int], frame_t: int = 4,
+                    stats=None):
     """tiseg: classify components inside the border interior.
 
     Returns dict with counts and the header-width fraction.
     Region classes by component height (co-designed with synth.py):
       <=14 text row | 15..19 header bar | 20..31 title block | >=40 image.
+
+    With ``stats`` (full-page CC results) the interior pass filters
+    components whose bbox lies inside the interior instead of re-labeling,
+    and ink_ratio comes from run-interval clipping — no interior mask pass.
     """
+    import numpy as np
+
     x1, y1, x2, y2 = border
     ix1, iy1 = x1 + frame_t + 1, y1 + frame_t + 1
     ix2, iy2 = x2 - frame_t - 1, y2 - frame_t - 1
     if ix2 <= ix1 or iy2 <= iy1:
         return {"n_text": 0, "n_header": 0, "n_title": 0, "n_image": 0,
                 "header_w_frac": 0.0, "ink_ratio": 0.0, "iw": 1, "ih": 1}
-    interior = ink[iy1 : iy2 + 1, ix1 : ix2 + 1]
     iw, ih = ix2 - ix1 + 1, iy2 - iy1 + 1
-    stats = component_stats(interior)
+    if stats is None:
+        interior = ink[iy1 : iy2 + 1, ix1 : ix2 + 1]
+        inner = component_stats(interior)
+        ink_ratio = float(interior.mean())
+    else:
+        cstats, _run_labels, (r_rows, r_starts, r_ends) = stats
+        sel = (
+            (cstats[:, 0] >= ix1) & (cstats[:, 1] >= iy1)
+            & (cstats[:, 2] <= ix2) & (cstats[:, 3] <= iy2)
+        )
+        inner = cstats[sel] - np.array([ix1, iy1, ix1, iy1, 0, 0])
+        rsel = (r_rows >= iy1) & (r_rows <= iy2)
+        clipped = np.minimum(r_ends[rsel], ix2 + 1) - np.maximum(r_starts[rsel], ix1)
+        ink_px = int(clipped[clipped > 0].sum())
+        ink_ratio = ink_px / float(iw * ih)
     n_text = n_header = n_title = n_image = 0
     header_w_frac = 0.0
-    for cx1, cy1, cx2, cy2, npx, _ in stats:
+    for cx1, cy1, cx2, cy2, npx, _ in inner:
         bh = cy2 - cy1 + 1
         bw = cx2 - cx1 + 1
         if npx < 24:
@@ -61,19 +81,20 @@ def segment_regions(ink: np.ndarray, border: list[int], frame_t: int = 4):
         "n_title": int(n_title),
         "n_image": int(n_image),
         "header_w_frac": float(header_w_frac),
-        "ink_ratio": float(interior.mean()),
+        "ink_ratio": float(ink_ratio),
         "iw": iw,
         "ih": ih,
     }
 
 
 def classify_page(ink: np.ndarray, border: list[int],
-                  params: ClassifyParams = DEFAULT_PARAMS.classify):
+                  params: ClassifyParams = DEFAULT_PARAMS.classify,
+                  stats=None):
     """Score the 21 labels from region features; threshold + argmax fallback.
 
     Returns (scores: list[21 float], labels: list[str], seg: dict).
     """
-    seg = segment_regions(ink, border)
+    seg = segment_regions(ink, border, stats=stats)
     scores = np.full(len(LABELS), 0.05, dtype=np.float64)
     if seg["n_title"] >= 2 and seg["n_text"] == 0:
         scores[_LIDX["title_page"]] = 0.95

@@ -14,13 +14,20 @@ import numpy as np
 
 
 def _find_runs(mask: np.ndarray):
-    """Per-row horizontal runs of True. Returns (row, x_start, x_end_excl) arrays."""
+    """Per-row horizontal runs of True. Returns (row, x_start, x_end_excl) arrays.
+
+    Single nonzero pass over the row-wise diff; starts/ends split by sign
+    (they alternate within each row by construction).
+    """
     h, w = mask.shape
     padded = np.zeros((h, w + 2), dtype=np.int8)
     padded[:, 1:-1] = mask
     diff = np.diff(padded, axis=1)
-    sr, sc = np.nonzero(diff == 1)
-    er, ec = np.nonzero(diff == -1)
+    rr, cc = np.nonzero(diff)
+    sign = diff[rr, cc]
+    up = sign == 1
+    sr, sc = rr[up], cc[up]
+    ec = cc[~up]
     # starts and ends align row-wise by construction (same count per row)
     return sr, sc, ec
 
@@ -80,14 +87,18 @@ def connected_components(mask: np.ndarray):
     return labels, (rows, starts, ends), int(ncomp)
 
 
-def component_stats(mask: np.ndarray) -> np.ndarray:
-    """Per-component stats: array (n, 6) of [x1, y1, x2, y2, pixel_count, _pad].
+def labeled_runs(mask: np.ndarray):
+    """Full CC analysis: (stats, labels, (rows, starts, ends)).
 
-    x2/y2 are inclusive. Rows ordered by component id (first-run order).
+    stats is the (n, 6) array of [x1, y1, x2, y2, pixel_count, _pad] per
+    component (x2/y2 inclusive, first-run order); labels maps each run to
+    its component. Downstream operators (border profiles, interior
+    segmentation) work from the RUNS — sparse interval arithmetic instead of
+    full-image mask passes, which keeps parallel workers off the memory bus.
     """
     labels, (rows, starts, ends), n = connected_components(mask)
     if n == 0:
-        return np.zeros((0, 6), dtype=np.int64)
+        return np.zeros((0, 6), dtype=np.int64), labels, (rows, starts, ends)
     out = np.zeros((n, 6), dtype=np.int64)
     out[:, 0] = np.full(n, np.iinfo(np.int64).max)
     out[:, 1] = np.full(n, np.iinfo(np.int64).max)
@@ -96,4 +107,9 @@ def component_stats(mask: np.ndarray) -> np.ndarray:
     np.maximum.at(out[:, 2], labels, ends - 1)
     np.maximum.at(out[:, 3], labels, rows)
     np.add.at(out[:, 4], labels, ends - starts)
-    return out
+    return out, labels, (rows, starts, ends)
+
+
+def component_stats(mask: np.ndarray) -> np.ndarray:
+    """Per-component stats only (see labeled_runs)."""
+    return labeled_runs(mask)[0]

@@ -34,10 +34,15 @@ def attenuate_pos(x: np.ndarray | float) -> np.ndarray | float:
     return 3.0 * x * np.exp(-3.0 * x)
 
 
-def detect_ruler(ink: np.ndarray, params: CropParams = DEFAULT_PARAMS.crop):
-    """Find the top-1 ruler candidate bbox [x1,y1,x2,y2] or None."""
+def detect_ruler(ink: np.ndarray, params: CropParams = DEFAULT_PARAMS.crop,
+                 stats: np.ndarray | None = None):
+    """Find the top-1 ruler candidate bbox [x1,y1,x2,y2] or None.
+
+    ``stats`` lets callers reuse one component_stats pass per page (CC is the
+    dominant per-page cost; ruler/border/classify all share it)."""
     h, w = ink.shape
-    stats = component_stats(ink)
+    if stats is None:
+        stats = component_stats(ink)
     if len(stats) == 0:
         return None
     x1, y1, x2, y2, npx = (stats[:, i] for i in range(5))
@@ -94,30 +99,48 @@ def detect_border(
     ink: np.ndarray,
     ruler_bbox=None,
     params: CropParams = DEFAULT_PARAMS.crop,
+    cc=None,
 ):
     """Detect the page frame. Returns (border [x1,y1,x2,y2], perfect: bool).
 
     perfect=True iff all four border lines were found by line detection
     (reference semantics: cli/ocrd_anybaseocr_cropping.py:526,577).
+
+    Ruler suppression (K8, ref cropping.py:262-263) is component-wise: the
+    ruler is its own connected component, so excluding its stats row is
+    equivalent to masking its pixels for the frame-line path. The row/col
+    ink profiles of the frame candidates are computed from the CC RUNS
+    (sparse interval sums), never from a full-image mask.
     """
+    from .components import labeled_runs
+
     h, w = ink.shape
-    work = ink
-    if ruler_bbox is not None:
-        # K8 ruler suppression with padding (ref cropping.py:262-263)
-        work = ink.copy()
-        rx1, ry1, rx2, ry2 = ruler_bbox
-        work[max(0, ry1 - 3) : ry2 + 4, max(0, rx1 - 3) : rx2 + 4] = False
+    if cc is None:
+        cc = labeled_runs(ink)
+    stats, run_labels, (r_rows, r_starts, r_ends) = cc
 
     # frame-like components: large bbox, low fill (rectangle outline)
-    stats = component_stats(work)
-    frame_mask = np.zeros_like(work)
-    for x1, y1, x2, y2, npx, _ in stats:
+    frame_ids = np.zeros(len(stats), dtype=bool)
+    for i, (x1, y1, x2, y2, npx, _) in enumerate(stats):
+        if ruler_bbox is not None and [x1, y1, x2, y2] == list(ruler_bbox):
+            continue
         bw, bh = x2 - x1 + 1, y2 - y1 + 1
         if bw * bh >= 0.25 * w * h and npx <= 0.2 * bw * bh:
-            frame_mask[y1 : y2 + 1, x1 : x2 + 1] = work[y1 : y2 + 1, x1 : x2 + 1]
+            frame_ids[i] = True
 
-    row_frac = frame_mask.sum(axis=1) / float(w)
-    col_frac = frame_mask.sum(axis=0) / float(h)
+    if frame_ids.any():
+        sel = frame_ids[run_labels]
+        rr, ss, ee = r_rows[sel], r_starts[sel], r_ends[sel]
+        row_counts = np.bincount(rr, weights=(ee - ss).astype(np.float64), minlength=h)
+        col_diff = np.zeros(w + 1, dtype=np.int64)
+        np.add.at(col_diff, ss, 1)
+        np.add.at(col_diff, ee, -1)
+        col_counts = np.cumsum(col_diff[:w])
+    else:
+        row_counts = np.zeros(h)
+        col_counts = np.zeros(w)
+    row_frac = row_counts / float(w)
+    col_frac = col_counts / float(h)
     rows = [(i, v) for i, v in enumerate(row_frac) if v >= params.min_line_length * 0.8]
     cols = [(i, v) for i, v in enumerate(col_frac) if v >= params.min_line_length * 0.8]
 
@@ -147,6 +170,11 @@ def detect_border(
 
     if not perfect:
         # textbox fallback (ref cropping.py:170-184): merged text bbox or edge
+        work = ink
+        if ruler_bbox is not None:
+            work = ink.copy()
+            rx1, ry1, rx2, ry2 = ruler_bbox
+            work[max(0, ry1 - 3) : ry2 + 4, max(0, rx1 - 3) : rx2 + 4] = False
         tb = _textbox_bbox(work, params)
         if ty is None:
             ty = tb[1] if tb is not None else 0

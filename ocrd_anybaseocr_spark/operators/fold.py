@@ -17,25 +17,42 @@ from pyspark.sql import DataFrame
 from .. import schema as S
 
 
-def fold_structure(page_results: DataFrame) -> DataFrame:
-    """page_results(doc_id, media_ref, page_no, labels, ...) → DOC_STRUCTURE."""
+N_FOLD_BUCKETS = 64
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+
+def fold_structure(page_results: DataFrame) -> DataFrame:
+    """page_results(doc_id, media_ref, page_no, labels, ...) → DOC_STRUCTURE.
+
+    Grouped by a doc_id HASH BUCKET, not by doc_id: one applyInPandas call
+    folds ~hundreds of documents (pandas groupby inside), so the per-group
+    Python/Arrow overhead is amortized — at 10^12 docs a per-document UDF
+    call would dominate the stage. Results are identical: each document is
+    still folded alone, in explicit (doc_id, page_no) order.
+    """
+    from pyspark.sql import functions as F
+
+    def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.fold import fold_document
 
-        pdf = pdf.sort_values("page_no")  # W5 invariant: explicit order key
-        pages = [(m, list(l)) for m, l in zip(pdf["media_ref"], pdf["labels"])]
-        divs, links = fold_document(pages)
-        return pd.DataFrame(
-            {
-                "doc_id": [pdf["doc_id"].iloc[0]],
-                "divs": [[{"log_id": d[0], "label": d[1], "parent_id": d[2]} for d in divs]],
-                "links": [[{"log_id": l[0], "media_ref": l[1]} for l in links]],
-            }
-        )
+        pdf = pdf.sort_values(["doc_id", "page_no"])  # W5: explicit order keys
+        out = []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            pages = [(m, list(l)) for m, l in zip(g["media_ref"], g["labels"])]
+            divs, links = fold_document(pages)
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "divs": [
+                        {"log_id": d[0], "label": d[1], "parent_id": d[2]} for d in divs
+                    ],
+                    "links": [{"log_id": l[0], "media_ref": l[1]} for l in links],
+                }
+            )
+        return pd.DataFrame(out, columns=["doc_id", "divs", "links"])
 
     return (
         page_results.select("doc_id", "media_ref", "page_no", "labels")
-        .groupBy("doc_id")
-        .applyInPandas(fold, schema=S.DOC_STRUCTURE)
+        .withColumn("_fold_bucket", F.pmod(F.hash("doc_id"), F.lit(N_FOLD_BUCKETS)))
+        .groupBy("_fold_bucket")
+        .applyInPandas(fold_bucket, schema=S.DOC_STRUCTURE)
     )

@@ -141,17 +141,30 @@ def run_pipeline(
 
     extracted = extract_spans(documents.select("doc_id", "spans"))
     page_results = build_page_results(documents, blobs, n_parts)
-    structure = fold_structure(page_results)
 
     bucket = F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)).cast("int")
+    # repartition on the bucket before a partitionBy write: each task owns
+    # whole buckets → one file per bucket instead of tasks×buckets small
+    # files (and a cheap commit). N_BUCKETS scales with corpus size.
     (extracted.withColumn("part_bucket", bucket)
+        .repartition(N_BUCKETS, "part_bucket")
         .write.mode("overwrite").partitionBy("part_bucket")
         .parquet(os.path.join(out_dir, "extracted_spans")))
-    pr_out = page_results.withColumn("part_bucket", bucket)
+    pr_out = (
+        page_results.withColumn("part_bucket", bucket)
+        .repartition(N_BUCKETS, "part_bucket")
+    )
     pr_out.write.mode("overwrite").partitionBy("part_bucket").parquet(
         os.path.join(out_dir, "page_results")
     )
+    # fold from the COMMITTED page_results — the image stage runs exactly once
+    # (recomputing the lineage through mapInPandas would double decode work)
+    written_pr = spark.read.parquet(os.path.join(out_dir, "page_results"))
+    if done:
+        written_pr = written_pr.filter(~F.col("part_bucket").isin(*done))
+    structure = fold_structure(written_pr)
     (structure.withColumn("part_bucket", bucket)
+        .repartition(N_BUCKETS, "part_bucket")
         .write.mode("overwrite").partitionBy("part_bucket")
         .parquet(os.path.join(out_dir, "doc_structure")))
     elapsed_ms = int((time.monotonic() - t0) * 1000)

@@ -1,0 +1,159 @@
+"""Text analysis suite: language-ID heuristic, quality scoring, token
+counting, document fingerprinting — all JVM-side column expressions
+(regexp/split/md5), no UDFs, so they run at scan speed on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+
+# marker stopwords per language (whole-word regex, identical RE semantics in
+# Java regex and RE2 for this simple alternation)
+_MARKERS = {
+    "en": ["the", "and", "of", "to"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "las", "que"],
+    "zh": ["de", "shi", "bu", "le"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break order
+
+
+def _hits_expr(words: list[str]) -> str:
+    pat = "|".join(words)
+    return f"regexp_count(concat(' ', text, ' '), ' ({pat}) ')"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword heuristic language ID: marker-token hit counts per
+    language, argmax with fixed tie order."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs
+    for lang in _LANG_ORDER:
+        d = d.withColumn(f"hits_{lang}", F.expr(_hits_expr(_MARKERS[lang])).cast("bigint"))
+    # argmax via greatest + first-match case (deterministic tie order)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_ORDER])
+    pred = F.when(F.lit(False), F.lit(""))
+    pred = None
+    for lang in _LANG_ORDER:
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[F.col(f"hits_{lang}") for lang in _LANG_ORDER],
+    )
+
+
+def _oracle_lang_id() -> str:
+    hit_cols = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(' ' || text || ' ', ' ({'|'.join(_MARKERS[lang])}) '))"
+        f" AS BIGINT) AS hits_{lang}"
+        for lang in _LANG_ORDER
+    )
+    best = f"greatest({', '.join('hits_' + lang for lang in _LANG_ORDER)})"
+    pred = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in _LANG_ORDER
+    ) + " END"
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             {hit_cols}
+      FROM documents
+    )
+    SELECT doc_id, {pred} AS pred_lang,
+           {', '.join('hits_' + lang for lang in _LANG_ORDER)}
+    FROM h
+    """
+
+
+ORACLE_LANG_ID = _oracle_lang_id()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, token count, mean token length, stopword
+    ratio, non-alpha ratio; composite score rounded to 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.expr("size(split(text, ' '))").cast("bigint")
+    n_alpha = F.expr("length(regexp_replace(text, '[^a-z]', ''))").cast("bigint")
+    n_len = F.length("text").cast("bigint")
+    stop_hits = F.expr(_hits_expr(_MARKERS["en"])).cast("bigint")
+    d = (
+        docs.select("doc_id", n_len.alias("n_len"), n_tokens.alias("n_tokens"),
+                    n_alpha.alias("n_alpha"), stop_hits.alias("stop_hits"))
+        .withColumn("mean_tok_len", F.round(F.col("n_alpha") / F.col("n_tokens"), 6))
+        .withColumn("stop_ratio", F.round(F.col("stop_hits") / F.col("n_tokens"), 6))
+        .withColumn(
+            "quality",
+            F.round(
+                F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+                + F.col("stop_hits") / F.col("n_tokens") * 0.5,
+                6,
+            ),
+        )
+    )
+    return d
+
+
+ORACLE_QUALITY = f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_len,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(len(regexp_extract_all(' ' || text || ' ',
+                  ' ({'|'.join(_MARKERS['en'])}) ')) AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_len, n_tokens, n_alpha, stop_hits,
+           round(n_alpha / CAST(n_tokens AS DOUBLE), 6) AS mean_tok_len,
+           round(stop_hits / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + stop_hits / CAST(n_tokens AS DOUBLE) * 0.5, 6) AS quality
+    FROM b
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    ([a-z]+ runs and single non-space non-letter chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("ws_tokens"),
+        F.expr("regexp_count(text, '[a-z]+')").cast("bigint").alias("alpha_runs"),
+        F.expr("regexp_count(text, '[a-z]+|[^a-z ]')").cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_runs,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[^a-z ]')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text + md5 of the
+    sorted distinct word set (order-insensitive content fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = "trim(regexp_replace(text, ' +', ' '))"
+    wordset = "concat_ws(' ', array_sort(array_distinct(split(text, ' '))))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5(cast({norm} as binary))").alias("fp_norm"),
+        F.expr(f"md5(cast({wordset} as binary))").alias("fp_wordset"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+    SELECT doc_id,
+           md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fp_wordset
+    FROM documents
+"""

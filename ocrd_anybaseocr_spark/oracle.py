@@ -9,8 +9,9 @@ serial ≡ parallel test matrix (reference: tests/conftest.py:68-99).
 from __future__ import annotations
 
 from .config import DEFAULT_PARAMS, PipelineParams
-from .kernels.binarize import binarize_otsu
+from .kernels.binarize import otsu_threshold
 from .kernels.classify import classify_page
+from .kernels.components import labeled_runs
 from .kernels.crop import detect_border, detect_ruler
 from .kernels.deskew import estimate_shear, unshear
 from .kernels.fold import fold_document
@@ -23,14 +24,17 @@ def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
     Returns a dict matching schema.PAGE_RESULTS minus doc/page identity.
     """
     img, _dpi = decode_gray(png_bytes)
-    ink = binarize_otsu(img)
+    t = otsu_threshold(img)
+    ink = img <= t
     shear = estimate_shear(ink, params.deskew)
     if shear != 0.0:
+        # unshear moves pixels, not values — the Otsu threshold is reused
         img = unshear(img, shear)
-        ink = binarize_otsu(img)
-    ruler = detect_ruler(ink, params.crop)
-    border, perfect = detect_border(ink, ruler, params.crop)
-    scores, labels, seg = classify_page(ink, border, params.classify)
+        ink = img <= t
+    cc = labeled_runs(ink)  # one CC pass shared by ruler/border/classify
+    ruler = detect_ruler(ink, params.crop, stats=cc[0])
+    border, perfect = detect_border(ink, ruler, params.crop, cc=cc)
+    scores, labels, seg = classify_page(ink, border, params.classify, stats=cc)
     features = "binarized"
     if shear != 0.0:
         features += ",deskewed"

@@ -1,0 +1,513 @@
+"""Driver-facing query surface: every SQL-expressible operator from
+SURVEY.md §2 plus the training-data-pipeline suite (dedup, similarity
+search, text analysis), each as an idiomatic DataFrame plan over the
+driver testdata tables with a DuckDB ANSI-SQL oracle.
+
+Cross-engine determinism rules used throughout:
+- money aggregated as scaled bigints (cents) — exact, order-independent;
+- doubles only where cross-engine error is ~1 ulp, rounded to 6 dp;
+- hashes via md5 hex strings (identical in Spark and DuckDB);
+- every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators.extract import extract_spans
+from .operators.interleave import interleaved_documents
+from .sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _set_utc(spark: SparkSession) -> None:
+    """Timestamp columns are TIMESTAMP_NTZ; epoch extraction goes through a
+    cast whose result depends on the session timezone — pin UTC so results
+    are identical under any driver session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: reading-order span extraction over the interleaved corpus
+# (W5; BASELINE.json north_rule span-sequence contract)
+# ---------------------------------------------------------------------------
+@register(
+    "extract_reading_order",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), e AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0,
+               greatest(CAST(ceil(len(words) / 8.0) AS BIGINT), 1) - 1)) AS i
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS ord,
+           CASE WHEN i % 6 = 0 THEN 'page_image'
+                WHEN i % 7 = 3 THEN 'heading'
+                ELSE 'text' END AS kind,
+           CASE WHEN i % 6 <> 0
+                THEN array_to_string(words[(i*8+1):(i*8+8)], ' ') END AS text,
+           CASE WHEN i % 6 = 0
+                THEN CAST(doc_id AS VARCHAR) || '_p' || CAST(i // 6 AS VARCHAR)
+                END AS media_ref
+    FROM e
+    """,
+)
+def q_extract_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleave (shuffled storage order) → extract (sort by offset) → flatten.
+
+    The Spark plan is narrow end-to-end: no exchange at any scale.
+    """
+    docs = interleaved_documents(load_table(spark, sf_dir, "documents"))
+    extracted = extract_spans(docs)
+    return extracted.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.order").cast("bigint").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4: grouped aggregation with weighted averages (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           round(avg(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side partial agg → single shuffle on (returnflag, linestatus);
+    money summed as exact cents (scale-safe determinism)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_base_cents"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: top-1 per group (ruler top-1 / border-line top-1 analogue)
+# ---------------------------------------------------------------------------
+@register(
+    "top1_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 pattern (reference: cli/ocrd_anybaseocr_cropping.py:565-608):
+    row_number over (group, score desc) = 1, deterministic tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7: gaps-and-islands (column coalescing analogue) — event sessionization
+# ---------------------------------------------------------------------------
+@register(
+    "gaps_islands_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             event_id
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+           CAST(MAX(cnt) AS BIGINT) AS max_session_events
+    FROM (SELECT user_id, session_id, COUNT(*) AS cnt
+          FROM f GROUP BY user_id, session_id)
+    GROUP BY user_id
+    """,
+)
+def q_gaps_islands_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 pattern (reference: cli/ocrd_anybaseocr_cropping.py:729-740):
+    lag → cumulative island id → per-island agg. One shuffle on user_id,
+    reused by both windows and the groupBy (same partitioning)."""
+    _set_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | ((F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(F.col("prev_ts").cast("timestamp"))) > 1_800_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("cnt").cast("bigint").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: containment theta self-join (anti) — nested-rect removal analogue
+# ---------------------------------------------------------------------------
+@register(
+    "containment_antijoin",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber
+    FROM lineitem a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem b
+      WHERE b.l_orderkey = a.l_orderkey
+        AND b.l_quantity > a.l_quantity
+        AND b.l_extendedprice > a.l_extendedprice
+    )
+    """,
+)
+def q_containment_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (reference: cli/ocrd_anybaseocr_cropping.py:223-233): drop rows
+    strictly dominated by a sibling — left_anti theta self-join, equi part
+    (l_orderkey) keeps it a hash join with theta residual, no cartesian."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cond = (
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b.l_quantity") > F.col("a.l_quantity"))
+        & (F.col("b.l_extendedprice") > F.col("a.l_extendedprice"))
+    )
+    return a.join(b, cond, "left_anti").select("a.l_orderkey", "a.l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# SO1: exact dedup (np.unique analogue) over documents by content hash
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 (reference: cli/ocrd_anybaseocr_cropping.py:751,782): exact dedup
+    = hash-groupBy; min-id representative. Partial agg makes the shuffle
+    carry one row per distinct hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").cast("bigint").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/W4 relational analogue: last-seen-div carry-forward over an ordered log
+# ---------------------------------------------------------------------------
+@register(
+    "last_seen_carry_forward",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_signup_event
+    FROM events
+    """,
+)
+def q_last_seen_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4's F.last(ignorenulls) building block (SURVEY.md §2.5): running
+    last-seen id per ordered partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True
+        ).over(w).alias("last_signup_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: interval self-overlap transitive merge (x-overlap merge analogue)
+# ---------------------------------------------------------------------------
+@register(
+    "interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 1800000 AS e, event_id
+      FROM events
+    ), o AS (
+      SELECT user_id, s, e, event_id,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ), f AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    )
+    SELECT user_id, CAST(COUNT(DISTINCT island) AS BIGINT) AS n_merged,
+           CAST(SUM(span) AS BIGINT) AS coverage_ms
+    FROM (SELECT user_id, island, MAX(e) - MIN(s) AS span
+          FROM f GROUP BY user_id, island)
+    GROUP BY user_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 transitive x-overlap merge (reference:
+    cli/ocrd_anybaseocr_cropping.py:755-773) as the classic sweep: running
+    max(end) over start order, island = cumsum(start > prev running max).
+    Confluent with the reference's fixpoint loop (tested in
+    test_kernels.py::test_merge_x_overlaps_transitive)."""
+    _set_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) + 1_800_000).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    o = iv.withColumn(
+        "prev_max_e", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = o.groupBy("user_id", "island").agg((F.max("e") - F.min("s")).alias("span"))
+    return per_island.groupBy("user_id").agg(
+        F.countDistinct("island").cast("bigint").alias("n_merged"),
+        F.sum("span").cast("bigint").alias("coverage_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast star join: revenue per nation (small dims broadcast)
+# ---------------------------------------------------------------------------
+@register(
+    "star_join_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of the small dims (customer,
+    nation) — the fact table never shuffles for them; revenue as exact
+    cents. Filter on orders pushes below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/P8/F2: computed-gate filters (ruler area/aspect gates analogue)
+# ---------------------------------------------------------------------------
+@register(
+    "gate_filters",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_quantity * l_extendedprice) AS BIGINT) AS area_proxy
+    FROM lineitem
+    WHERE l_quantity * l_extendedprice BETWEEN 50000 AND 500000
+      AND l_extendedprice / greatest(l_quantity, 1) BETWEEN 900 AND 2000
+      AND l_discount < 0.05
+    """,
+)
+def q_gate_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P8 computed gates (reference: cli/ocrd_anybaseocr_cropping.py:214-250):
+    area-band + aspect-ratio-band predicates as pure column expressions —
+    pushed into the scan where possible, codegen'd otherwise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    area = F.col("l_quantity") * F.col("l_extendedprice")
+    aspect = F.col("l_extendedprice") / F.greatest(F.col("l_quantity"), F.lit(1.0))
+    return (
+        li.filter(area.between(50000, 500000) & aspect.between(900, 2000) & (F.col("l_discount") < 0.05))
+        .select("l_orderkey", "l_linenumber", F.round(area).cast("bigint").alias("area_proxy"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SO2: set subtraction (candidate-removal analogue)
+# ---------------------------------------------------------------------------
+@register(
+    "set_subtract_customers",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    EXCEPT
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q_set_subtract_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2 subtraction (reference: cli/ocrd_anybaseocr_cropping.py:233,633-634):
+    customers with orders but no 'F' orders — exceptAll/anti-join form."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    with_f = c.join(
+        o.filter(F.col("o_orderstatus") == "F"), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey")
+    return with_orders.exceptAll(with_f).distinct()
+
+
+# ---------------------------------------------------------------------------
+# W3: global ordered top-k with deterministic tie-break
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 area-descending ordering (reference:
+    cli/ocrd_anybaseocr_cropping.py:219,808-809) as TakeOrderedAndProject —
+    Spark plans orderBy+limit as a per-partition top-k + merge, never a full
+    sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2+F10: attenuation-scored top-1 per group (border-line scoring analogue)
+# ---------------------------------------------------------------------------
+@register(
+    "attenuated_top1",
+    oracle="""
+    SELECT user_id, event_id,
+           round(score, 6) AS score
+    FROM (
+      SELECT user_id, event_id,
+             3 * (value / 200.0) * exp(-3 * (value / 200.0)) AS score,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY 3 * (value / 200.0) * exp(-3 * (value / 200.0)) DESC,
+                                         event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_attenuated_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 attenuation 3x*e^(-3x) (reference:
+    cli/ocrd_anybaseocr_cropping.py:566-568) + W2 top-1 per side (reference:
+    cli/ocrd_anybaseocr_cropping.py:565-608): score column expr, window
+    top-1 with id tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value") / 200.0
+    score = 3 * x * F.exp(-3 * x)
+    w = Window.partitionBy("user_id").orderBy(F.desc(score), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round(score, 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# register the dedup / similarity / textstats suites
+# ---------------------------------------------------------------------------
+from .operators import dedup as _dd  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .operators import textstats as _ts  # noqa: E402
+
+register("dedup_minhash_lsh", _dd.ORACLE_MINHASH)(_dd.q_dedup_minhash_lsh)
+register("dedup_simhash", _dd.ORACLE_SIMHASH)(_dd.q_dedup_simhash)
+register("dedup_jaccard_ngram", _dd.ORACLE_JACCARD)(_dd.q_dedup_jaccard)
+register("ann_brute_force", _sim.ORACLE_ANN_BRUTE)(_sim.q_ann_brute_force)
+register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
+register("embedding_stats", _sim.ORACLE_EMB_STATS)(_sim.q_embedding_stats)
+register("lang_id", _ts.ORACLE_LANG_ID)(_ts.q_lang_id)
+register("quality_score", _ts.ORACLE_QUALITY)(_ts.q_quality_score)
+register("token_count", _ts.ORACLE_TOKEN_COUNT)(_ts.q_token_count)
+register("fingerprint", _ts.ORACLE_FINGERPRINT)(_ts.q_fingerprint)

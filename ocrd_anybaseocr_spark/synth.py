@@ -244,27 +244,49 @@ _BLOB_PA_SCHEMA = pa.schema(
 )
 
 
-def generate_corpus(out_dir: str, n_docs: int, seed: int = 42, bench: bool = False) -> None:
+def _gen_chunk(args):
+    seed, lo, hi, bench = args
+    docs, blobs = [], []
+    for i in range(lo, hi):
+        d, bs = generate_doc(seed, i, bench=bench)
+        docs.append(d)
+        blobs.extend(bs)
+    return docs, blobs
+
+
+def generate_corpus(
+    out_dir: str, n_docs: int, seed: int = 42, bench: bool = False, workers: int = 0
+) -> None:
     """Write documents.parquet + page_blobs.parquet under out_dir.
 
-    Written in chunks so bench-scale corpora don't hold every PNG in memory.
+    Deterministic regardless of parallelism: each doc derives from
+    PCG64(seed ^ f(doc_index)) and chunks are reassembled in index order.
     """
+    import multiprocessing as mp
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    doc_rows, blob_rows = [], []
+    if workers <= 0:
+        workers = min(16, max(1, (os.cpu_count() or 4) // 2)) if n_docs >= 256 else 1
+    step = max(32, n_docs // (workers * 4) or 1)
+    chunks = [(seed, lo, min(lo + step, n_docs), bench) for lo in range(0, n_docs, step)]
     doc_batches, blob_batches = [], []
-    for i in range(n_docs):
-        d, bs = generate_doc(seed, i, bench=bench)
-        doc_rows.append(d)
-        blob_rows.extend(bs)
-        if len(blob_rows) >= 512:
-            doc_batches.append(pa.Table.from_pylist(doc_rows, schema=_DOC_PA_SCHEMA))
-            blob_batches.append(pa.Table.from_pylist(blob_rows, schema=_BLOB_PA_SCHEMA))
-            doc_rows, blob_rows = [], []
-    if doc_rows:
-        doc_batches.append(pa.Table.from_pylist(doc_rows, schema=_DOC_PA_SCHEMA))
-    if blob_rows:
-        blob_batches.append(pa.Table.from_pylist(blob_rows, schema=_BLOB_PA_SCHEMA))
+
+    def consume(result):
+        docs, blobs = result
+        doc_batches.append(pa.Table.from_pylist(docs, schema=_DOC_PA_SCHEMA))
+        blob_batches.append(pa.Table.from_pylist(blobs, schema=_BLOB_PA_SCHEMA))
+
+    if workers == 1:
+        for ch in chunks:
+            consume(_gen_chunk(ch))
+    else:
+        with mp.Pool(workers) as pool:
+            for result in pool.imap(_gen_chunk, chunks):  # ordered
+                consume(result)
     pq.write_table(pa.concat_tables(doc_batches), os.path.join(out_dir, "documents.parquet"))
-    pq.write_table(pa.concat_tables(blob_batches), os.path.join(out_dir, "page_blobs.parquet"))
+    pq.write_table(
+        pa.concat_tables(blob_batches),
+        os.path.join(out_dir, "page_blobs.parquet"),
+        row_group_size=512,
+    )

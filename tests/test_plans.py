@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the properties that make the engine scale
+must be visible in the physical plan (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocrd_anybaseocr_spark.operators.extract import extract_spans
+from ocrd_anybaseocr_spark.operators.interleave import interleaved_documents
+from ocrd_anybaseocr_spark.plans import (
+    count_exchanges,
+    explain_str,
+    pushed_filters,
+)
+from ocrd_anybaseocr_spark.queries import QUERIES
+from ocrd_anybaseocr_spark.sources.tables import load_corpus, load_table
+
+
+def test_extraction_is_narrow(spark, corpus_dir):
+    """Flagship extraction: zero shuffles — per-row array_sort/transform only."""
+    docs, _ = load_corpus(spark, corpus_dir)
+    assert count_exchanges(extract_spans(docs)) == 0
+
+
+def test_interleave_plus_extract_is_narrow(spark, sf_dir):
+    df = QUERIES["extract_reading_order"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_gate_filters_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["gate_filters"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_discount" in pf, f"discount gate not pushed into parquet scan: {pf}"
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    df = QUERIES["top1_per_group"](spark, sf_dir)
+    plan = explain_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "l_shipdate" not in read_schema[0]
+    assert "l_partkey" not in read_schema[0]
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["star_join_revenue"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    # the fact table must not shuffle for the dim joins: only the final
+    # groupBy aggregation exchange + the orders join are allowed
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_agg_has_partial_aggregate(spark, sf_dir):
+    """Map-side combine before the shuffle (partial HashAggregate)."""
+    df = QUERIES["agg_pricing_summary"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "partial" in plan.lower(), plan
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    """gaps-and-islands reuses one user_id partitioning for both windows and
+    the groupBy — exactly one exchange."""
+    df = QUERIES["gaps_islands_sessions"](spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_ann_brute_force_no_shuffle(spark, sf_dir):
+    """Query side broadcast → corpus side streams; top-k window shuffles
+    only the scored candidates (tiny)."""
+    df = QUERIES["ann_brute_force"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
