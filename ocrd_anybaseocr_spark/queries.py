@@ -511,3 +511,87 @@ register("lang_id", _ts.ORACLE_LANG_ID)(_ts.q_lang_id)
 register("quality_score", _ts.ORACLE_QUALITY)(_ts.q_quality_score)
 register("token_count", _ts.ORACLE_TOKEN_COUNT)(_ts.q_token_count)
 register("fingerprint", _ts.ORACLE_FINGERPRINT)(_ts.q_fingerprint)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-backed queries (rows-only checks: the oracle is the in-repo
+# single-process Python implementation, asserted by pytest — numpy kernels
+# are not expressible in DuckDB SQL; the driver records the weaker check)
+# ---------------------------------------------------------------------------
+import os as _os
+import tempfile as _tempfile
+
+_PIPE_DOCS = 16
+
+
+def _pipeline_corpus() -> str:
+    """Deterministic tiny corpus for pipeline-backed queries, cached per
+    process user (seed 42 — same corpus every run, any machine)."""
+    from .synth import generate_corpus
+
+    d = _os.path.join(_tempfile.gettempdir(), f"oas_qcorpus_{_PIPE_DOCS}_42")
+    marker = _os.path.join(d, ".complete")
+    if not _os.path.exists(marker):
+        generate_corpus(d, _PIPE_DOCS, seed=42, workers=1)
+        open(marker, "w").write("ok")
+    return d
+
+
+@register("pipeline_page_results")
+def q_pipeline_page_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused image stage end-to-end (decode→binarize→deskew→crop→tiseg→
+    classify) over the deterministic synthetic corpus; flat result rows."""
+    from .operators.pipeline import build_page_results
+    from .sources.tables import load_corpus
+
+    docs, blobs = load_corpus(spark, _pipeline_corpus())
+    pr = build_page_results(docs, blobs, n_parts=8)
+    return pr.select(
+        "doc_id", "media_ref", "page_no",
+        F.col("border")[0].alias("bx1"), F.col("border")[1].alias("by1"),
+        F.col("border")[2].alias("bx2"), F.col("border")[3].alias("by2"),
+        "perfect", F.round("skew", 6).alias("skew"), "features",
+        F.array_join("labels", ",").alias("labels"),
+        "n_text_regions", "n_image_regions",
+    ).orderBy("doc_id", "page_no")
+
+
+@register("pipeline_doc_structure")
+def q_pipeline_doc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 document fold over classified pages (reference:
+    cli/ocrd_anybaseocr_layout_analysis.py:140-220), flattened div rows."""
+    from .operators.fold import fold_structure
+    from .operators.pipeline import build_page_results
+    from .sources.tables import load_corpus
+
+    docs, blobs = load_corpus(spark, _pipeline_corpus())
+    st = fold_structure(build_page_results(docs, blobs, n_parts=8))
+    return st.select("doc_id", F.explode("divs").alias("d")).select(
+        "doc_id", F.col("d.log_id").alias("log_id"), F.col("d.label").alias("label"),
+        F.col("d.parent_id").alias("parent_id"),
+    ).orderBy("doc_id", "log_id")
+
+
+@register("pipeline_extracted_spans")
+def q_pipeline_extracted_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict span-sequence extraction over the synthetic interleaved corpus
+    (stored shuffled; offset carries reading order)."""
+    from .sources.tables import load_corpus
+
+    docs, _ = load_corpus(spark, _pipeline_corpus())
+    return extract_spans(docs).select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.col("s.order").cast("bigint").alias("ord"), F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"), F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+@register("media_metadata")
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column metadata, JVM-side only: PNG IHDR
+    width/height/bit-depth parsed with hex/conv column expressions — no
+    Python touches the bytes (operators/media.py)."""
+    from .operators.media import media_metadata
+    from .sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, _pipeline_corpus())
+    return media_metadata(blobs).orderBy("media_ref")
