@@ -69,19 +69,25 @@ def _pipeline_bench_inproc(cores: int, out_root: str, n_docs: int) -> dict:
     corpus = ensure_corpus(n_docs)
     spark = spark_session(cores=cores, shuffle_partitions=max(cores, 16))
     _warmup(spark, corpus, cores)
-    out_dir = os.path.join(out_root, f"out_{cores}_{time.time_ns()}")
-    t0 = time.monotonic()
-    summary = run_pipeline(spark, corpus, out_dir, n_parts=cores * 2, resume=False)
-    wall = time.monotonic() - t0
+    # best-of-2 (same policy at every core count): the host shows ±30%
+    # run-to-run noise; the faster run is the better estimate of capacity
+    best_wall, summary = None, None
+    for rep in range(2):
+        out_dir = os.path.join(out_root, f"out_{cores}_{time.time_ns()}")
+        t0 = time.monotonic()
+        s = run_pipeline(spark, corpus, out_dir, n_parts=cores * 2, resume=False)
+        wall = time.monotonic() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if best_wall is None or wall < best_wall:
+            best_wall, summary = wall, s
     spark.stop()
-    shutil.rmtree(out_dir, ignore_errors=True)
     return {
         "cores": cores,
-        "wall_s": round(wall, 2),
+        "wall_s": round(best_wall, 2),
         "docs": summary["docs"],
         "pages": summary["pages"],
-        "docs_per_sec": round(summary["docs"] / wall, 2),
-        "pages_per_sec": round(summary["pages"] / wall, 2),
+        "docs_per_sec": round(summary["docs"] / best_wall, 2),
+        "pages_per_sec": round(summary["pages"] / best_wall, 2),
     }
 
 

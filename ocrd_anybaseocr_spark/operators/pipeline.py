@@ -41,11 +41,13 @@ _STAGE_SCHEMA = S.PAGE_RESULTS.add("proc_ms", T.LongType())
 N_BUCKETS = 16  # output partition buckets (lineage/checkpoint granularity)
 
 
-def process_pages(pages_with_blobs: DataFrame) -> DataFrame:
+def process_pages(pages_with_blobs: DataFrame, params=DEFAULT_PARAMS) -> DataFrame:
     """Fused per-page stage over (doc_id, media_ref, page_no, image).
 
     One Arrow hop: bytes in, small structured results out. Kernel code is
-    imported inside the UDF so executors resolve it from --py-files.
+    imported inside the UDF so executors resolve it from --py-files; the
+    frozen params dataclass ships in the UDF closure (analogous to the
+    reference's validated parameter JSON, ocrd-tool.json:17-132).
     """
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -59,7 +61,7 @@ def process_pages(pages_with_blobs: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["page_no"], pdf["image"]
             ):
                 t0 = time.monotonic()
-                r = process_page(bytes(png), DEFAULT_PARAMS)
+                r = process_page(bytes(png), params)
                 r.update(
                     doc_id=doc_id,
                     media_ref=media_ref,
@@ -89,7 +91,9 @@ def salted_repartition(df: DataFrame, cost_col: str, n_parts: int) -> DataFrame:
     return bucketed.repartition(n_parts, "_size_bucket", "_salt").drop("_size_bucket", "_salt")
 
 
-def build_page_results(documents: DataFrame, blobs: DataFrame, n_parts: int = 32) -> DataFrame:
+def build_page_results(
+    documents: DataFrame, blobs: DataFrame, n_parts: int = 32, params=DEFAULT_PARAMS
+) -> DataFrame:
     """documents ⋈ page_blobs → fused image stage. The join key media_ref is
     unique on both sides (no key skew); byte-size skew is handled after the
     join by salted_repartition on decoded-pixel cost."""
@@ -97,7 +101,7 @@ def build_page_results(documents: DataFrame, blobs: DataFrame, n_parts: int = 32
     joined = pages.join(blobs.select("media_ref", "image", "width", "height"), "media_ref")
     joined = joined.withColumn("_cost", F.col("width").cast("long") * F.col("height"))
     joined = salted_repartition(joined, "_cost", n_parts)
-    return process_pages(joined.select("doc_id", "media_ref", "page_no", "image"))
+    return process_pages(joined.select("doc_id", "media_ref", "page_no", "image"), params)
 
 
 def run_pipeline(

@@ -24,13 +24,23 @@ def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
     Returns a dict matching schema.PAGE_RESULTS minus doc/page identity.
     """
     img, _dpi = decode_gray(png_bytes)
-    t = otsu_threshold(img)
-    ink = img <= t
+    if params.binarize.method == "sauvola":
+        from .kernels.binarize import binarize_sauvola
+
+        def _ink(im):
+            return binarize_sauvola(im, params.binarize.sauvola_window, params.binarize.sauvola_k)
+    else:
+        t = otsu_threshold(img)
+
+        def _ink(im):
+            # unshear moves pixels, not values — the Otsu threshold is reused
+            return im <= t
+
+    ink = _ink(img)
     shear = estimate_shear(ink, params.deskew)
     if shear != 0.0:
-        # unshear moves pixels, not values — the Otsu threshold is reused
         img = unshear(img, shear)
-        ink = img <= t
+        ink = _ink(img)
     cc = labeled_runs(ink)  # one CC pass shared by ruler/border/classify
     ruler = detect_ruler(ink, params.crop, stats=cc[0])
     border, perfect = detect_border(ink, ruler, params.crop, cc=cc)

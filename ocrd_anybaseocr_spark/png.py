@@ -81,7 +81,7 @@ def decode_gray(data: bytes) -> tuple[np.ndarray, int | None]:
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     raw = raw.reshape(h, w + 1)
     filters = raw[:, 0]
-    img = raw[:, 1:].astype(np.uint8).copy()
+    img = np.ascontiguousarray(raw[:, 1:])  # single copy out of the zlib buffer
     if np.any(filters):
         img = _unfilter(img, filters)
     return img, dpi

@@ -595,3 +595,227 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, blobs = load_corpus(spark, _pipeline_corpus())
     return media_metadata(blobs).orderBy("media_ref")
+
+
+# ---------------------------------------------------------------------------
+# W6: ordered edge-trim via lead/lag (y-sorted noise trimming analogue)
+# ---------------------------------------------------------------------------
+@register(
+    "edge_trim",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_prev,
+             epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_ms(ts) AS gap_next
+      FROM events
+    )
+    SELECT user_id, event_id
+    FROM o
+    WHERE NOT ((rn = 1 AND gap_next > 3600000 AND value < 50)
+            OR (rn = n AND gap_prev > 3600000 AND value < 50))
+    """,
+)
+def q_edge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 (reference: cli/ocrd_anybaseocr_cropping.py:627-656): strip
+    first/last element of an ordered group when isolated (gap > threshold)
+    and small (area < limit) — lead/lag + row_number, one shuffle."""
+    _set_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    next_ms = F.unix_millis(F.lead("ts").over(w).cast("timestamp"))
+    o = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("gap_prev", ms - prev_ms)
+        .withColumn("gap_next", next_ms - ms)
+    )
+    trim = (
+        ((F.col("rn") == 1) & (F.col("gap_next") > 3_600_000) & (F.col("value") < 50))
+        | ((F.col("rn") == F.col("n")) & (F.col("gap_prev") > 3_600_000) & (F.col("value") < 50))
+    )
+    return o.filter(~trim).select("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# J3: exclusion against a per-group broadcast scalar (ruler-side analogue)
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_exclusion",
+    oracle="""
+    WITH top1 AS (
+      SELECT user_id, event_type AS top_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT e.user_id, e.event_id
+    FROM events e JOIN top1 t ON e.user_id = t.user_id
+    WHERE e.event_type <> t.top_type
+    """,
+)
+def q_scalar_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (reference: cli/ocrd_anybaseocr_cropping.py:545-564): drop
+    candidates on the ruler's side — exclusion against a per-group top-1
+    scalar, realized as a broadcast join of the tiny aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    top1 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    return (
+        ev.join(F.broadcast(top1), "user_id")
+        .filter(F.col("event_type") != F.col("top_type"))
+        .select("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: multi-label threshold + argmax fallback (classifier output shape)
+# ---------------------------------------------------------------------------
+@register(
+    "multilabel_threshold",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(' ' || text || ' ', ' (the|and|of|to) ')) AS BIGINT) AS s_en,
+             CAST(len(regexp_extract_all(' ' || text || ' ', ' (data|table|row) ')) AS BIGINT) AS s_db,
+             CAST(len(regexp_extract_all(' ' || text || ' ', ' (query|join|sort) ')) AS BIGINT) AS s_sql
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en < 3 AND s_db < 3 AND s_sql < 3 THEN
+             CASE WHEN s_en >= s_db AND s_en >= s_sql THEN 'en'
+                  WHEN s_db >= s_sql THEN 'db' ELSE 'sql' END
+           ELSE concat_ws(',',
+             CASE WHEN s_en >= 3 THEN 'en' END,
+             CASE WHEN s_db >= 3 THEN 'db' END,
+             CASE WHEN s_sql >= 3 THEN 'sql' END)
+           END AS labels
+    FROM h
+    """,
+)
+def q_multilabel_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (reference: cli/ocrd_anybaseocr_layout_analysis.py:114-133):
+    labels = scores >= threshold; empty → argmax singleton. Pure column
+    expressions over marker-hit scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    def hits(pat):
+        return F.expr(f"regexp_count(concat(' ', text, ' '), ' ({pat}) ')").cast("bigint")
+    h = docs.select(
+        "doc_id",
+        hits("the|and|of|to").alias("s_en"),
+        hits("data|table|row").alias("s_db"),
+        hits("query|join|sort").alias("s_sql"),
+    )
+    argmax = (
+        F.when((F.col("s_en") >= F.col("s_db")) & (F.col("s_en") >= F.col("s_sql")), "en")
+        .when(F.col("s_db") >= F.col("s_sql"), "db")
+        .otherwise("sql")
+    )
+    multi = F.concat_ws(
+        ",",
+        F.when(F.col("s_en") >= 3, "en"),
+        F.when(F.col("s_db") >= 3, "db"),
+        F.when(F.col("s_sql") >= 3, "sql"),
+    )
+    none_pass = (F.col("s_en") < 3) & (F.col("s_db") < 3) & (F.col("s_sql") < 3)
+    return h.select("doc_id", F.when(none_pass, argmax).otherwise(multi).alias("labels"))
+
+
+# ---------------------------------------------------------------------------
+# SO3: array union / distinct set ops per group
+# ---------------------------------------------------------------------------
+@register(
+    "array_set_union",
+    oracle="""
+    WITH halves AS (
+      SELECT user_id,
+             list_sort(list_distinct(list(event_type)
+               FILTER (WHERE event_id % 2 = 0))) AS types_even,
+             list_sort(list_distinct(list(event_type)
+               FILTER (WHERE event_id % 2 = 1))) AS types_odd
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list_cat(types_even, types_odd))), ',')
+             AS all_types,
+           CAST(len(list_distinct(list_cat(types_even, types_odd))) AS BIGINT) AS n_types
+    FROM halves
+    """,
+)
+def q_array_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3 (reference: cli/ocrd_anybaseocr_cropping.py:373,419): index-set
+    union during clustering — array_union/array_distinct column ops."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(F.array_distinct(F.collect_list(
+            F.when(F.col("event_id") % 2 == 0, F.col("event_type"))))).alias("types_even"),
+        F.array_sort(F.array_distinct(F.collect_list(
+            F.when(F.col("event_id") % 2 == 1, F.col("event_type"))))).alias("types_odd"),
+    )
+    u = F.array_sort(F.array_distinct(F.concat("types_even", "types_odd")))
+    return g.select(
+        "user_id",
+        F.array_join(u, ",").alias("all_types"),
+        F.size(u).cast("bigint").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W8: deterministic sample (seeded 4-page fixture analogue, hash-based)
+# ---------------------------------------------------------------------------
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#12') AS sort_key
+    FROM documents
+    ORDER BY sort_key
+    LIMIT 4
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (reference: tests/conftest.py:36-39, seed 12): deterministic
+    sample — engine-portable via md5 ordering instead of rand(seed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#12")).cast("binary"))
+    return docs.select("doc_id", key.alias("sort_key")).orderBy("sort_key").limit(4)
+
+
+# ---------------------------------------------------------------------------
+# Rollup: multi-level metrics aggregation (checkpoint metrics at scale)
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical metrics rollup — single pass, grouping-sets expansion."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total_cents",
+            "n_orders",
+        )
+    )

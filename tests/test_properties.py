@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the hard-part kernels
+(SURVEY.md §7): merge confluence, CC correctness vs brute force, codec
+round-trip, fold totality."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ocrd_anybaseocr_spark.kernels.components import component_stats
+from ocrd_anybaseocr_spark.kernels.crop import merge_x_overlaps
+from ocrd_anybaseocr_spark.kernels.fold import fold_document
+from ocrd_anybaseocr_spark.png import decode_gray, encode_gray
+
+boxes_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 80), st.integers(0, 80), st.integers(0, 40), st.integers(0, 40)
+    ).map(lambda t: [t[0], t[1], t[0] + t[2] + 1, t[1] + t[3] + 1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find_merge(boxes: np.ndarray) -> set[tuple]:
+    """Independent oracle for J2: connected components of the x-interval
+    overlap graph, merged bboxes (reference semantics:
+    cli/ocrd_anybaseocr_cropping.py:755-773)."""
+    n = len(boxes)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if boxes[i][0] <= boxes[j][2] and boxes[j][0] <= boxes[i][2]:
+                parent[find(i)] = find(j)
+    groups = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(boxes[i])
+    out = set()
+    for g in groups.values():
+        g = np.array(g)
+        out.add((int(g[:, 0].min()), int(g[:, 1].min()), int(g[:, 2].max()), int(g[:, 3].max())))
+    return out
+
+
+@given(boxes_strategy)
+@settings(max_examples=200, deadline=None)
+def test_merge_x_overlaps_confluent_with_union_find(boxes):
+    got = merge_x_overlaps(np.array(boxes))
+    want = _union_find_merge(np.array(boxes))
+    assert {tuple(int(v) for v in b) for b in got} == want
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=50, deadline=None)
+def test_cc_matches_bruteforce_flood(seed):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((20, 24)) < 0.35
+    stats = component_stats(mask)
+    # brute-force 4-connected flood fill
+    seen = np.zeros_like(mask, dtype=bool)
+    comps = []
+    for y in range(mask.shape[0]):
+        for x in range(mask.shape[1]):
+            if mask[y, x] and not seen[y, x]:
+                stack, px = [(y, x)], []
+                seen[y, x] = True
+                while stack:
+                    cy, cx = stack.pop()
+                    px.append((cy, cx))
+                    for ny, nx in ((cy-1, cx), (cy+1, cx), (cy, cx-1), (cy, cx+1)):
+                        if 0 <= ny < mask.shape[0] and 0 <= nx < mask.shape[1] \
+                                and mask[ny, nx] and not seen[ny, nx]:
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+                ys = [p[0] for p in px]
+                xs = [p[1] for p in px]
+                comps.append((min(xs), min(ys), max(xs), max(ys), len(px)))
+    got = {tuple(int(v) for v in r[:5]) for r in stats}
+    assert got == set(comps)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 64), st.integers(1, 64))
+@settings(max_examples=50, deadline=None)
+def test_png_roundtrip_random(seed, h, w):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out, _ = decode_gray(encode_gray(img))
+    assert np.array_equal(out, img)
+
+
+label_strategy = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["page", "chapter", "section", "title_page", "binding", "cover",
+             "endsheet", "paste_down", "illustration", "index", "contents"]
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(label_strategy)
+@settings(max_examples=200, deadline=None)
+def test_fold_total_and_links_every_label(labels_per_page):
+    """The fold must never raise (guarded log_divs[first]) and must emit one
+    link per (page, label) in order (reference emits one smLink per label,
+    cli/ocrd_anybaseocr_layout_analysis.py:215-218)."""
+    pages = [(f"p{i}", labels) for i, labels in enumerate(labels_per_page)]
+    divs, links = fold_document(pages)
+    assert len(links) == sum(len(l) for l in labels_per_page)
+    div_ids = {d[0] for d in divs}
+    assert all(l[0] in div_ids for l in links)
+    # parent ids reference existing divs or root
+    assert all(p == -1 or p in div_ids for _, _, p in divs)
+    # ids are dense and ordered
+    assert [d[0] for d in divs] == list(range(len(divs)))
