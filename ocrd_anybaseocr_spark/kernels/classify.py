@@ -23,7 +23,7 @@ from .components import component_stats
 _LIDX = {name: i for i, name in enumerate(LABELS)}
 
 
-def segment_regions(ink: np.ndarray, border: list[int], frame_t: int = 4,
+def segment_regions(ink, border: list[int], frame_t: int = 4,
                     stats=None):
     """tiseg: classify components inside the border interior.
 
@@ -87,9 +87,10 @@ def segment_regions(ink: np.ndarray, border: list[int], frame_t: int = 4,
     }
 
 
-def classify_page(ink: np.ndarray, border: list[int],
+def classify_page(ink, border: list[int],
                   params: ClassifyParams = DEFAULT_PARAMS.classify,
                   stats=None):
+    # ``ink`` may be a bare (h, w) shape when ``stats`` carries the CC runs
     """Score the 21 labels from region features; threshold + argmax fallback.
 
     Returns (scores: list[21 float], labels: list[str], seg: dict).

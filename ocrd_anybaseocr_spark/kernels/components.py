@@ -13,6 +13,38 @@ from __future__ import annotations
 import numpy as np
 
 
+def runs_from_image(img: np.ndarray, threshold: int, strip: int = 128):
+    """Threshold + run extraction fused per horizontal strip.
+
+    Equivalent to ``_find_runs(img <= threshold)`` but never materializes
+    the full boolean mask: each strip's mask+diff stays L2-resident, so the
+    kernel streams the uint8 image exactly once. Run extraction is row-local,
+    so strip boundaries cannot change the result.
+    """
+    h, w = img.shape
+    all_r, all_s, all_e = [], [], []
+    pad = np.zeros((min(strip, h), w + 2), dtype=np.int8)
+    for y0 in range(0, h, strip):
+        y1 = min(y0 + strip, h)
+        rows = y1 - y0
+        buf = pad[:rows]
+        np.less_equal(img[y0:y1], threshold, out=buf[:, 1:-1], casting="unsafe")
+        buf[:, 0] = 0
+        buf[:, -1] = 0
+        diff = np.diff(buf, axis=1)
+        rr, cc = np.nonzero(diff)
+        sign = diff[rr, cc]
+        up = sign == 1
+        all_r.append(rr[up] + y0)
+        all_s.append(cc[up])
+        all_e.append(cc[~up])
+    return (
+        np.concatenate(all_r) if all_r else np.zeros(0, dtype=np.int64),
+        np.concatenate(all_s) if all_s else np.zeros(0, dtype=np.int64),
+        np.concatenate(all_e) if all_e else np.zeros(0, dtype=np.int64),
+    )
+
+
 def _find_runs(mask: np.ndarray):
     """Per-row horizontal runs of True. Returns (row, x_start, x_end_excl) arrays.
 
@@ -57,17 +89,21 @@ class _UnionFind:
 
 
 def connected_components(mask: np.ndarray):
-    """Label 4-connected components of a boolean mask.
+    """Label 4-connected components of a boolean mask (see cc_from_runs)."""
+    return cc_from_runs(*_find_runs(mask), mask.shape[0])
+
+
+def cc_from_runs(rows: np.ndarray, starts: np.ndarray, ends: np.ndarray, h: int):
+    """Label 4-connected components from pre-extracted runs.
 
     Returns (labels array of shape (n_runs,), runs (row, x1, x2excl), n_components).
     Component ids are dense 0..n-1 in first-run order (deterministic).
     """
-    rows, starts, ends = _find_runs(mask)
     n = len(rows)
     uf = _UnionFind(n)
     # rows are sorted by construction of nonzero; group boundaries per row
-    row_start_idx = np.searchsorted(rows, np.arange(mask.shape[0] + 1))
-    for y in range(1, mask.shape[0]):
+    row_start_idx = np.searchsorted(rows, np.arange(h + 1))
+    for y in range(1, h):
         a0, a1 = row_start_idx[y - 1], row_start_idx[y]
         b0, b1 = row_start_idx[y], row_start_idx[y + 1]
         if a0 == a1 or b0 == b1:
@@ -87,7 +123,7 @@ def connected_components(mask: np.ndarray):
     return labels, (rows, starts, ends), int(ncomp)
 
 
-def labeled_runs(mask: np.ndarray):
+def labeled_runs(mask: np.ndarray = None, runs=None, h: int | None = None):
     """Full CC analysis: (stats, labels, (rows, starts, ends)).
 
     stats is the (n, 6) array of [x1, y1, x2, y2, pixel_count, _pad] per
@@ -95,8 +131,14 @@ def labeled_runs(mask: np.ndarray):
     its component. Downstream operators (border profiles, interior
     segmentation) work from the RUNS — sparse interval arithmetic instead of
     full-image mask passes, which keeps parallel workers off the memory bus.
+
+    Pass either a boolean ``mask``, or pre-extracted ``runs`` + image height
+    ``h`` (the runs_from_image fast path — no mask ever materialized).
     """
-    labels, (rows, starts, ends), n = connected_components(mask)
+    if runs is not None:
+        labels, (rows, starts, ends), n = cc_from_runs(*runs, h)
+    else:
+        labels, (rows, starts, ends), n = connected_components(mask)
     if n == 0:
         return np.zeros((0, 6), dtype=np.int64), labels, (rows, starts, ends)
     out = np.zeros((n, 6), dtype=np.int64)

@@ -34,15 +34,23 @@ def attenuate_pos(x: np.ndarray | float) -> np.ndarray | float:
     return 3.0 * x * np.exp(-3.0 * x)
 
 
-def detect_ruler(ink: np.ndarray, params: CropParams = DEFAULT_PARAMS.crop,
+def _shape_of(ink_or_shape) -> tuple[int, int]:
+    """Accept a boolean ink mask or a bare (h, w) tuple — the runs-based
+    pipeline never materializes a mask."""
+    if isinstance(ink_or_shape, tuple):
+        return ink_or_shape
+    return ink_or_shape.shape
+
+
+def detect_ruler(ink_or_shape, params: CropParams = DEFAULT_PARAMS.crop,
                  stats: np.ndarray | None = None):
     """Find the top-1 ruler candidate bbox [x1,y1,x2,y2] or None.
 
     ``stats`` lets callers reuse one component_stats pass per page (CC is the
     dominant per-page cost; ruler/border/classify all share it)."""
-    h, w = ink.shape
+    h, w = _shape_of(ink_or_shape)
     if stats is None:
-        stats = component_stats(ink)
+        stats = component_stats(ink_or_shape)
     if len(stats) == 0:
         return None
     x1, y1, x2, y2, npx = (stats[:, i] for i in range(5))
@@ -96,7 +104,7 @@ def _side_candidates(profile_rows, band_lo, band_hi, outer_is_min):
 
 
 def detect_border(
-    ink: np.ndarray,
+    ink_or_shape,
     ruler_bbox=None,
     params: CropParams = DEFAULT_PARAMS.crop,
     cc=None,
@@ -114,9 +122,9 @@ def detect_border(
     """
     from .components import labeled_runs
 
-    h, w = ink.shape
+    h, w = _shape_of(ink_or_shape)
     if cc is None:
-        cc = labeled_runs(ink)
+        cc = labeled_runs(ink_or_shape)
     stats, run_labels, (r_rows, r_starts, r_ends) = cc
 
     # frame-like components: large bbox, low fill (rectangle outline)
@@ -169,13 +177,10 @@ def detect_border(
     perfect = all(v is not None for v in (ty, by, lx, rx))
 
     if not perfect:
-        # textbox fallback (ref cropping.py:170-184): merged text bbox or edge
-        work = ink
-        if ruler_bbox is not None:
-            work = ink.copy()
-            rx1, ry1, rx2, ry2 = ruler_bbox
-            work[max(0, ry1 - 3) : ry2 + 4, max(0, rx1 - 3) : rx2 + 4] = False
-        tb = _textbox_bbox(work, params)
+        # textbox fallback (ref cropping.py:170-184): merged text bbox or
+        # edge — works from the component stats (ruler's component excluded,
+        # the run-based equivalent of masking its pixels)
+        tb = _textbox_bbox_from_stats(stats, (h, w), params, ruler_bbox)
         if ty is None:
             ty = tb[1] if tb is not None else 0
         if by is None:
@@ -225,9 +230,19 @@ def coalesce_columns(boxes: np.ndarray, col_sep: float) -> np.ndarray:
 
 
 def _textbox_bbox(work: np.ndarray, params: CropParams):
+    """Fallback from a pixel mask (test/compat path)."""
+    return _textbox_bbox_from_stats(component_stats(work), work.shape, params, None)
+
+
+def _textbox_bbox_from_stats(stats: np.ndarray, shape, params: CropParams, ruler_bbox):
     """Fallback: bbox of merged text boxes (P4 gates → J2 merge → W7 coalesce)."""
-    h, w = work.shape
-    stats = component_stats(work)
+    h, w = shape
+    if ruler_bbox is not None and len(stats):
+        keep = ~(
+            (stats[:, 0] == ruler_bbox[0]) & (stats[:, 1] == ruler_bbox[1])
+            & (stats[:, 2] == ruler_bbox[2]) & (stats[:, 3] == ruler_bbox[3])
+        )
+        stats = stats[keep]
     if len(stats) == 0:
         return None
     x1, y1, x2, y2, npx = (stats[:, i] for i in range(5))

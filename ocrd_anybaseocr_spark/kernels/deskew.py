@@ -20,6 +20,38 @@ def _grid(params: DeskewParams) -> np.ndarray:
     return np.linspace(-params.max_skew, params.max_skew, params.steps)
 
 
+def estimate_shear_from_runs(
+    rows: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    h: int,
+    w: int,
+    params: DeskewParams = DEFAULT_PARAMS.deskew,
+) -> float:
+    """Run-interval form of the shear search: a run [a, b) in row y
+    contributes +1 to proj[a - s(y)] and -1 to proj[b - s(y)] in a
+    difference array; one cumsum yields the exact pixel projection. Cost is
+    O(runs) per candidate instead of O(ink pixels) — runs are ~10x fewer.
+    Identical scores to the dense definition (runs partition the ink)."""
+    if len(rows) == 0:
+        return 0.0
+    best_score, best_shear = -1.0, 0.0
+    max_off = int(abs(np.round(params.max_skew * (h - 1)))) + 1
+    row_idx = np.arange(h, dtype=np.float64)
+    size = w + 2 * max_off + 1
+    for c in _grid(params):
+        row_shift = np.round(c * row_idx).astype(np.int64)
+        s = row_shift[rows]
+        diff = np.bincount(starts - s + max_off, minlength=size) - np.bincount(
+            ends - s + max_off, minlength=size
+        )
+        proj = np.cumsum(diff[:-1])
+        score = float(np.dot(proj, proj))
+        if score > best_score:
+            best_score, best_shear = score, float(c)
+    return best_shear
+
+
 def estimate_shear(ink: np.ndarray, params: DeskewParams = DEFAULT_PARAMS.deskew) -> float:
     """Estimate shear (dx per row index y) from a boolean ink mask.
 

@@ -1,0 +1,61 @@
+"""Image resize and crop-emit kernels (K7/K9, F4).
+
+- K7: the reference rescales pages to a ~300 DPI working resolution with
+  cv2.resize (reference: cli/ocrd_anybaseocr_cropping.py:148-151) and the
+  classifier input to 500x600 LANCZOS (reference:
+  cli/ocrd_anybaseocr_layout_analysis.py:97-99). Numpy equivalents: exact
+  box-average downscale for integer factors, bilinear for arbitrary
+  factors — deterministic, no external libs.
+- K9: crop to the detected border with background fill outside the border
+  polygon (reference: cli/ocrd_anybaseocr_cropping.py:199-200,
+  image_from_page(fill='background', transparency=True)), emitting the
+  derived image + accumulated feature string.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def resize_box(img: np.ndarray, factor: int) -> np.ndarray:
+    """Exact box-average downscale by an integer factor (K7 fast path)."""
+    h, w = img.shape
+    h2, w2 = h // factor, w // factor
+    v = img[: h2 * factor, : w2 * factor].reshape(h2, factor, w2, factor)
+    return (v.astype(np.uint32).sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize to an arbitrary shape (K7 general path; the
+    classifier's fixed 500x600 input shape)."""
+    h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def crop_to_border(
+    img: np.ndarray, border: list[int], padding: int = 0, fill: int = 235
+) -> np.ndarray:
+    """K9: crop to the border bbox shrunk inward by ``padding`` (the
+    reference's inward polygon buffer, cli/ocrd_anybaseocr_cropping.py:159);
+    pixels outside the page frame never enter the output, so background
+    fill is implicit for the rectangular border case."""
+    h, w = img.shape
+    x1 = max(0, border[0] + padding)
+    y1 = max(0, border[1] + padding)
+    x2 = min(w - 1, border[2] - padding)
+    y2 = min(h - 1, border[3] - padding)
+    if x2 <= x1 or y2 <= y1:
+        return np.full((1, 1), fill, dtype=np.uint8)
+    return np.ascontiguousarray(img[y1 : y2 + 1, x1 : x2 + 1])

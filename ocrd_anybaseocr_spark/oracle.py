@@ -11,9 +11,9 @@ from __future__ import annotations
 from .config import DEFAULT_PARAMS, PipelineParams
 from .kernels.binarize import otsu_threshold
 from .kernels.classify import classify_page
-from .kernels.components import labeled_runs
+from .kernels.components import labeled_runs, runs_from_image
 from .kernels.crop import detect_border, detect_ruler
-from .kernels.deskew import estimate_shear, unshear
+from .kernels.deskew import estimate_shear_from_runs, unshear
 from .kernels.fold import fold_document
 from .png import decode_gray
 
@@ -24,27 +24,32 @@ def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
     Returns a dict matching schema.PAGE_RESULTS minus doc/page identity.
     """
     img, _dpi = decode_gray(png_bytes)
+    h, w = img.shape
     if params.binarize.method == "sauvola":
         from .kernels.binarize import binarize_sauvola
+        from .kernels.components import _find_runs
 
-        def _ink(im):
-            return binarize_sauvola(im, params.binarize.sauvola_window, params.binarize.sauvola_k)
+        def _runs(im):
+            mask = binarize_sauvola(im, params.binarize.sauvola_window, params.binarize.sauvola_k)
+            return _find_runs(mask)
     else:
         t = otsu_threshold(img)
 
-        def _ink(im):
-            # unshear moves pixels, not values — the Otsu threshold is reused
-            return im <= t
+        def _runs(im):
+            # unshear moves pixels, not values — the Otsu threshold is reused;
+            # threshold + run extraction fused per strip (no full mask)
+            return runs_from_image(im, t)
 
-    ink = _ink(img)
-    shear = estimate_shear(ink, params.deskew)
+    runs = _runs(img)
+    shear = estimate_shear_from_runs(*runs, h, w, params.deskew)
     if shear != 0.0:
         img = unshear(img, shear)
-        ink = _ink(img)
-    cc = labeled_runs(ink)  # one CC pass shared by ruler/border/classify
-    ruler = detect_ruler(ink, params.crop, stats=cc[0])
-    border, perfect = detect_border(ink, ruler, params.crop, cc=cc)
-    scores, labels, seg = classify_page(ink, border, params.classify, stats=cc)
+        runs = _runs(img)
+    cc = labeled_runs(runs=runs, h=h)  # one CC pass shared by ruler/border/classify
+    shape = (h, w)
+    ruler = detect_ruler(shape, params.crop, stats=cc[0])
+    border, perfect = detect_border(shape, ruler, params.crop, cc=cc)
+    scores, labels, seg = classify_page(shape, border, params.classify, stats=cc)
     features = "binarized"
     if shear != 0.0:
         features += ",deskewed"

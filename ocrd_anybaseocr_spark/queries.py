@@ -819,3 +819,28 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A4: length-weighted average (merged-group weight analogue)
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(SUM(l_quantity * l_discount) / SUM(l_quantity), 6) AS wavg_disc,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (reference: cli/ocrd_anybaseocr_cropping.py:385-389): weighted
+    mean as sum(w*x)/sum(w) — partial-aggregable, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_quantity") * F.col("l_discount")) / F.sum("l_quantity"), 6
+        ).alias("wavg_disc"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )

@@ -1,0 +1,46 @@
+"""Derived-image emission (S4/K9) and feature filter/selector (P1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocrd_anybaseocr_spark.operators.derive import (
+    crop_images,
+    feature_filter,
+    feature_selector,
+)
+from ocrd_anybaseocr_spark.operators.extract import page_index
+from ocrd_anybaseocr_spark.png import decode_gray
+from ocrd_anybaseocr_spark.sources.tables import load_corpus
+
+
+def test_crop_images_emit(spark, corpus_dir):
+    docs, blobs = load_corpus(spark, corpus_dir)
+    pages = page_index(docs.limit(3)).join(blobs, "media_ref")
+    derived = crop_images(pages.select("doc_id", "media_ref", "image")).collect()
+    truth = {b.media_ref: b for b in blobs.collect()}
+    assert derived
+    for row in derived:
+        orig_ref = row.media_ref.removesuffix(".IMG-CROP")
+        assert orig_ref in truth
+        t = truth[orig_ref]
+        img, dpi = decode_gray(bytes(row.image))
+        assert img.shape == (row.height, row.width)
+        # cropped page is strictly smaller than the scan and roughly the
+        # truth border minus padding
+        bx1, by1, bx2, by2 = t.truth_border
+        assert row.width <= bx2 - bx1 + 1 and row.height <= by2 - by1 + 1
+        assert row.width >= (bx2 - bx1 + 1) - 10 and row.height >= (by2 - by1 + 1) - 10
+        assert "binarized" in row.features and "cropped" in row.features
+        assert dpi == t.dpi
+
+
+def test_feature_selector_and_filter(spark):
+    df = spark.createDataFrame(
+        [("a", "binarized,cropped"), ("b", "binarized,deskewed,cropped"), ("c", "grayscale_normalized")],
+        ["id", "features"],
+    )
+    sel = df.filter(feature_selector(F.col("features"), "binarized,cropped"))
+    assert {r.id for r in sel.collect()} == {"a", "b"}
+    flt = df.filter(feature_filter(F.col("features"), "deskewed"))
+    assert {r.id for r in flt.collect()} == {"a", "c"}
