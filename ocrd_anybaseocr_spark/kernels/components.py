@@ -94,33 +94,66 @@ def connected_components(mask: np.ndarray):
 
 
 def cc_from_runs(rows: np.ndarray, starts: np.ndarray, ends: np.ndarray, h: int):
-    """Label 4-connected components from pre-extracted runs.
+    """Label 4-connected components from pre-extracted runs — fully
+    vectorized.
 
-    Returns (labels array of shape (n_runs,), runs (row, x1, x2excl), n_components).
-    Component ids are dense 0..n-1 in first-run order (deterministic).
+    Adjacent-row overlap pairs come from two global searchsorted calls over
+    composite (row, coordinate) keys; the component labels are computed by
+    iterated min-label propagation with pointer jumping (converges in
+    O(log max-chain) rounds). Component ids are dense 0..n-1 in first-run
+    order (the component root is its minimum run index), identical to the
+    sequential union-find result.
+
+    Returns (labels (n_runs,), runs (row, x1, x2excl), n_components).
     """
     n = len(rows)
-    uf = _UnionFind(n)
-    # rows are sorted by construction of nonzero; group boundaries per row
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), (rows, starts, ends), 0
+    rows = np.asarray(rows, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
     row_start_idx = np.searchsorted(rows, np.arange(h + 1))
-    for y in range(1, h):
-        a0, a1 = row_start_idx[y - 1], row_start_idx[y]
-        b0, b1 = row_start_idx[y], row_start_idx[y + 1]
-        if a0 == a1 or b0 == b1:
-            continue
-        i, j = a0, b0
-        while i < a1 and j < b1:
-            # overlap test: [starts[i], ends[i]) vs [starts[j], ends[j])
-            if starts[i] < ends[j] and starts[j] < ends[i]:
-                uf.union(i, j)
-            if ends[i] < ends[j]:
-                i += 1
-            else:
-                j += 1
-    roots = np.array([uf.find(i) for i in range(n)], dtype=np.int64)
-    _, labels = np.unique(roots, return_inverse=True)
-    ncomp = labels.max() + 1 if n else 0
-    return labels, (rows, starts, ends), int(ncomp)
+
+    K = int(ends.max()) + 2
+    key_start = rows * K + starts
+    key_end = rows * K + ends  # sorted: runs are (row, start)-ordered and disjoint
+
+    cur = np.nonzero(rows > 0)[0]  # runs that can connect upward
+    if len(cur):
+        # first prev-row run with end > start_j …
+        lo = np.searchsorted(key_end, (rows[cur] - 1) * K + starts[cur], side="right")
+        # … up to first prev-row run with start >= end_j
+        hi = np.searchsorted(key_start, (rows[cur] - 1) * K + ends[cur], side="left")
+        blk_lo = row_start_idx[rows[cur] - 1]
+        blk_hi = row_start_idx[rows[cur]]
+        lo = np.maximum(lo, blk_lo)
+        hi = np.minimum(hi, blk_hi)
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+    else:
+        total = 0
+
+    labels = np.arange(n, dtype=np.int64)
+    if total:
+        offs = np.cumsum(counts) - counts
+        pair_i = np.repeat(lo, counts) + (np.arange(total) - np.repeat(offs, counts))
+        pair_j = np.repeat(cur, counts)
+        while True:
+            m = np.minimum(labels[pair_i], labels[pair_j])
+            before = labels.copy()
+            np.minimum.at(labels, pair_i, m)
+            np.minimum.at(labels, pair_j, m)
+            labels = np.minimum(labels, labels[labels])  # pointer jumping
+            if np.array_equal(labels, before):
+                break
+        # full path compression to the fixpoint
+        while True:
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+    _, dense = np.unique(labels, return_inverse=True)
+    return dense.astype(np.int64), (rows, starts, ends), int(dense.max()) + 1
 
 
 def labeled_runs(mask: np.ndarray = None, runs=None, h: int | None = None):

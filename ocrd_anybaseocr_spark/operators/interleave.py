@@ -24,17 +24,21 @@ HEAD_EVERY = 7  # chunks with i % 7 == 3 are headings
 def interleaved_documents(flat_docs: DataFrame) -> DataFrame:
     """documents(doc_id: long, text: string) →
     (doc_id: long, spans: array<struct<kind,text,media_ref,offset>>),
-    spans stored in deterministic-shuffled order."""
-    words = F.split(F.col("text"), " ")
-    nchunks = F.greatest(F.ceil(F.size(words) / float(CHUNK)).cast("int"), F.lit(1))
+    spans stored in deterministic-shuffled order.
+
+    ``words`` is materialized as its own column first: referencing
+    ``split(text)`` inside the per-element lambda would re-split the whole
+    document for every chunk — O(words^2) per row.
+    """
     spans = F.expr(
         f"""
-        transform(sequence(0, {_n_expr()} - 1), i -> struct(
+        transform(sequence(0, greatest(cast(ceil(size(_words) / {float(CHUNK)}) as int), 1) - 1),
+          i -> struct(
           CASE WHEN i % {PAGE_EVERY} = 0 THEN 'page_image'
                WHEN i % {HEAD_EVERY} = 3 THEN 'heading'
                ELSE 'text' END as kind,
           CASE WHEN i % {PAGE_EVERY} <> 0
-               THEN array_join(slice(split(text, ' '), i * {CHUNK} + 1, {CHUNK}), ' ')
+               THEN array_join(slice(_words, i * {CHUNK} + 1, {CHUNK}), ' ')
                END as text,
           CASE WHEN i % {PAGE_EVERY} = 0
                THEN concat(cast(doc_id as string), '_p',
@@ -50,11 +54,8 @@ def interleaved_documents(flat_docs: DataFrame) -> DataFrame:
     )
     return (
         flat_docs.select("doc_id", "text")
+        .withColumn("_words", F.split(F.col("text"), " "))
         .withColumn("_spans", spans)
         .withColumn("spans", shuffled)
         .select("doc_id", "spans")
     )
-
-
-def _n_expr() -> str:
-    return f"greatest(cast(ceil(size(split(text, ' ')) / {float(CHUNK)}) as int), 1)"

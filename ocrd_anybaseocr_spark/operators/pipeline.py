@@ -135,13 +135,12 @@ def run_pipeline(
             }
         except Exception:
             done = set()
+    if len(done) >= N_BUCKETS:
+        return {"docs": 0, "pages": 0, "resumed_buckets": sorted(done), "elapsed_s": 0.0}
     if done:
         documents = documents.filter(~F.col("part_bucket").isin(*done))
 
     t0 = time.monotonic()
-    n_docs = documents.count()
-    if n_docs == 0:
-        return {"docs": 0, "pages": 0, "resumed_buckets": sorted(done), "elapsed_s": 0.0}
 
     extracted = extract_spans(documents.select("doc_id", "spans"))
     page_results = build_page_results(documents, blobs, n_parts)
@@ -198,7 +197,7 @@ def run_pipeline(
         spark.createDataFrame(new_rows, S.CHECKPOINT).write.mode("append").parquet(ckpt_path)
     pages = sum(r.row_count for r in new_rows)
     return {
-        "docs": n_docs,
+        "docs": sum(r.doc_count for r in new_rows),
         "pages": pages,
         "resumed_buckets": sorted(done),
         "elapsed_s": elapsed_ms / 1000.0,
