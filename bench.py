@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1200"))
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "4800"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "9600"))
 _ROOT = os.path.dirname(os.path.abspath(__file__))
 
 

@@ -173,3 +173,47 @@ ORACLE_EMB_STATS = """
                     AS BIGINT)) AS BIGINT) AS sum_norm_e4
     FROM embeddings GROUP BY label
 """
+
+
+NEAR_DUP_DOT_E8 = 35_000_000  # ~cosine 0.35 on unit-ish vectors, in 1e8-scaled integer space
+
+_DOT_E8 = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " cast(floor(cast(x as double) * 10000 + 0.5) as bigint)"
+    " * cast(floor(cast(y as double) * 10000 + 0.5) as bigint)),"
+    " 0L, (acc, v) -> acc + v)"
+)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection, LSH-bucketed: candidate pairs share a
+    sign-LSH bucket (equi-join, never a cross join); survivors pass a
+    similarity threshold computed as an EXACT 1e4-scaled integer dot
+    product — order-independent and bit-identical across engines (float
+    dot products differ in the last ulps between engines)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_bucket_expr_spark())
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot_e8", F.expr(_DOT_E8.format(a="e_a", b="e_b")))
+        .filter(F.col("dot_e8") >= NEAR_DUP_DOT_E8)
+        .select("vec_a", "vec_b", "dot_e8")
+    )
+
+
+ORACLE_DEDUP_EMB = f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 10000 + 0.5)) AS se,
+             {_BUCKET_DUCK} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_dot_product(a.se, b.se) AS BIGINT) AS dot_e8
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.se, b.se) >= {NEAR_DUP_DOT_E8}
+"""

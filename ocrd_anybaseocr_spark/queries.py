@@ -844,3 +844,5 @@ def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_disc"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
     )
+
+register("dedup_embedding_cosine", _sim.ORACLE_DEDUP_EMB)(_sim.q_dedup_embedding_cosine)
