@@ -2,10 +2,11 @@
 
 Replaces the reference's ``cv2.findContours`` usage
 (reference: cli/ocrd_anybaseocr_cropping.py:209,694-695) for region/ruler
-detection. Run-based two-pass algorithm: vectorized horizontal run
-extraction per row, then union-find over runs of adjacent rows whose column
-ranges overlap (8-connectivity in the horizontal sense via +-1 dilation is
-not needed — 4-connectivity matches our synthetic geometry).
+detection. Run-based, fully vectorized: strip-fused horizontal run
+extraction, adjacent-row overlap pairs via searchsorted, component labels
+by min-label propagation with pointer jumping (8-connectivity in the
+horizontal sense via +-1 dilation is not needed — 4-connectivity matches
+our synthetic geometry).
 """
 
 from __future__ import annotations
@@ -62,30 +63,6 @@ def _find_runs(mask: np.ndarray):
     ec = cc[~up]
     # starts and ends align row-wise by construction (same count per row)
     return sr, sc, ec
-
-
-class _UnionFind:
-    __slots__ = ("parent",)
-
-    def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
-
-    def find(self, x: int) -> int:
-        p = self.parent
-        root = x
-        while p[root] != root:
-            root = p[root]
-        while p[x] != root:
-            p[x], x = root, p[x]
-        return root
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            if ra < rb:
-                self.parent[rb] = ra
-            else:
-                self.parent[ra] = rb
 
 
 def connected_components(mask: np.ndarray):

@@ -846,3 +846,31 @@ def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 register("dedup_embedding_cosine", _sim.ORACLE_DEDUP_EMB)(_sim.q_dedup_embedding_cosine)
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated quantiles (latency-metrics shape for checkpoint tables)
+# ---------------------------------------------------------------------------
+@register(
+    "value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group — the metrics-table
+    rollup shape (p50/p95/p99 latency) a checkpointed 100 TB run reports.
+    Spark `percentile` == DuckDB `quantile_cont` (same interpolation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -18,10 +18,15 @@ from .. import schema as S
 
 
 def spark_session(cores: int | str = "*", app: str = "ocrd_anybaseocr_spark",
-                  shuffle_partitions: int = 32, arrow_batch: int = 32) -> SparkSession:
-    """Session tuned for heavy image rows: AQE on (skew-join + coalesce),
-    small Arrow batches so a batch of decoded pages fits executor memory
-    (SURVEY.md §4.3)."""
+                  shuffle_partitions: int = 32, arrow_batch: int = 256) -> SparkSession:
+    """Session tuned for heavy image rows: AQE on (skew-join + coalesce).
+
+    Arrow batch size trades Python/JVM round-trips against executor memory:
+    a batch holds ENCODED page bytes (~35 KB each here → ~9 MB at 256) and
+    pages decode one at a time inside the UDF, so the decoded footprint
+    stays one page. Raising 32→256 measured +30-40%% stage throughput at 32
+    cores. For corpora with much larger scans, size by byte budget
+    (SURVEY.md §4.3), not row count."""
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
