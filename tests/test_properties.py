@@ -123,3 +123,23 @@ def test_fold_total_and_links_every_label(labels_per_page):
     assert all(p == -1 or p in div_ids for _, _, p in divs)
     # ids are dense and ordered
     assert [d[0] for d in divs] == list(range(len(divs)))
+
+
+def test_cc_spiral_long_chain():
+    """Deep-chain stress for the pointer-jumping CC: a spiral is one
+    component whose run graph is a single long path."""
+    n = 61
+    m = np.zeros((n, n), dtype=bool)
+    x1 = y1 = 0
+    x2 = y2 = n - 1
+    while x1 <= x2 and y1 <= y2:
+        m[y1, x1:x2 + 1] = True
+        m[y2, x1:x2 + 1] = True
+        m[y1:y2 + 1, x1] = True
+        m[y1:y2 + 1, x2] = True
+        x1 += 4; y1 += 4; x2 -= 4; y2 -= 4
+        if y1 <= y2:
+            m[y1 - 4:y1 + 1, x1] = True  # connect rings into one spiral arm
+    stats = component_stats(m)
+    assert len(stats) == 1
+    assert stats[0][4] == int(m.sum())
