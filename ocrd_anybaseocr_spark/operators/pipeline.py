@@ -146,13 +146,31 @@ def run_pipeline(
     page_results = build_page_results(documents, blobs, n_parts)
 
     bucket = F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)).cast("int")
+
     # repartition on the bucket before a partitionBy write: each task owns
     # whole buckets → one file per bucket instead of tasks×buckets small
     # files (and a cheap commit). N_BUCKETS scales with corpus size.
-    (extracted.withColumn("part_bucket", bucket)
-        .repartition(N_BUCKETS, "part_bucket")
-        .write.mode("overwrite").partitionBy("part_bucket")
-        .parquet(os.path.join(out_dir, "extracted_spans")))
+    def _write_extracted():
+        (extracted.withColumn("part_bucket", bucket)
+            .repartition(N_BUCKETS, "part_bucket")
+            .write.mode("overwrite").partitionBy("part_bucket")
+            .parquet(os.path.join(out_dir, "extracted_spans")))
+
+    # the span write is independent of the image stage — submit it
+    # concurrently so its scan/shuffle fills scheduler gaps (Spark's
+    # scheduler interleaves jobs from separate threads)
+    import threading
+
+    ext_err: list[BaseException] = []
+
+    def _ext_target():
+        try:
+            _write_extracted()
+        except BaseException as e:  # noqa: BLE001 — re-raised on the caller
+            ext_err.append(e)
+
+    ext_thread = threading.Thread(target=_ext_target, daemon=True)
+    ext_thread.start()
     pr_out = (
         page_results.withColumn("part_bucket", bucket)
         .repartition(N_BUCKETS, "part_bucket")
@@ -160,6 +178,9 @@ def run_pipeline(
     pr_out.write.mode("overwrite").partitionBy("part_bucket").parquet(
         os.path.join(out_dir, "page_results")
     )
+    ext_thread.join()
+    if ext_err:
+        raise ext_err[0]
     # fold from the COMMITTED page_results — the image stage runs exactly once
     # (recomputing the lineage through mapInPandas would double decode work)
     written_pr = spark.read.parquet(os.path.join(out_dir, "page_results"))
