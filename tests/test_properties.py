@@ -143,3 +143,20 @@ def test_cc_spiral_long_chain():
     stats = component_stats(m)
     assert len(stats) == 1
     assert stats[0][4] == int(m.sum())
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 300), st.integers(1, 50),
+       st.sampled_from([1, 2, 7, 128]))
+@settings(max_examples=60, deadline=None)
+def test_runs_from_image_equals_mask_path(seed, h, w, strip):
+    """Strip-fused threshold+runs must be identical to the mask-based path
+    for every strip size, including strips that split components."""
+    from ocrd_anybaseocr_spark.kernels.components import _find_runs, runs_from_image
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    t = 128
+    want = _find_runs(img <= t)
+    got = runs_from_image(img, t, strip=strip)
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
