@@ -567,7 +567,10 @@ def q_pipeline_doc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, blobs = load_corpus(spark, _pipeline_corpus())
     st = fold_structure(build_page_results(docs, blobs, n_parts=8))
     return st.select("doc_id", F.explode("divs").alias("d")).select(
-        "doc_id", F.col("d.log_id").alias("log_id"), F.col("d.label").alias("label"),
+        "doc_id", F.col("d.log_id").alias("log_id"),
+        # F6: the reference's mets:div id format (layout_analysis.py:206)
+        F.format_string("LOG_%04d", F.col("d.log_id")).alias("log_ref"),
+        F.col("d.label").alias("label"),
         F.col("d.parent_id").alias("parent_id"),
     ).orderBy("doc_id", "log_id")
 
