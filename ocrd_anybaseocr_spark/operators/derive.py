@@ -48,8 +48,22 @@ def feature_selector(features: Column, required: str) -> Column:
 
 
 def feature_filter(features: Column, excluded: str) -> Column:
-    """P1 filter: none of the comma-items of ``excluded`` may be present."""
-    return ~feature_selector(features, excluded) if excluded.strip() else F.lit(True)
+    """P1 filter: reject a row whose feature string contains ANY comma-item
+    of ``excluded`` (OCR-D ``image_from_page`` feature_filter semantics —
+    the reference passes 'cropped,binarized,grayscale_normalized' at
+    cli/ocrd_anybaseocr_cropping.py:118-120 and an image carrying any one of
+    those is excluded, not only one carrying all of them)."""
+    conds = [
+        F.array_contains(F.split(features, ","), feat.strip())
+        for feat in excluded.split(",")
+        if feat.strip()
+    ]
+    if not conds:
+        return F.lit(True)
+    any_present = conds[0]
+    for c in conds[1:]:
+        any_present = any_present | c
+    return ~any_present
 
 
 def crop_images(pages_with_blobs: DataFrame, params=DEFAULT_PARAMS) -> DataFrame:

@@ -17,19 +17,38 @@ from pyspark.sql import DataFrame
 from .. import schema as S
 
 
-N_FOLD_BUCKETS = 64
+N_FOLD_BUCKETS_MIN = 64
+# Bounds the pandas frame a single applyInPandas group materializes: with
+# n_fold_buckets >= ceil(rows / TARGET), one group holds <= TARGET page rows
+# (~a few MB at this schema) regardless of corpus size.
+TARGET_ROWS_PER_FOLD_BUCKET = 20_000
 
 
-def fold_structure(page_results: DataFrame) -> DataFrame:
+def derive_fold_buckets(n_rows: int | None, parallelism: int) -> int:
+    """Fan-out for the fold stage: scales with BOTH data volume (per-group
+    memory bound, see TARGET_ROWS_PER_FOLD_BUCKET) and cluster width (keep
+    every core busy). The old fixed 64 meant one group = 1/64 of all page
+    rows — unbounded at scale."""
+    by_rows = 0 if n_rows is None else -(-n_rows // TARGET_ROWS_PER_FOLD_BUCKET)
+    return int(max(N_FOLD_BUCKETS_MIN, 4 * parallelism, by_rows))
+
+
+def fold_structure(page_results: DataFrame, n_fold_buckets: int | None = None) -> DataFrame:
     """page_results(doc_id, media_ref, page_no, labels, ...) → DOC_STRUCTURE.
 
     Grouped by a doc_id HASH BUCKET, not by doc_id: one applyInPandas call
     folds ~hundreds of documents (pandas groupby inside), so the per-group
     Python/Arrow overhead is amortized — at 10^12 docs a per-document UDF
-    call would dominate the stage. Results are identical: each document is
-    still folded alone, in explicit (doc_id, page_no) order.
+    call would dominate the stage. Results are identical for ANY bucket
+    count: each document is still folded alone, in explicit (doc_id,
+    page_no) order (parallelism-invariance is pytest-asserted).
     """
     from pyspark.sql import functions as F
+
+    if n_fold_buckets is None:
+        n_fold_buckets = derive_fold_buckets(
+            None, page_results.sparkSession.sparkContext.defaultParallelism
+        )
 
     def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.fold import fold_document
@@ -52,7 +71,7 @@ def fold_structure(page_results: DataFrame) -> DataFrame:
 
     return (
         page_results.select("doc_id", "media_ref", "page_no", "labels")
-        .withColumn("_fold_bucket", F.pmod(F.hash("doc_id"), F.lit(N_FOLD_BUCKETS)))
+        .withColumn("_fold_bucket", F.pmod(F.hash("doc_id"), F.lit(n_fold_buckets)))
         .groupBy("_fold_bucket")
         .applyInPandas(fold_bucket, schema=S.DOC_STRUCTURE)
     )

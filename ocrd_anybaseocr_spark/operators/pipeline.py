@@ -38,7 +38,18 @@ from pyspark.sql import types as T  # noqa: E402
 
 _STAGE_SCHEMA = S.PAGE_RESULTS.add("proc_ms", T.LongType())
 
-N_BUCKETS = 16  # output partition buckets (lineage/checkpoint granularity)
+N_BUCKETS_MIN = 16  # floor for output partition buckets
+N_BUCKETS_MAX = 4096  # cap: at 100 TB this is ~25 GB of output per commit unit
+DOCS_PER_BUCKET = 5_000  # checkpoint/commit granularity target
+
+
+def derive_buckets(n_docs: int) -> int:
+    """Output-bucket count (lineage/checkpoint granularity) derived from the
+    corpus size instead of a constant: small corpora keep 16 buckets (cheap
+    commits, tests unchanged), large corpora get ~one bucket per 5k docs so
+    a resume never re-runs more than that, capped at 4096 so the checkpoint
+    table and partition listing stay trivial."""
+    return int(min(N_BUCKETS_MAX, max(N_BUCKETS_MIN, -(-n_docs // DOCS_PER_BUCKET))))
 
 
 def process_pages(pages_with_blobs: DataFrame, params=DEFAULT_PARAMS) -> DataFrame:
@@ -110,24 +121,35 @@ def run_pipeline(
     out_dir: str,
     n_parts: int = 32,
     resume: bool = True,
+    n_buckets: int | None = None,
 ) -> dict:
     """End-to-end run with checkpointed, idempotent resume.
 
     Outputs under out_dir: extracted_spans/, page_results/, doc_structure/
     (parquet partitioned by part_bucket) + checkpoints/ (one row per bucket).
-    Returns summary metrics.
+    Returns summary metrics. ``n_buckets`` defaults to derive_buckets(corpus
+    doc count) — deterministic for a given corpus, so resume runs recompute
+    the same bucket ids.
     """
     from ..sources.tables import load_corpus
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     documents, blobs = load_corpus(spark, corpus_dir)
+    if n_buckets is None:
+        # one narrow-column count job; at scale this is footer metadata work,
+        # negligible next to the image stage
+        n_buckets = derive_buckets(documents.count())
     documents = documents.withColumn(
-        "part_bucket", F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)).cast("int")
+        "part_bucket", F.pmod(F.hash("doc_id"), F.lit(n_buckets)).cast("int")
     )
 
     ckpt_path = os.path.join(out_dir, "checkpoints")
     done: set[int] = set()
-    if resume and os.path.isdir(ckpt_path):
+    if resume:
+        # probe through spark.read, NOT os.path — out_dir may be HDFS/S3/
+        # anything the session's Hadoop FS resolves (jobs/extract_job.py
+        # advertises cluster use); a driver-local isdir() would silently
+        # defeat resume there. Missing path → AnalysisException → fresh run.
         try:
             done = {
                 r.partition_id
@@ -135,7 +157,7 @@ def run_pipeline(
             }
         except Exception:
             done = set()
-    if len(done) >= N_BUCKETS:
+    if len(done) >= n_buckets:
         return {"docs": 0, "pages": 0, "resumed_buckets": sorted(done), "elapsed_s": 0.0}
     if done:
         documents = documents.filter(~F.col("part_bucket").isin(*done))
@@ -145,14 +167,15 @@ def run_pipeline(
     extracted = extract_spans(documents.select("doc_id", "spans"))
     page_results = build_page_results(documents, blobs, n_parts)
 
-    bucket = F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)).cast("int")
+    bucket = F.pmod(F.hash("doc_id"), F.lit(n_buckets)).cast("int")
 
     # repartition on the bucket before a partitionBy write: each task owns
     # whole buckets → one file per bucket instead of tasks×buckets small
-    # files (and a cheap commit). N_BUCKETS scales with corpus size.
+    # files (and a cheap commit). n_buckets scales with corpus size
+    # (derive_buckets above).
     def _write_extracted():
         (extracted.withColumn("part_bucket", bucket)
-            .repartition(N_BUCKETS, "part_bucket")
+            .repartition(n_buckets, "part_bucket")
             .write.mode("overwrite").partitionBy("part_bucket")
             .parquet(os.path.join(out_dir, "extracted_spans")))
 
@@ -173,7 +196,7 @@ def run_pipeline(
     ext_thread.start()
     pr_out = (
         page_results.withColumn("part_bucket", bucket)
-        .repartition(N_BUCKETS, "part_bucket")
+        .repartition(n_buckets, "part_bucket")
     )
     pr_out.write.mode("overwrite").partitionBy("part_bucket").parquet(
         os.path.join(out_dir, "page_results")
@@ -186,9 +209,16 @@ def run_pipeline(
     written_pr = spark.read.parquet(os.path.join(out_dir, "page_results"))
     if done:
         written_pr = written_pr.filter(~F.col("part_bucket").isin(*done))
-    structure = fold_structure(written_pr)
+    # fold fan-out scales with data: the committed page_results count bounds
+    # rows-per-group (partition pruning keeps this count cheap on resume)
+    from .fold import derive_fold_buckets
+
+    n_fold = derive_fold_buckets(
+        written_pr.count(), spark.sparkContext.defaultParallelism
+    )
+    structure = fold_structure(written_pr, n_fold_buckets=n_fold)
     (structure.withColumn("part_bucket", bucket)
-        .repartition(N_BUCKETS, "part_bucket")
+        .repartition(n_buckets, "part_bucket")
         .write.mode("overwrite").partitionBy("part_bucket")
         .parquet(os.path.join(out_dir, "doc_structure")))
     elapsed_ms = int((time.monotonic() - t0) * 1000)

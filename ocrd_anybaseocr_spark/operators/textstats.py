@@ -35,7 +35,6 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = d.withColumn(f"hits_{lang}", F.expr(_hits_expr(_MARKERS[lang])).cast("bigint"))
     # argmax via greatest + first-match case (deterministic tie order)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_ORDER])
-    pred = F.when(F.lit(False), F.lit(""))
     pred = None
     for lang in _LANG_ORDER:
         cond = F.col(f"hits_{lang}") == best

@@ -44,3 +44,23 @@ def test_feature_selector_and_filter(spark):
     assert {r.id for r in sel.collect()} == {"a", "b"}
     flt = df.filter(feature_filter(F.col("features"), "deskewed"))
     assert {r.id for r in flt.collect()} == {"a", "c"}
+
+
+def test_feature_filter_any_semantics(spark):
+    """OCR-D feature_filter excludes a row containing ANY listed feature
+    (reference cli/ocrd_anybaseocr_cropping.py:118-120 with
+    'cropped,binarized,grayscale_normalized'): a row carrying just one of
+    the filtered features must be rejected, not only one carrying all."""
+    df = spark.createDataFrame(
+        [
+            ("only_cropped", "cropped"),
+            ("both", "cropped,binarized"),
+            ("clean", "deskewed"),
+            ("none", ""),
+        ],
+        ["id", "features"],
+    )
+    flt = df.filter(feature_filter(F.col("features"), "cropped,binarized,grayscale_normalized"))
+    assert {r.id for r in flt.collect()} == {"clean", "none"}
+    # empty exclusion list filters nothing
+    assert df.filter(feature_filter(F.col("features"), " ")).count() == 4

@@ -94,6 +94,25 @@ def test_resume_skips_completed_and_no_duplicates(spark, corpus_dir, pipeline_ou
     assert ext.count() == ext.select("doc_id").distinct().count()
 
 
+def test_bucket_count_invariance(spark, corpus_dir, pipeline_out, tmp_path_factory):
+    """n_buckets is commit granularity only: running at a different bucket
+    count yields identical data (modulo the part_bucket partition column)."""
+    out4 = str(tmp_path_factory.mktemp("buckets4"))
+    run_pipeline(spark, corpus_dir, out4, n_parts=8, resume=False, n_buckets=4)
+    keys = {
+        "extracted_spans": ["doc_id"],
+        "page_results": ["doc_id", "media_ref"],
+        "doc_structure": ["doc_id"],
+    }
+    for table, key in keys.items():
+        def rows(root):
+            # part_bucket depends on n_buckets by design; proc_ms is wall time
+            df = spark.read.parquet(os.path.join(root, table)).drop("part_bucket", "proc_ms")
+            return df.select(*sorted(df.columns)).orderBy(*key).collect()
+
+        assert rows(pipeline_out) == rows(out4), table
+
+
 def test_partial_checkpoint_resume(spark, corpus_dir, tmp_path_factory):
     # simulate a mid-corpus failure: keep only some checkpoint rows, rerun,
     # assert full output with no duplicate doc_id (FIXTURES.md §3.4)
