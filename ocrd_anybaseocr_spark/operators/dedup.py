@@ -6,19 +6,32 @@ hashes are md5 hex strings (identical in Spark and DuckDB), integers exact.
 Scale notes (100 TB):
 - exact dedup: one shuffle on content hash with map-side partial agg;
 - MinHash: narrow shingle explode → partial min-agg per (doc, seed) →
-  band self-join on band key (shuffle joins on high-entropy hashes, no skew);
-- SimHash: narrow explode → 16 conditional sums per doc (single agg);
-- Jaccard verification joins only LSH candidate pairs, never all pairs.
+  band self-join on band key (shuffle joins on high-entropy hashes, no
+  skew from the hash itself); 16 hashes banded 4x4 puts the LSH
+  similarity threshold at ~(1/4)^(1/4) ≈ 0.71 — the near-dup operating
+  point. Band groups larger than BAND_CAP (mass-duplication clusters,
+  which exact dedup already catches) are dropped before the pair join so
+  no band key ever goes quadratic;
+- SimHash: narrow explode → 32 conditional sums per doc (single agg);
+- Jaccard verification: the pair join is on shingle equality within a
+  source, with shingles whose per-source document frequency exceeds
+  MAX_SHINGLE_DF removed first — a stop-shingle shared by 1% of docs
+  would otherwise yield ~10^16 join rows at 10^9 docs. Sizes are computed
+  over the same filtered shingle universe, so the reported Jaccard is the
+  similarity of the docs' *distinctive* shingle sets.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
 
-N_MINHASH = 8
-N_BANDS = 4  # rows-per-band = 2
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4  # N_BANDS * ROWS_PER_BAND == N_MINHASH
+BAND_CAP = 100  # band groups above this are degenerate mass-dup clusters
+MAX_SHINGLE_DF = 32  # per-source document-frequency cap for the Jaccard join
 
 # ---------------------------------------------------------------------------
 # shared shingle/word fragments
@@ -52,7 +65,7 @@ def shingles(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, h0..h7): per-seed min over md5(shingle || '#' || seed).
+    """(doc_id, h0..h15): per-seed min over md5(shingle || '#' || seed).
 
     min over hex strings is total-order deterministic and identical across
     engines — the MinHash estimator over the md5 hash family.
@@ -65,16 +78,31 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature (2 rows/band), bucket-join on band key, emit
-    candidate pairs (doc_a < doc_b) with the number of colliding bands."""
+def lsh_pairs(sig: DataFrame, band_cap: int = BAND_CAP) -> DataFrame:
+    """Band the signature (ROWS_PER_BAND rows/band), drop band groups over
+    ``band_cap``, bucket-join on band key, emit candidate pairs
+    (doc_a < doc_b) with the number of colliding bands.
+
+    The cap is a windowed count over the SAME key the join shuffles on (no
+    extra shuffle under AQE); band keys are high-entropy md5 so the count
+    relation is corpus-sized and must NOT be broadcast."""
     bands = F.array(
         *[
-            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).cast("binary"))
+            F.md5(
+                F.concat(
+                    *[F.col(f"h{ROWS_PER_BAND * b + k}") for k in range(ROWS_PER_BAND)]
+                ).cast("binary")
+            )
             for b in range(N_BANDS)
         ]
     )
     banded = sig.select("doc_id", F.posexplode(bands).alias("band_no", "band_key"))
+    w = Window.partitionBy("band_no", "band_key")
+    banded = (
+        banded.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= band_cap)
+        .drop("_n")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -95,6 +123,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs(minhash_signatures(docs))
 
 
+def _band_key_duck(b: int) -> str:
+    return "md5(" + " || ".join(f"h{ROWS_PER_BAND * b + k}" for k in range(ROWS_PER_BAND)) + ")"
+
+
 ORACLE_MINHASH = f"""
     WITH sh AS ({_SHINGLES_DUCK}),
     sig AS (
@@ -102,11 +134,16 @@ ORACLE_MINHASH = f"""
              {', '.join(f"MIN(md5(shingle || '#{j}')) AS h{j}" for j in range(N_MINHASH))}
       FROM sh GROUP BY doc_id
     ),
-    banded AS (
+    banded0 AS (
       {' UNION ALL '.join(
-        f"SELECT doc_id, {b} AS band_no, md5(h{2*b} || h{2*b+1}) AS band_key FROM sig"
+        f"SELECT doc_id, {b} AS band_no, {_band_key_duck(b)} AS band_key FROM sig"
         for b in range(N_BANDS)
       )}
+    ),
+    banded AS (
+      SELECT doc_id, band_no, band_key FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_key) AS n FROM banded0
+      ) WHERE n <= {BAND_CAP}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
     FROM banded a JOIN banded b
@@ -115,34 +152,40 @@ ORACLE_MINHASH = f"""
 """
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit, md5-derived word hashes — portable nibble arithmetic)
+# SimHash (32-bit, md5-derived word hashes — portable hex-nibble arithmetic;
+# 16 bits was collision-heavy for trillion-doc corpora)
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 32
 _HEX = "0123456789abcdef"
 
 
-def _hex4_to_int_spark(col_expr: str) -> str:
-    """First 4 hex chars of an md5 → int, via strpos arithmetic (portable)."""
+def _hexn_to_int_spark(col_expr: str, n_hex: int) -> str:
+    """First ``n_hex`` hex chars of an md5 → bigint, via strpos arithmetic
+    (portable across engines; explicit bigint cast so 16^7 factors can't
+    overflow 32-bit ints)."""
     parts = [
-        f"(instr('{_HEX}', substring({col_expr}, {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
-        for k in range(4)
+        f"(cast(instr('{_HEX}', substring({col_expr}, {k + 1}, 1)) as bigint) - 1)"
+        f" * {16 ** (n_hex - 1 - k)}"
+        for k in range(n_hex)
     ]
     return "(" + " + ".join(parts) + ")"
 
 
-def _hex4_to_int_duck(col_expr: str) -> str:
+def _hexn_to_int_duck(col_expr: str, n_hex: int) -> str:
     parts = [
-        f"(strpos('{_HEX}', substring({col_expr}, {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
-        for k in range(4)
+        f"(CAST(strpos('{_HEX}', substring({col_expr}, {k + 1}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (n_hex - 1 - k)}"
+        for k in range(n_hex)
     ]
     return "(" + " + ".join(parts) + ")"
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: per-bit majority vote over word hashes, assembled into
-    one bigint. Narrow explode + single groupBy(doc_id)."""
+    """32-bit SimHash: per-bit majority vote over word hashes, assembled
+    into one bigint. Narrow explode + single groupBy(doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
-    wordhash = _hex4_to_int_spark("md5(cast(word as binary))")
+    wordhash = _hexn_to_int_spark("md5(cast(word as binary))", SIMHASH_BITS // 4)
     w = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).withColumn("h", F.expr(wordhash))
@@ -150,12 +193,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(16)
+        for j in range(SIMHASH_BITS)
     ]
     agg = w.groupBy("doc_id").agg(*bit_sums)
     simhash = sum(
-        [F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(16)],
-        F.lit(0),
+        [
+            F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(SIMHASH_BITS)
+        ],
+        F.lit(0).cast("long"),
     )
     return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
@@ -164,33 +210,44 @@ ORACLE_SIMHASH = f"""
     WITH w AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ), h AS (
-      SELECT doc_id, {_hex4_to_int_duck("md5(word)")} AS h FROM w
+      SELECT doc_id, {_hexn_to_int_duck("md5(word)", SIMHASH_BITS // 4)} AS h FROM w
     ), s AS (
       SELECT doc_id,
              {', '.join(
                f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-               for j in range(16)
+               for j in range(SIMHASH_BITS)
              )}
       FROM h GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST({' + '.join(f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(16))}
+           CAST({' + '.join(
+             f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(SIMHASH_BITS)
+           )}
              AS BIGINT) AS simhash
     FROM s
 """
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard verification over LSH candidates
+# n-gram Jaccard verification (document-frequency-capped pair join)
 # ---------------------------------------------------------------------------
 
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard for all doc pairs sharing at least one shingle within
-    the same source partition (bounded candidate set), jaccard >= 0.05.
-    Exact integer set sizes → one deterministic double division."""
-    docs = load_table(spark, sf_dir, "documents")
+def jaccard_pairs(
+    docs: DataFrame, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """3-gram Jaccard for doc pairs sharing at least one NON-HOT shingle
+    within the same source partition. Shingles with per-source document
+    frequency above ``max_shingle_df`` are removed before the pair join
+    (the windowed count shares the join's shuffle key); set sizes use the
+    same filtered universe, so jaccard compares distinctive content."""
     sh = (
         docs.select("doc_id", "source", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
         .distinct()
+    )
+    w = Window.partitionBy("source", "shingle")
+    sh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_shingle_df)
+        .drop("_df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -206,12 +263,20 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = (
+    return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
         .filter(F.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", "inter", "jaccard")
     )
-    return j.select("doc_a", "doc_b", "inter", "jaccard")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs)
 
 
 ORACLE_JACCARD = f"""
@@ -224,11 +289,15 @@ ORACLE_JACCARD = f"""
     ), shs AS (
       SELECT DISTINCT d.doc_id, d.source, s.shingle
       FROM documents d JOIN sh0 s ON d.doc_id = s.doc_id
+    ), shf AS (
+      SELECT doc_id, source, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY source, shingle) AS df FROM shs
+      ) WHERE df <= {MAX_SHINGLE_DF}
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM shs GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM shs a JOIN shs b
+      FROM shf a JOIN shf b
         ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )

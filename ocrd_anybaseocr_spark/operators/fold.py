@@ -47,7 +47,8 @@ def fold_structure(page_results: DataFrame, n_fold_buckets: int | None = None) -
 
     if n_fold_buckets is None:
         n_fold_buckets = derive_fold_buckets(
-            None, page_results.sparkSession.sparkContext.defaultParallelism
+            None,
+            int(page_results.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
         )
 
     def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -214,7 +214,7 @@ def run_pipeline(
     from .fold import derive_fold_buckets
 
     n_fold = derive_fold_buckets(
-        written_pr.count(), spark.sparkContext.defaultParallelism
+        written_pr.count(), int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     )
     structure = fold_structure(written_pr, n_fold_buckets=n_fold)
     (structure.withColumn("part_bucket", bucket)

@@ -3,14 +3,25 @@
 Two paths, as a 100 TB engine needs both:
 - brute-force cosine top-k (the exact baseline): query-set × corpus join,
   dot products via zip_with/aggregate column expressions (JVM-side, no UDF);
-- sign-LSH bucketed top-k (the scale path): 4-bit hyperplane-sign bucket
-  (here: sign of the first 4 components — a crude but deterministic and
-  engine-portable LSH), candidates restricted to the query's bucket, so the
-  join is an equi-join on bucket instead of a cross join. At 10^12 rows the
-  bucket count scales with corpus size and the per-bucket join broadcasts
-  the query side.
+- random-hyperplane LSH (the scale path): LSH_BITS seeded Gaussian
+  hyperplanes per table × LSH_TABLES independent tables. Each vector gets
+  one bucket id per table (the sign pattern of its plane projections), and
+  candidate generation is an equi-join on (table, bucket) — bucket count is
+  LSH_TABLES × 2^LSH_BITS and GROWS with LSH_BITS, so at 10^12 rows you
+  raise bits ~ log2(N / target_bucket_size) and the join stays bounded.
+  A per-bucket size cap (LSH_BUCKET_CAP) drops degenerate hot buckets from
+  pair generation: a bucket over cap means either bits are too few for the
+  corpus or mass duplication that exact dedup (hash-groupBy) already
+  catches more cheaply — either way an all-pairs join inside it is the
+  wrong tool. This replaces the round-1 fixed 16-bucket sign scheme, which
+  was a disguised cross join at scale (VERDICT.md round 1, item 1).
 
-Determinism: ordering by double-precision cosine with vec_id tie-break;
+Determinism: the hyperplanes are integer constants generated at import
+from a fixed seed (numpy RandomState's stream is stability-guaranteed),
+scaled 1e6; embeddings are scaled to 1e4 integers before projection, so
+the bucket bit is an exact integer sign test — bit-identical in Spark and
+DuckDB (the oracle recomputes the same planes from the same module
+constants). Ranking uses double-precision cosine with vec_id tie-break;
 only ranks and ids are returned (cross-engine float error ~1e-7 vs typical
 cosine margins ~1e-2 — ordering is stable; values themselves are not
 compared).
@@ -18,6 +29,7 @@ compared).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
@@ -25,10 +37,77 @@ from ..sources.tables import load_table
 N_QUERIES = 10
 TOP_K = 5
 
+EMB_DIM = 64
+LSH_TABLES = 6  # independent tables: recall = 1 - (1 - p^bits)^tables
+LSH_BITS = 6  # buckets/table = 2^bits; raise with corpus size (~log2 N)
+LSH_SEED = 1816  # fixed seed; planes are import-time constants, no runtime RNG
+PLANE_SCALE = 1_000_000
+LSH_BUCKET_CAP = 100  # buckets larger than this are dropped from pair generation
+
+# integer hyperplanes: (tables*bits) x dim, values ~ N(0, 1e6). RandomState
+# (legacy MT19937 + stable standard_normal) guarantees the identical stream
+# on every platform/numpy version.
+_PLANES = (
+    np.random.RandomState(LSH_SEED).standard_normal((LSH_TABLES * LSH_BITS, EMB_DIM))
+    * PLANE_SCALE
+).astype(np.int64)
+
+# embeddings scaled to exact 1e4 integers (shared with the near-dup dot)
+_SE_SPARK = "transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))"
+_SE_DUCK = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+)
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
     " 0D, (acc, v) -> acc + v)"
 )
+
+
+def _plane_dot_spark(plane: np.ndarray) -> str:
+    arr = "array(" + ",".join(f"{int(v)}L" for v in plane) + ")"
+    return f"aggregate(zip_with(se, {arr}, (x, p) -> x * p), 0L, (acc, v) -> acc + v)"
+
+
+def _plane_dot_duck(plane: np.ndarray) -> str:
+    arr = "[" + ",".join(str(int(v)) for v in plane) + "]"
+    return f"list_dot_product(se, {arr})"
+
+
+def _bucket_sql(t: int, n_bits: int, plane_dot) -> str:
+    terms = [
+        f"(CASE WHEN {plane_dot(_PLANES[t * n_bits + j])} >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(n_bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_assignments(
+    emb: DataFrame, n_tables: int = LSH_TABLES, n_bits: int = LSH_BITS
+) -> DataFrame:
+    """(vec_id, tbl, bucket): one row per (vector, table). Narrow — buckets
+    are codegen'd integer expressions over the scaled embedding; the 64-long
+    arrays never leave this projection."""
+    if n_tables * n_bits > _PLANES.shape[0]:
+        raise ValueError("not enough precomputed hyperplanes for requested tables*bits")
+    with_se = emb.withColumn("se", F.expr(_SE_SPARK))
+    bks = F.array(*[F.expr(_bucket_sql(t, n_bits, _plane_dot_spark)) for t in range(n_tables)])
+    return with_se.select("vec_id", F.posexplode(bks).alias("tbl", "bucket"))
+
+
+def _bk_cte_duck(n_tables: int = LSH_TABLES, n_bits: int = LSH_BITS) -> str:
+    """DuckDB CTE mirroring lsh_assignments exactly (same planes, same
+    integer arithmetic): se0(vec_id, se) and bk(vec_id, tbl, bucket)."""
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_bucket_sql(t, n_bits, _plane_dot_duck)} AS bucket FROM se0"
+        for t in range(n_tables)
+    )
+    return f"""
+    se0 AS (
+      SELECT vec_id, {_SE_DUCK} AS se, embedding FROM embeddings
+    ), bk AS (
+      {per_table}
+    )"""
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
@@ -84,37 +163,43 @@ ORACLE_ANN_BRUTE = f"""
 """
 
 
-def _bucket_expr_spark() -> str:
-    bits = [
-        f"CASE WHEN element_at(embedding, {i + 1}) >= 0 THEN {2 ** i} ELSE 0 END"
-        for i in range(4)
-    ]
-    return "(" + " + ".join(bits) + ")"
+def ann_lsh_candidates(emb: DataFrame, query_ids_below: int = N_QUERIES) -> DataFrame:
+    """Distinct (query_id, neighbor_id) pairs colliding in >= 1 LSH table.
+    Query side is tiny (broadcast); the big side's shuffle key is
+    (tbl, bucket) whose cardinality scales with 2^LSH_BITS."""
+    bk = lsh_assignments(emb)
+    qb = bk.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    cb = bk.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket")
+    return (
+        F.broadcast(qb)
+        .join(cb, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN: equi-join on the 4-bit bucket, cosine top-3
-    within bucket. The plan is a hash join on bucket — shuffle bounded by
-    bucket cardinality, never a cross join."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", F.expr(_bucket_expr_spark())
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    """Hyperplane-LSH ANN: candidates from the (tbl, bucket) equi-join,
+    exact cosine re-rank of candidates only, top-3 per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = ann_lsh_candidates(emb.select("vec_id", "embedding"))
+    n = _with_norm(emb)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
-        "bucket",
     )
-    c = emb.select(
+    c = n.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
-        "bucket",
     )
     scored = (
-        F.broadcast(q)
-        .join(c, ["bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(cand.join(F.broadcast(q), "query_id"))
+        .join(c, "neighbor_id")
         .withColumn(
             "cos",
             F.expr(_DOT.format(a="q_emb", b="c_emb")) / (F.col("q_norm") * F.col("c_norm")),
@@ -128,21 +213,24 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_DUCK = "(" + " + ".join(
-    f"CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END" for i in range(4)
-) + ")"
-
 ORACLE_ANN_LSH = f"""
-    WITH n AS (
+    WITH {_bk_cte_duck()},
+    qb AS (
+      SELECT vec_id AS query_id, tbl, bucket FROM bk WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM qb q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       AND c.vec_id <> q.query_id
+    ), n AS (
       SELECT vec_id, embedding,
-             sqrt(list_dot_product(embedding, embedding)) AS norm,
-             {_BUCKET_DUCK} AS bucket
+             sqrt(list_dot_product(embedding, embedding)) AS norm
       FROM embeddings
     ), scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      SELECT cand.query_id, cand.neighbor_id,
              list_dot_product(q.embedding, c.embedding) / (q.norm * c.norm) AS cos
-      FROM n q JOIN n c ON q.bucket = c.bucket
-       AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.neighbor_id
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
       SELECT query_id, neighbor_id,
@@ -185,20 +273,45 @@ _DOT_E8 = (
 )
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup detection, LSH-bucketed: candidate pairs share a
-    sign-LSH bucket (equi-join, never a cross join); survivors pass a
-    similarity threshold computed as an EXACT 1e4-scaled integer dot
-    product — order-independent and bit-identical across engines (float
-    dot products differ in the last ulps between engines)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(_bucket_expr_spark())
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    n_tables: int = LSH_TABLES,
+    n_bits: int = LSH_BITS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Distinct candidate pairs (vec_a < vec_b) colliding in >= 1 LSH table,
+    with over-cap buckets dropped before the self-join (see module doc).
+    The bucket-size relation is tiny (<= tables * 2^bits rows) → broadcast."""
+    bk = lsh_assignments(emb, n_tables, n_bits)
+    ok = (
+        bk.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= bucket_cap)
+        .select("tbl", "bucket")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket")
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket")
+    bkc = bk.join(F.broadcast(ok), ["tbl", "bucket"])
+    a = bkc.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = bkc.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
     return (
-        a.join(b, ["bucket"])
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: hyperplane-LSH candidate pairs, then an
+    EXACT 1e4-scaled integer dot product threshold — order-independent and
+    bit-identical across engines (float dot products differ in the last
+    ulps between engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_lsh_pairs(emb.select("vec_id", "embedding"))
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("dot_e8", F.expr(_DOT_E8.format(a="e_a", b="e_b")))
         .filter(F.col("dot_e8") >= NEAR_DUP_DOT_E8)
         .select("vec_a", "vec_b", "dot_e8")
@@ -206,14 +319,21 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_EMB = f"""
-    WITH n AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 10000 + 0.5)) AS se,
-             {_BUCKET_DUCK} AS bucket
-      FROM embeddings
+    WITH {_bk_cte_duck()},
+    ok AS (
+      SELECT tbl, bucket FROM bk GROUP BY tbl, bucket
+      HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+    ), bkc AS (
+      SELECT bk.* FROM bk JOIN ok USING (tbl, bucket)
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bkc a JOIN bkc b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(list_dot_product(a.se, b.se) AS BIGINT) AS dot_e8
-    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.se, b.se) >= {NEAR_DUP_DOT_E8}
+    SELECT p.vec_a, p.vec_b,
+           CAST(list_dot_product(sa.se, sb.se) AS BIGINT) AS dot_e8
+    FROM pairs p
+    JOIN se0 sa ON sa.vec_id = p.vec_a
+    JOIN se0 sb ON sb.vec_id = p.vec_b
+    WHERE list_dot_product(sa.se, sb.se) >= {NEAR_DUP_DOT_E8}
 """

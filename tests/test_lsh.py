@@ -1,0 +1,154 @@
+"""Properties of the scale-path candidate generators: random-hyperplane LSH
+recall vs the exact baseline, bucket-count scaling with bits, and the
+hot-group caps (LSH bucket cap, MinHash band cap, Jaccard shingle-DF cap)
+that keep every candidate join sub-quadratic on skewed corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F, types as T
+
+from ocrd_anybaseocr_spark.operators.dedup import (
+    BAND_CAP,
+    MAX_SHINGLE_DF,
+    jaccard_pairs,
+    lsh_pairs,
+    minhash_signatures,
+)
+from ocrd_anybaseocr_spark.operators.similarity import (
+    EMB_DIM,
+    LSH_BUCKET_CAP,
+    embedding_lsh_pairs,
+    lsh_assignments,
+)
+
+_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _emb_df(spark, vecs: np.ndarray):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, _EMB_SCHEMA)
+
+
+def _clustered_vectors(n_clusters=40, per_cluster=5, n_noise=200, seed=7):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_clusters):
+        base = rng.standard_normal(EMB_DIM)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            # 64-dim noise of norm ~0.2 → within-cluster cosine ~0.95
+            v = base + 0.025 * rng.standard_normal(EMB_DIM)
+            out.append(v / np.linalg.norm(v))
+    for _ in range(n_noise):
+        v = rng.standard_normal(EMB_DIM)
+        out.append(v / np.linalg.norm(v))
+    return np.array(out)
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """Recall of hyperplane-LSH candidate pairs over true near-dup pairs
+    (cosine >= 0.9, computed exactly in numpy) must be high on clustered
+    data — the regime LSH exists for."""
+    vecs = _clustered_vectors()
+    cos = vecs @ vecs.T
+    iu = np.triu_indices(len(vecs), 1)
+    true_pairs = {
+        (int(a), int(b)) for a, b in zip(*iu) if cos[a, b] >= 0.9
+    }
+    assert len(true_pairs) >= 100  # the fixture really has near-dups
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_lsh_pairs(_emb_df(spark, vecs)).collect()
+    }
+    recall = len(true_pairs & got) / len(true_pairs)
+    assert recall >= 0.8, f"LSH recall {recall:.3f} over {len(true_pairs)} true pairs"
+
+
+def test_lsh_bucket_count_scales_with_bits(spark):
+    """The scaling knob: more bits → more distinct buckets (this is what
+    lets the equi-join stay bounded as the corpus grows)."""
+    vecs = _clustered_vectors(n_clusters=10, per_cluster=2, n_noise=150)
+    df = _emb_df(spark, vecs)
+
+    def n_buckets(bits):
+        return (
+            lsh_assignments(df, n_tables=2, n_bits=bits)
+            .select("tbl", "bucket").distinct().count()
+        )
+
+    assert n_buckets(3) < n_buckets(6) <= 2 * 2 ** 6
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A mass-duplication cluster (300 identical vectors) lands in one
+    bucket per table; with the cap those buckets are dropped — the pair
+    join never goes quadratic — while normal-sized clusters still pair."""
+    rng = np.random.default_rng(11)
+    clone = rng.standard_normal(EMB_DIM)
+    clone /= np.linalg.norm(clone)
+    small_base = rng.standard_normal(EMB_DIM)
+    small_base /= np.linalg.norm(small_base)
+    vecs = [clone] * 300 + [small_base + 0.05 * rng.standard_normal(EMB_DIM) for _ in range(3)]
+    vecs = np.array([v / np.linalg.norm(v) for v in vecs])
+    df = _emb_df(spark, vecs)
+
+    capped = embedding_lsh_pairs(df).collect()
+    clone_pairs = [r for r in capped if r.vec_a < 300 and r.vec_b < 300]
+    small_pairs = [r for r in capped if r.vec_a >= 300 and r.vec_b >= 300]
+    assert not clone_pairs, "over-cap bucket must be dropped from pair generation"
+    assert len(small_pairs) == 3  # C(3,2) from the healthy cluster
+    # sanity: without the cap the clone cluster would contribute C(300,2)
+    uncapped = embedding_lsh_pairs(df, bucket_cap=10**9).count()
+    assert uncapped >= 300 * 299 // 2
+    assert LSH_BUCKET_CAP < 300
+
+
+def test_minhash_band_cap(spark):
+    """200 byte-identical docs share every band key; the band cap excludes
+    that degenerate clique (exact dedup's job) while a genuine near-dup
+    pair with unique-ish shingles still collides."""
+    mass = [(f"m{i:03d}", "lorem ipsum dolor sit amet consectetur adipiscing elit")
+            for i in range(200)]
+    near = [
+        ("n1", "quick brown fox jumps over the lazy dog tonight again"),
+        ("n2", "quick brown fox jumps over the lazy dog tonight twice"),
+    ]
+    docs = spark.createDataFrame(mass + near, ["doc_id", "text"])
+    pairs = lsh_pairs(minhash_signatures(docs)).collect()
+    assert not [r for r in pairs if r.doc_a.startswith("m")]
+    assert [r for r in pairs if r.doc_a == "n1" and r.doc_b == "n2"]
+    assert BAND_CAP < 200
+    # without the cap the clique explodes quadratically
+    uncapped = lsh_pairs(minhash_signatures(docs), band_cap=10**9).count()
+    assert uncapped >= 200 * 199 // 2
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """150 docs sharing only a stop-shingle must NOT pair (the hot shingle
+    is dropped before the join); a true near-dup pair with distinctive
+    shingles survives with its Jaccard over the filtered universe."""
+    filler = [
+        (f"f{i:03d}", "s1", f"common common common filler{i} x{i} y{i}")
+        for i in range(150)
+    ]
+    near = [
+        ("n1", "s1", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("n2", "s1", "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(filler + near, ["doc_id", "source", "text"])
+
+    capped = jaccard_pairs(docs).collect()
+    assert not [r for r in capped if r.doc_a.startswith("f")]
+    nd = [r for r in capped if r.doc_a == "n1" and r.doc_b == "n2"]
+    assert nd and nd[0].inter == 5  # 6 shingles each, 5 shared
+    assert MAX_SHINGLE_DF < 150
+    # without the cap the stop-shingle clique pairs quadratically
+    uncapped = jaccard_pairs(docs, max_shingle_df=10**9).count()
+    assert uncapped >= 150 * 149 // 2
