@@ -20,6 +20,8 @@ class CropParams:
     """
 
     dpi: int = 300                   # working resolution (ref cropping.py:129-151)
+    dpi_override: int = -1           # >0 asserts the scan DPI, beating embedded
+                                     # metadata (ref ocrd-tool.json 'dpi', cropping.py:129-130)
     padding: int = 4                 # inward border padding px (ref ocrd-tool.json)
     margin_top: float = 0.25         # border line search band (ref cropping.py:300-310)
     margin_bottom: float = 0.75

@@ -17,6 +17,23 @@ from __future__ import annotations
 import numpy as np
 
 
+def resize_nearest(img: np.ndarray, zoom: float) -> np.ndarray:
+    """F4/K7: nearest-neighbor rescale to the working resolution with the
+    index mapping src = floor(dst / zoom) — chosen so integer coordinates
+    round-trip exactly for zoom >= 1: native pixel x occupies working
+    columns [ceil(x*zoom), ceil((x+1)*zoom)-1], and floor(c / zoom) (the
+    unzoom applied to detected coordinates in process_page) maps both
+    endpoints back to exactly x. The reference resizes with cv2 INTER_CUBIC
+    (cropping.py:148-151); nearest keeps the binarized structure and makes
+    the detect→unzoom path exactly invertible, which cubic cannot."""
+    h, w = img.shape
+    oh = max(1, int(np.ceil(h * zoom)))
+    ow = max(1, int(np.ceil(w * zoom)))
+    ys = np.minimum((np.arange(oh) / zoom).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(ow) / zoom).astype(np.int64), w - 1)
+    return img[ys][:, xs]
+
+
 def resize_box(img: np.ndarray, factor: int) -> np.ndarray:
     """Exact box-average downscale by an integer factor (K7 fast path)."""
     h, w = img.shape

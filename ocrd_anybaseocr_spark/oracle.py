@@ -15,15 +15,31 @@ from .kernels.components import labeled_runs, runs_from_image
 from .kernels.crop import detect_border, detect_ruler
 from .kernels.deskew import estimate_shear_from_runs, unshear
 from .kernels.fold import fold_document
+from .kernels.geometry import zoom_factor
+from .kernels.transform import resize_nearest
 from .png import decode_gray
 
 
 def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
     """Run binarize → deskew → ruler → crop → tiseg/classify on one page.
 
+    DPI handling follows the reference exactly (cropping.py:129-151): a
+    positive ``params.crop.dpi_override`` asserts the scan DPI, else the
+    embedded pHYs resolution is used, else zoom = 1; the page is rescaled
+    to the 300-DPI working resolution where every fixed pixel threshold is
+    calibrated, detection runs there, and the final border is mapped back
+    to native coordinates (floor(c / zoom) — exact inverse of the
+    resize_nearest mapping). Skew is a dx/dy ratio, invariant under
+    uniform rescale, so it is returned as estimated.
+
     Returns a dict matching schema.PAGE_RESULTS minus doc/page identity.
     """
-    img, _dpi = decode_gray(png_bytes)
+    img, dpi = decode_gray(png_bytes)
+    nat_h, nat_w = img.shape
+    eff_dpi = params.crop.dpi_override if params.crop.dpi_override > 0 else dpi
+    zoom = zoom_factor(eff_dpi, params.crop.dpi)
+    if zoom != 1.0:
+        img = resize_nearest(img, zoom)
     h, w = img.shape
     if params.binarize.method == "sauvola":
         from .kernels.binarize import binarize_sauvola
@@ -50,6 +66,15 @@ def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
     ruler = detect_ruler(shape, params.crop, stats=cc[0])
     border, perfect = detect_border(shape, ruler, params.crop, cc=cc)
     scores, labels, seg = classify_page(shape, border, params.classify, stats=cc)
+    if zoom != 1.0:
+        # unzoom to native coordinates (ref cropping.py:156 'unzoom'); floor
+        # inverts resize_nearest exactly, clip guards zoom < 1 edge cases
+        border = [
+            min(int(border[0] // zoom), nat_w - 1),
+            min(int(border[1] // zoom), nat_h - 1),
+            min(int(border[2] // zoom), nat_w - 1),
+            min(int(border[3] // zoom), nat_h - 1),
+        ]
     features = "binarized"
     if shear != 0.0:
         features += ",deskewed"

