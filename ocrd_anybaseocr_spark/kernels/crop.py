@@ -81,7 +81,9 @@ def detect_ruler(ink_or_shape, params: CropParams = DEFAULT_PARAMS.crop,
 
 def _side_candidates(profile_rows, band_lo, band_hi, outer_is_min):
     """Group consecutive candidate indices into bands; return list of
-    (outer_coord, mean_strength, length) per band within [band_lo, band_hi)."""
+    (outer_coord, pos_center, thickness, mean_strength) per band within
+    [band_lo, band_hi). Thickness plays the LSD width (wgt) role and
+    strength the covered-fraction (length/axis) role in W2 scoring."""
     cands = [i for i, v in profile_rows if band_lo <= i < band_hi]
     vals = {i: v for i, v in profile_rows}
     bands = []
@@ -98,8 +100,9 @@ def _side_candidates(profile_rows, band_lo, band_hi, outer_is_min):
     out = []
     for b in bands:
         outer = b[0] if outer_is_min else b[-1]
+        pos = 0.5 * (b[0] + b[-1])
         strength = float(np.mean([vals[i] for i in b]))
-        out.append((outer, strength))
+        out.append((outer, pos, len(b), strength))
     return out
 
 
@@ -111,14 +114,47 @@ def detect_border(
 ):
     """Detect the page frame. Returns (border [x1,y1,x2,y2], perfect: bool).
 
-    perfect=True iff all four border lines were found by line detection
-    (reference semantics: cli/ocrd_anybaseocr_cropping.py:526,577).
+    Production path is the faithful K6→A1/A2→W2 chain: line segments
+    extracted from the CC runs, agglomerated by endpoint distance and
+    regression agreement, collinear-merged across gaps, each side's winner
+    picked by wgt^2 * length * attenuate(pos/margin) (reference:
+    cli/ocrd_anybaseocr_cropping.py:286-440,524-608). This recovers broken/
+    partial frames the old run-profile heuristic missed; on clean frames
+    the two paths agree exactly (property test). Missing sides fall back to
+    the merged-textbox bbox with perfect=False (ref :575-607,526).
+    """
+    from .components import labeled_runs
+    from .segments import detect_border_segments
 
-    Ruler suppression (K8, ref cropping.py:262-263) is component-wise: the
-    ruler is its own connected component, so excluding its stats row is
-    equivalent to masking its pixels for the frame-line path. The row/col
-    ink profiles of the frame candidates are computed from the CC RUNS
-    (sparse interval sums), never from a full-image mask.
+    h, w = _shape_of(ink_or_shape)
+    if cc is None:
+        cc = labeled_runs(ink_or_shape)
+    stats, run_labels, (r_rows, r_starts, r_ends) = cc
+
+    (lx, ty, rx, by), perfect = detect_border_segments(cc, (h, w), ruler_bbox, params)
+    if not perfect:
+        tb = _textbox_bbox_from_stats(stats, (h, w), params, ruler_bbox)
+        if ty is None:
+            ty = tb[1] if tb is not None else 0
+        if by is None:
+            by = tb[3] if tb is not None else h - 1
+        if lx is None:
+            lx = tb[0] if tb is not None else 0
+        if rx is None:
+            rx = tb[2] if tb is not None else w - 1
+    return [int(lx), int(ty), int(rx), int(by)], bool(perfect)
+
+
+def detect_border_profile(
+    ink_or_shape,
+    ruler_bbox=None,
+    params: CropParams = DEFAULT_PARAMS.crop,
+    cc=None,
+):
+    """Run-profile border detector (the round-1 production path, kept as the
+    cross-check for the segment path): frame-like components' row/col ink
+    profiles, per-side top-1 with W2 scoring. Property test asserts equality
+    with detect_border on clean frames.
     """
     from .components import labeled_runs
 
@@ -152,28 +188,37 @@ def detect_border(
     rows = [(i, v) for i, v in enumerate(row_frac) if v >= params.min_line_length * 0.8]
     cols = [(i, v) for i, v in enumerate(col_frac) if v >= params.min_line_length * 0.8]
 
-    def pick(cands, band_len, from_low):
-        """W2: top-1 by wgt^2 * attenuate(pos_ratio); fallback None."""
+    def pick(cands, axis_len, band_edge, total_len, invert):
+        """W2 (reference select_borderLine key, cropping.py:565-608):
+        top-1 by wgt^2 * length * attenuate(pos/band); fallback None.
+        wgt = band thickness (the LSD width analogue), length = mean ink
+        length, pos = band center over the margin band edge."""
         if not cands:
             return None
         best, best_score = None, -1.0
-        for outer, strength in cands:
-            depth = outer if from_low else (band_len - 1 - outer)
-            ratio = depth / max(1.0, band_len * 0.25)
-            score = strength * strength * float(attenuate_pos(min(ratio, 2.0)))
+        for outer, pos, thickness, strength in cands:
+            ratio = (
+                (total_len - pos) / max(total_len - band_edge, 1e-9)
+                if invert
+                else pos / max(band_edge, 1e-9)
+            )
+            length = strength * axis_len
+            score = thickness * thickness * length * float(attenuate_pos(ratio))
             if score > best_score:
                 best_score, best = score, outer
         return best
 
-    top_c = _side_candidates(rows, 0, int(params.margin_top * h), True)
-    bot_c = _side_candidates(rows, int(params.margin_bottom * h), h, False)
-    left_c = _side_candidates(cols, 0, int(params.margin_left * w), True)
-    right_c = _side_candidates(cols, int(params.margin_right * w), w, False)
+    y1max, y2min = params.margin_top * h, params.margin_bottom * h
+    x1max, x2min = params.margin_left * w, params.margin_right * w
+    top_c = _side_candidates(rows, 0, int(y1max), True)
+    bot_c = _side_candidates(rows, int(y2min), h, False)
+    left_c = _side_candidates(cols, 0, int(x1max), True)
+    right_c = _side_candidates(cols, int(x2min), w, False)
 
-    ty = pick(top_c, h, True)
-    by = pick(bot_c, h, False)
-    lx = pick(left_c, w, True)
-    rx = pick(right_c, w, False)
+    ty = pick(top_c, w, y1max, h, False)
+    by = pick(bot_c, w, y2min, h, True)
+    lx = pick(left_c, h, x1max, w, False)
+    rx = pick(right_c, h, x2min, w, True)
     perfect = all(v is not None for v in (ty, by, lx, rx))
 
     if not perfect:
@@ -190,6 +235,35 @@ def detect_border(
         if rx is None:
             rx = tb[2] if tb is not None else w - 1
     return [int(lx), int(ty), int(rx), int(by)], bool(perfect)
+
+
+def filter_noisebox(boxes: np.ndarray, h: int, w: int) -> np.ndarray:
+    """W6 (reference filter_noisebox, cropping.py:627-656): strip isolated
+    small boxes at the top/bottom to fixpoint — sort by y2; drop the first
+    box when its y-gap to the next exceeds 100 px and its area is under
+    0.001*H*W, likewise the last box against its predecessor; repeat until
+    no box is dropped. Keeps an edge speck from inflating the fallback
+    border."""
+    bs = [list(map(int, b)) for b in boxes]
+    min_area = 0.001 * h * w
+
+    def area(b):
+        return (b[2] - b[0]) * (b[3] - b[1])
+
+    changed = True
+    while changed and len(bs) > 1:
+        changed = False
+        bs.sort(key=lambda b: b[3])
+        drop = []
+        if abs(bs[0][3] - bs[1][1]) > 100 and area(bs[0]) < min_area:
+            drop.append(0)
+        if abs(bs[-2][3] - bs[-1][1]) > 100 and area(bs[-1]) < min_area:
+            drop.append(len(bs) - 1)
+        if drop and len(bs) - len(drop) >= 1:
+            for k in sorted(set(drop), reverse=True):
+                bs.pop(k)
+            changed = True
+    return np.array(bs, dtype=np.int64)
 
 
 def merge_x_overlaps(boxes: np.ndarray) -> np.ndarray:
@@ -259,6 +333,8 @@ def _textbox_bbox_from_stats(stats: np.ndarray, shape, params: CropParams, ruler
     if not ok.any():
         return None
     boxes = np.stack([x1[ok], y1[ok], x2[ok], y2[ok]], axis=1)
+    if len(boxes) > 1:
+        boxes = filter_noisebox(boxes, h, w)  # W6, ref detect_textboxes:722
     boxes = merge_x_overlaps(boxes)
     boxes = coalesce_columns(boxes, params.column_sep_width_max * w)
     return [int(boxes[:, 0].min()), int(boxes[:, 1].min()), int(boxes[:, 2].max()), int(boxes[:, 3].max())]
