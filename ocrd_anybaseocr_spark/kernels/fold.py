@@ -66,6 +66,16 @@ def fold_document(pages: list[tuple[str, list[str]]]):
                     else:
                         parent = parent_of(first)
             else:
+                # Reference quirk (layout_analysis.py:185-201): when
+                # logIDs['chapter'] == logIDs['section'] != 0 the reference
+                # falls through all three ifs and reuses the STALE
+                # parent_node from a previous loop iteration. That state is
+                # unreachable: ids come from one monotonically increasing
+                # counter, so two labels can never hold the same NONZERO id
+                # — equality only happens at 0/0 (neither assigned, since
+                # defaultdict(int) default and div id 0 are conflated),
+                # which the third branch handles. Re-initializing
+                # parent=ROOT here is therefore observationally identical.
                 if log_ids["chapter"] > log_ids["section"]:
                     page_log_id = log_ids["chapter"]
                 if log_ids["section"] > log_ids["chapter"]:

@@ -526,10 +526,15 @@ _PIPE_DOCS = 16
 
 def _pipeline_corpus() -> str:
     """Deterministic tiny corpus for pipeline-backed queries, cached per
-    process user (seed 42 — same corpus every run, any machine)."""
-    from .synth import generate_corpus
+    process user (seed 42 — same corpus every run, any machine). The path
+    keys on SYNTH_VERSION so a generator change can never serve stale
+    bytes, and is knowable at import time so DuckDB oracles can embed
+    read_parquet() literals over it."""
+    from .synth import SYNTH_VERSION, generate_corpus
 
-    d = _os.path.join(_tempfile.gettempdir(), f"oas_qcorpus_{_PIPE_DOCS}_42")
+    d = _os.path.join(
+        _tempfile.gettempdir(), f"oas_qcorpus_{_PIPE_DOCS}_42_v{SYNTH_VERSION}"
+    )
     marker = _os.path.join(d, ".complete")
     if not _os.path.exists(marker):
         generate_corpus(d, _PIPE_DOCS, seed=42, workers=1)
@@ -575,10 +580,33 @@ def q_pipeline_doc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "log_id")
 
 
-@register("pipeline_extracted_spans")
+_QCORPUS_DIR = _pipeline_corpus()  # generated at import so the DuckDB
+# oracles below can read the same parquet the Spark queries scan
+
+
+def _hexn_to_int_duck_local(col_expr: str, n_hex: int) -> str:
+    from .operators.dedup import _hexn_to_int_duck
+
+    return _hexn_to_int_duck(col_expr, n_hex)
+
+
+@register(
+    "pipeline_extracted_spans",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s."offset") - 1
+                AS BIGINT) AS ord,
+           s.kind AS kind, s.text AS text, s.media_ref AS media_ref
+    FROM (
+      SELECT doc_id, unnest(spans) AS s
+      FROM read_parquet('{_os.path.join("%QC%", "documents.parquet")}')
+    )
+    """,
+)
 def q_pipeline_extracted_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict span-sequence extraction over the synthetic interleaved corpus
-    (stored shuffled; offset carries reading order)."""
+    (stored shuffled; offset carries reading order). DuckDB oracle re-sorts
+    the same parquet by offset — full value-level cross-check."""
     from .sources.tables import load_corpus
 
     docs, _ = load_corpus(spark, _pipeline_corpus())
@@ -588,16 +616,46 @@ def q_pipeline_extracted_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_metadata")
+@register(
+    "media_metadata",
+    oracle=f"""
+    WITH hx AS (
+      SELECT media_ref, lower(hex(image)) AS hx, octet_length(image) AS byte_size
+      FROM read_parquet('{_os.path.join("%QC%", "page_blobs.parquet")}')
+    )
+    SELECT media_ref,
+           substring(hx, 1, 16) = '89504e470d0a1a0a' AS is_png,
+           CAST(%W% AS INTEGER) AS png_width,
+           CAST(%H% AS INTEGER) AS png_height,
+           CAST(%D% AS INTEGER) AS png_bit_depth,
+           CAST(byte_size AS BIGINT) AS byte_size,
+           CAST(%W% AS BIGINT) * CAST(%H% AS BIGINT) AS pixels
+    FROM hx
+    """,
+)
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column metadata, JVM-side only: PNG IHDR
     width/height/bit-depth parsed with hex/conv column expressions — no
-    Python touches the bytes (operators/media.py)."""
+    Python touches the bytes (operators/media.py). DuckDB oracle parses the
+    same IHDR bytes from the blob parquet (hex + positional arithmetic)."""
     from .operators.media import media_metadata
     from .sources.tables import load_corpus
 
     _, blobs = load_corpus(spark, _pipeline_corpus())
     return media_metadata(blobs).orderBy("media_ref")
+
+
+# splice the corpus path and the hex→int arithmetic into the two oracles
+# (IHDR byte k (1-based) sits at hex chars [2k-1, 2k]: width @17-20,
+# height @21-24, bit depth @25)
+for _qname in ("pipeline_extracted_spans", "media_metadata"):
+    ORACLE[_qname] = ORACLE[_qname].replace("%QC%", _QCORPUS_DIR)
+ORACLE["media_metadata"] = (
+    ORACLE["media_metadata"]
+    .replace("%W%", _hexn_to_int_duck_local("substring(hx, 33, 8)", 8))
+    .replace("%H%", _hexn_to_int_duck_local("substring(hx, 41, 8)", 8))
+    .replace("%D%", _hexn_to_int_duck_local("substring(hx, 49, 2)", 2))
+)
 
 
 # ---------------------------------------------------------------------------
