@@ -122,7 +122,45 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     return times
 
 
-def write_scaling_md(runs: list[dict], n_docs: int) -> dict:
+def raw_kernel_sweep(corpus_dir: str, procs=(2, 8, 32)) -> dict[int, float]:
+    """mp.Pool-vs-Spark A/B (no Spark, no Arrow): the pure-kernel throughput
+    ceiling of this host at each parallelism level. Quantifies how much of
+    any sub-linear 8→32 Spark scaling is the shared memory bus / SMT (also
+    present here) vs Spark overhead (absent here)."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    pages = [
+        b["image"]
+        for b in pq.read_table(
+            os.path.join(corpus_dir, "page_blobs.parquet"), columns=["image"]
+        ).to_pylist()
+    ]
+
+    out: dict[int, float] = {}
+    for n in procs:
+        chunks = [pages[i::n] for i in range(n)]
+        with mp.Pool(n) as pool:
+            pool.map(_raw_work, [c[:2] for c in chunks])  # warm imports
+            best = 0.0
+            for _ in range(2):  # best-of-2, same policy as the Spark probes
+                t0 = time.monotonic()
+                pool.map(_raw_work, chunks)
+                best = max(best, len(pages) / (time.monotonic() - t0))
+        out[n] = round(best, 1)
+    return out
+
+
+def _raw_work(chunk):
+    from ocrd_anybaseocr_spark.oracle import process_page
+
+    for p in chunk:
+        process_page(p)
+    return len(chunk)
+
+
+def write_scaling_md(runs: list[dict], n_docs: int, raw: dict[int, float] | None = None) -> dict:
     def eff(lo, hi):
         return (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi["cores"] / lo["cores"])
 
@@ -149,6 +187,7 @@ def write_scaling_md(runs: list[dict], n_docs: int) -> dict:
             f"**Scaling efficiency (north_rule N→4N proxy):**\n\n"
             + (f"- local[2] → local[8]: eff = **{eff_2_8:.3f}** (criterion ≥ 0.8)\n" if eff_2_8 else "")
             + (f"- local[8] → local[32]: eff = **{eff_8_32:.3f}**\n" if eff_8_32 else "")
+            + _raw_section(raw)
             + "\nNote: this host exposes 32 logical cores on one shared memory bus; a\n"
             "direct 32-way measurement includes SMT/bandwidth contention that separate\n"
             "executor hosts on a real cluster do not share. The 2→8 pair is the\n"
@@ -157,6 +196,23 @@ def write_scaling_md(runs: list[dict], n_docs: int) -> dict:
             "level) is asserted by tests/test_parallelism.py.\n"
         )
     return {"eff_2_8": eff_2_8, "eff_8_32": eff_8_32}
+
+
+def _raw_section(raw: dict[int, float] | None) -> str:
+    if not raw or 8 not in raw or 32 not in raw:
+        return ""
+    raw_eff = (raw[32] / raw[8]) / 4.0
+    rows = "\n".join(f"| {n} procs | {v} |" for n, v in sorted(raw.items()))
+    return (
+        "\n**mp.Pool-vs-Spark A/B (pure kernels, no Spark/Arrow):**\n\n"
+        "| config | pages/sec |\n|---|---|\n"
+        f"{rows}\n\n"
+        f"- raw kernel eff(8→32) = **{raw_eff:.3f}** — the HOST's own ceiling\n"
+        "  (SMT + shared memory bus), measured with zero Spark overhead. The\n"
+        "  Spark pipeline's 8→32 efficiency should be read against this bound,\n"
+        "  not against 1.0: whatever the pipeline loses beyond it is Spark-side,\n"
+        "  the rest is hardware shared by ANY 32-way execution on this box.\n"
+    )
 
 
 def main() -> None:
@@ -186,8 +242,13 @@ def main() -> None:
     if scaling:
         runs = [run_pipeline_bench(c, out_root, n_docs=SCALING_DOCS)
                 for c in (2, 8, 32)]
-        effs = write_scaling_md(runs, SCALING_DOCS)
-        result["scaling"] = {"runs": runs, **{k: (round(v, 3) if v else None) for k, v in effs.items()}}
+        raw = raw_kernel_sweep(ensure_corpus(SCALING_DOCS))
+        effs = write_scaling_md(runs, SCALING_DOCS, raw)
+        result["scaling"] = {
+            "runs": runs,
+            "raw_kernel_pages_per_sec": raw,
+            **{k: (round(v, 3) if v else None) for k, v in effs.items()},
+        }
     print(json.dumps(result))
 
 

@@ -62,6 +62,60 @@ def bbox_from_points(s: str) -> list[int]:
             int(poly[:, 0].max()), int(poly[:, 1].max())]
 
 
+def buffer_inward(points: np.ndarray, padding: float) -> np.ndarray:
+    """F3: true inward polygon buffer for a CONVEX polygon (the border
+    quadrilateral): offset every edge inward along its unit normal by
+    ``padding`` and re-intersect consecutive offset edges — the straight-
+    skeleton construction shapely's Polygon.buffer(-padding) performs for
+    convex input (reference: cli/ocrd_anybaseocr_cropping.py:159).
+
+    ``points`` is (n, 2) in ring order (either orientation); returns the
+    (n, 2) buffered ring. For an axis-aligned rectangle this equals
+    shrinking each side by ``padding`` — asserted against crop_to_border's
+    rectangular fast path in pytest."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    # signed area > 0 → counter-clockwise; inward normal flips with it
+    area2 = float(
+        np.sum(pts[:, 0] * np.roll(pts[:, 1], -1) - np.roll(pts[:, 0], -1) * pts[:, 1])
+    )
+    sign = 1.0 if area2 > 0 else -1.0
+    # offset each edge: line through (p_i + d*n_i, p_{i+1} + d*n_i)
+    offs = []
+    for i in range(n):
+        p, q = pts[i], pts[(i + 1) % n]
+        e = q - p
+        ln = np.hypot(*e)
+        if ln == 0:
+            continue
+        normal = sign * np.array([-e[1], e[0]]) / ln  # inward for CCW
+        offs.append((p + padding * normal, q + padding * normal))
+    out = []
+    m = len(offs)
+    for i in range(m):
+        a = line_intersection(offs[(i - 1) % m], offs[i])
+        out.append(a)
+    return np.array(out, dtype=np.float64)
+
+
+def point_in_convex(pts: np.ndarray, x: float, y: float) -> bool:
+    """True iff (x, y) lies inside the convex ring ``pts`` (either
+    orientation; boundary counts as inside)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    sgn = 0
+    for i in range(n):
+        p, q = pts[i], pts[(i + 1) % n]
+        cr = (q[0] - p[0]) * (y - p[1]) - (q[1] - p[1]) * (x - p[0])
+        if cr != 0:
+            s = 1 if cr > 0 else -1
+            if sgn == 0:
+                sgn = s
+            elif s != sgn:
+                return False
+    return True
+
+
 def zoom_factor(dpi: float | None, target_dpi: float = 300.0) -> float:
     """F4: working-resolution zoom; embedded resolution may be per-cm
     (x2.54). None → 1.0 (unknown resolution, use native)."""

@@ -61,6 +61,59 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def crop_to_polygon(
+    img: np.ndarray, points, padding: float = 0, fill: int = 235
+) -> np.ndarray:
+    """K9 general case: crop to a CONVEX border polygon with background
+    fill outside it — the reference's image_from_page(fill='background')
+    over a non-rectangular Border (cli/ocrd_anybaseocr_cropping.py:199-200)
+    after the inward buffer (:159, F3 via geometry.buffer_inward).
+
+    The polygon is intersected per output row as two half-plane bounds
+    (convex ⇒ one [lo, hi] x-interval per row) — no polygon mask is ever
+    rasterized. For an axis-aligned rectangle this equals crop_to_border
+    (pytest-asserted)."""
+    from .geometry import buffer_inward
+
+    poly = (
+        buffer_inward(points, padding) if padding else np.asarray(points, np.float64)
+    )
+    h, w = img.shape
+    xs, ys = poly[:, 0], poly[:, 1]
+    x1 = max(0, int(np.ceil(xs.min())))
+    x2 = min(w - 1, int(np.floor(xs.max())))
+    y1 = max(0, int(np.ceil(ys.min())))
+    y2 = min(h - 1, int(np.floor(ys.max())))
+    if x2 <= x1 or y2 <= y1:
+        return np.full((1, 1), fill, dtype=np.uint8)
+    out = np.ascontiguousarray(img[y1 : y2 + 1, x1 : x2 + 1])
+    rows = np.arange(y1, y2 + 1, dtype=np.float64)
+    lo = np.full(rows.shape, float(x1))
+    hi = np.full(rows.shape, float(x2))
+    # ring orientation: signed area > 0 → CCW → inside is a*x + b*y <= c
+    area2 = float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+    sgn = 1.0 if area2 > 0 else -1.0
+    n = len(poly)
+    for i in range(n):
+        p, q = poly[i], poly[(i + 1) % n]
+        a = sgn * (q[1] - p[1])
+        b = sgn * (p[0] - q[0])
+        c = a * p[0] + b * p[1]
+        if a > 1e-12:
+            hi = np.minimum(hi, (c - b * rows) / a)
+        elif a < -1e-12:
+            lo = np.maximum(lo, (c - b * rows) / a)
+        else:
+            # horizontal edge: rows violating b*y <= c are fully outside
+            lo = np.where(b * rows > c, hi + 1.0, lo)
+    loi = np.clip(np.ceil(lo).astype(np.int64) - x1, 0, out.shape[1])
+    hii = np.clip(np.floor(hi).astype(np.int64) - x1 + 1, 0, out.shape[1])
+    cols = np.arange(out.shape[1])
+    outside = (cols[None, :] < loi[:, None]) | (cols[None, :] >= hii[:, None])
+    out[outside] = fill
+    return out
+
+
 def crop_to_border(
     img: np.ndarray, border: list[int], padding: int = 0, fill: int = 235
 ) -> np.ndarray:

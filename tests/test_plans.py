@@ -72,3 +72,21 @@ def test_ann_brute_force_no_shuffle(spark, sf_dir):
     df = QUERIES["ann_brute_force"](spark, sf_dir)
     plan = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lsh_queries_are_equi_joins(spark, sf_dir):
+    """The hyperplane-LSH family must candidate-join on (tbl, bucket) keys —
+    hash/broadcast equi-joins only, never a cartesian/nested-loop product
+    (the round-1 16-bucket scheme degenerated to one at scale)."""
+    for q in ("ann_lsh_bucketed", "dedup_embedding_cosine"):
+        plan = explain_str(QUERIES[q](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "HashJoin" in plan or "SortMergeJoin" in plan, q
+
+
+def test_dedup_embedding_bucket_cap_is_broadcast(spark, sf_dir):
+    """The over-cap bucket filter relation is bounded by tables * 2^bits
+    rows → must broadcast, not shuffle the big side for it."""
+    plan = explain_str(QUERIES["dedup_embedding_cosine"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
