@@ -111,6 +111,13 @@ def _groups_for_side(segs, axis_len, perp_len, min_end, max_start, min_pos, max_
     groups = merge_collinear(groups, axis_len)
     out = []
     for g in groups:
+        # P3 direction gate (ref detect_lines dy/dx < 0.15, cropping.py:
+        # 305-309): raw run-chains are axis-aligned, so the slant of a
+        # candidate only materializes in the GROUP's fitted slope — a
+        # staircase of chained steps steeper than 0.15 is not a border line
+        slope, _, _ = g.fit()
+        if abs(slope) >= 0.15:
+            continue
         st = group_side_stats(g, segs)
         if st["length"] < 0.2 * axis_len:  # ref select_borderLine min_length
             continue

@@ -83,6 +83,27 @@ def test_broken_frame_recovered_by_segment_path():
     assert not prof_perfect or prof_border[1] != border[1]
 
 
+def test_p3_direction_gate_rejects_slanted_groups():
+    """P3 (ref detect_lines dy/dx < 0.15): a staircase whose fitted slope
+    exceeds 0.15 is not a border-line candidate; a flat one is."""
+    from ocrd_anybaseocr_spark.kernels.segments import _groups_for_side
+    import numpy as np
+
+    def stair(slope):
+        # 8 collinear-ish steps, each 40 px long, drifting in p by slope*a
+        return np.array(
+            [
+                [a, a + 39, 20 + slope * a, 22 + slope * a, 21 + slope * a, 3.0]
+                for a in range(40, 360, 40)
+            ]
+        )
+
+    flat = _groups_for_side(stair(0.0), 700, 900, 210, 490, 175, 525)
+    steep = _groups_for_side(stair(0.4), 700, 900, 210, 490, 175, 525)
+    assert len(flat) == 1
+    assert steep == []
+
+
 def test_filter_noisebox_strips_edge_speck():
     """W6 (ref cropping.py:627-656): an isolated small box far above the
     text block is stripped to fixpoint; the surviving bbox ignores it."""
