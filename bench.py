@@ -137,6 +137,9 @@ def raw_kernel_sweep(corpus_dir: str, procs=(2, 8, 32)) -> dict[int, float]:
             os.path.join(corpus_dir, "page_blobs.parquet"), columns=["image"]
         ).to_pylist()
     ]
+    # a few thousand pages measure the ceiling as well as 30k do; keep the
+    # sweep to ~1/4 of the --scaling wall time
+    pages = pages[:6000]
 
     out: dict[int, float] = {}
     for n in procs:

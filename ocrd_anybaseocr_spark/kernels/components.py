@@ -46,6 +46,44 @@ def runs_from_image(img: np.ndarray, threshold: int, strip: int = 128):
     )
 
 
+def zoom_runs(runs, zoom: float, nat_h: int):
+    """F4/K7 in RUN SPACE: the exact run set of resize_nearest(img, zoom)
+    derived arithmetically from the native runs — the upscaled image is
+    never materialized (at zoom 2 it would quadruple the memory traffic of
+    every downstream pass, which is what the shared-bus host punishes).
+
+    resize_nearest maps working pixel j ← native floor(j / zoom), so native
+    row y occupies working rows [ceil(y·z), ceil((y+1)·z)) and a native run
+    [s, e) becomes [ceil(s·z), ceil(e·z)) in each of those rows. Output is
+    re-sorted row-major (cc_from_runs sweeps rows in order). Exact for the
+    binary-representable zooms the corpus uses (2, 1.5); float ulp on other
+    zooms only ever moves a boundary the same way in both the run and pixel
+    paths is NOT guaranteed — the pixel path stays available for those."""
+    rr, ss, ee = runs
+    z = float(zoom)
+    row_first = np.ceil(np.arange(nat_h + 1) * z).astype(np.int64)
+    cnt = (row_first[rr + 1] - row_first[rr]).astype(np.int64)
+    reps = np.repeat(np.arange(len(rr)), cnt)
+    offs = np.arange(len(reps)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    rows_w = row_first[rr][reps] + offs
+    ss_w = np.ceil(ss * z).astype(np.int64)[reps]
+    ee_w = np.ceil(ee * z).astype(np.int64)[reps]
+    order = np.lexsort((ss_w, rows_w))
+    return rows_w[order], ss_w[order], ee_w[order]
+
+
+def unshear_runs(runs, shear: float, w: int):
+    """Deskew in RUN SPACE: unshear(img, shear) shifts row y left by
+    round(shear·y) (deskew.unshear), so run [a, b) → [a−s, b−s) ∩ [0, w);
+    empty results drop. Exactly the runs of the unsheared image."""
+    rr, ss, ee = runs
+    s = np.round(shear * rr.astype(np.float64)).astype(np.int64)
+    a = np.maximum(ss - s, 0)
+    b = np.minimum(ee - s, w)
+    keep = b > a
+    return rr[keep], a[keep], b[keep]
+
+
 def _find_runs(mask: np.ndarray):
     """Per-row horizontal runs of True. Returns (row, x_start, x_end_excl) arrays.
 

@@ -146,8 +146,11 @@ def _band_key_duck(b: int) -> str:
     ) + ")"
 
 
-ORACLE_MINHASH = f"""
-    WITH sh AS ({_SHINGLES_DUCK}),
+def _minhash_pairs_cte() -> str:
+    """Shared DuckDB CTE chain ending in cands(doc_a, doc_b, n_bands) —
+    used by both the raw-pairs oracle and the verified-dedup oracle.
+    ``{H32}`` is spliced in below once _hexn_to_int_duck exists."""
+    return f"""sh AS ({_SHINGLES_DUCK}),
     hh AS (
       SELECT doc_id, {{H32}} AS h FROM sh
     ),
@@ -169,11 +172,39 @@ ORACLE_MINHASH = f"""
       SELECT doc_id, band_no, band_key FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_key) AS n FROM banded0
       ) WHERE n <= {BAND_CAP}
+    ),
+    cands AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+      FROM banded a JOIN banded b
+        ON a.band_key = b.band_key AND a.band_no = b.band_no AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )"""
+
+
+ORACLE_MINHASH = f"""
+    WITH {_minhash_pairs_cte()}
+    SELECT doc_a, doc_b, n_bands FROM cands
+"""
+
+VERIFY_JACCARD_MIN = 0.5
+
+ORACLE_MINHASH_VERIFIED = f"""
+    WITH {_minhash_pairs_cte()},
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cands c
+      JOIN dsh sa ON sa.doc_id = c.doc_a
+      JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-    FROM banded a JOIN banded b
-      ON a.band_key = b.band_key AND a.band_no = b.band_no AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    SELECT i.doc_a, i.doc_b, i.inter,
+           round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) >= {VERIFY_JACCARD_MIN}
 """
 
 # ---------------------------------------------------------------------------
@@ -206,9 +237,45 @@ def _hexn_to_int_duck(col_expr: str, n_hex: int) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-# splice the shared hex→int arithmetic into the MinHash oracle (defined
+# splice the shared hex→int arithmetic into the MinHash oracles (defined
 # above, before _hexn_to_int_duck existed)
-ORACLE_MINHASH = ORACLE_MINHASH.replace("{H32}", _hexn_to_int_duck("md5(shingle)", 8))
+_H32_DUCK = _hexn_to_int_duck("md5(shingle)", 8)
+ORACLE_MINHASH = ORACLE_MINHASH.replace("{H32}", _H32_DUCK)
+ORACLE_MINHASH_VERIFIED = ORACLE_MINHASH_VERIFIED.replace("{H32}", _H32_DUCK)
+
+
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup flow END TO END: MinHash-LSH candidate pairs
+    (banded, band-capped) verified with the EXACT 3-gram Jaccard computed
+    ONLY for those pairs — the verification join fans in from the bounded
+    candidate set, never from raw shingle co-occurrence, so its cost is
+    O(candidates x shingles-per-doc) at any corpus size. Survivors:
+    jaccard >= VERIFY_JACCARD_MIN (matching the 4x4 banding's ~0.71
+    similarity operating point with recall margin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
+    dsh = shingles(docs).distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = dsh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = dsh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= VERIFY_JACCARD_MIN)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,10 +8,12 @@ serial ≡ parallel test matrix (reference: tests/conftest.py:68-99).
 
 from __future__ import annotations
 
+import numpy as np
+
 from .config import DEFAULT_PARAMS, PipelineParams
 from .kernels.binarize import otsu_threshold
 from .kernels.classify import classify_page
-from .kernels.components import labeled_runs, runs_from_image
+from .kernels.components import labeled_runs, runs_from_image, unshear_runs, zoom_runs
 from .kernels.crop import detect_border, detect_ruler
 from .kernels.deskew import estimate_shear_from_runs, unshear
 from .kernels.fold import fold_document
@@ -38,9 +40,20 @@ def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
     nat_h, nat_w = img.shape
     eff_dpi = params.crop.dpi_override if params.crop.dpi_override > 0 else dpi
     zoom = zoom_factor(eff_dpi, params.crop.dpi)
-    if zoom != 1.0:
+    # Zoom strategy: the Otsu path zooms in RUN SPACE (zoom_runs) — the
+    # upscaled image is never materialized, so a 150-DPI page costs native
+    # pixel work + run arithmetic instead of 4x the memory traffic (the
+    # shared-bus host punishes exactly that; see CLAUDE.md). Sauvola is a
+    # windowed local threshold, so its (rare, test/param) path upscales
+    # pixels — window statistics are not expressible over duplicated runs.
+    zoom_in_runs = zoom != 1.0 and params.binarize.method != "sauvola"
+    if zoom != 1.0 and not zoom_in_runs:
         img = resize_nearest(img, zoom)
-    h, w = img.shape
+    if zoom_in_runs:
+        h = max(1, int(np.ceil(nat_h * zoom)))
+        w = max(1, int(np.ceil(nat_w * zoom)))
+    else:
+        h, w = img.shape
     if params.binarize.method == "sauvola":
         from .kernels.binarize import binarize_sauvola
         from .kernels.components import _find_runs
@@ -57,10 +70,15 @@ def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
             return runs_from_image(im, t)
 
     runs = _runs(img)
+    if zoom_in_runs:
+        runs = zoom_runs(runs, zoom, nat_h)
     shear = estimate_shear_from_runs(*runs, h, w, params.deskew)
     if shear != 0.0:
-        img = unshear(img, shear)
-        runs = _runs(img)
+        if zoom_in_runs:
+            runs = unshear_runs(runs, shear, w)
+        else:
+            img = unshear(img, shear)
+            runs = _runs(img)
     cc = labeled_runs(runs=runs, h=h)  # one CC pass shared by ruler/border/classify
     shape = (h, w)
     ruler = detect_ruler(shape, params.crop, stats=cc[0])

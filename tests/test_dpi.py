@@ -55,6 +55,39 @@ def test_resize_nearest_roundtrip_coords():
         assert int(ys.min() // zoom) == 7 and int(ys.max() // zoom) == 14
 
 
+def test_run_space_zoom_equals_pixel_zoom():
+    """zoom_runs/unshear_runs are the exact run-space images of
+    resize_nearest/unshear — the working-resolution raster is never
+    materialized in the production path, but produces identical runs."""
+    from ocrd_anybaseocr_spark.kernels.components import (
+        runs_from_image,
+        unshear_runs,
+        zoom_runs,
+    )
+    from ocrd_anybaseocr_spark.kernels.deskew import unshear
+    from ocrd_anybaseocr_spark.png import decode_gray
+
+    checked = 0
+    for b in _pages(25):
+        img, dpi = decode_gray(bytes(b["image"]))
+        if dpi == 300:
+            continue
+        z = 300.0 / dpi
+        t = 128
+        want = runs_from_image(resize_nearest(img, z), t)
+        got = zoom_runs(runs_from_image(img, t), z, img.shape[0])
+        assert all(np.array_equal(a, c) for a, c in zip(want, got)), b["media_ref"]
+        wimg = resize_nearest(img, z)
+        want2 = runs_from_image(unshear(wimg, 0.01), t)
+        got2 = unshear_runs(got, 0.01, wimg.shape[1])
+        key = lambda r: tuple(a[np.lexsort((r[1], r[0]))] for a in r)
+        assert all(
+            np.array_equal(a, c) for a, c in zip(key(want2), key(got2))
+        ), ("shear", b["media_ref"])
+        checked += 1
+    assert checked >= 20, checked
+
+
 def test_dpi_override_beats_embedded():
     """params.crop.dpi_override > 0 asserts the scan DPI like the
     reference's 'dpi' parameter (cropping.py:129-130): a 150-DPI page
