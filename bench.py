@@ -75,7 +75,9 @@ def _pipeline_bench_inproc(cores: int, out_root: str, n_docs: int) -> dict:
     for rep in range(2):
         out_dir = os.path.join(out_root, f"out_{cores}_{time.time_ns()}")
         t0 = time.monotonic()
-        s = run_pipeline(spark, corpus, out_dir, n_parts=cores * 2, resume=False)
+        # 8 tasks/core: the long-tail page-size skew needs fine tasks for the
+        # tail to interleave (measured: 8x beats 2x by ~10% and 32x by ~25%)
+        s = run_pipeline(spark, corpus, out_dir, n_parts=cores * 8, resume=False)
         wall = time.monotonic() - t0
         shutil.rmtree(out_dir, ignore_errors=True)
         if best_wall is None or wall < best_wall:

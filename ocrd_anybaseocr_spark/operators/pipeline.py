@@ -103,12 +103,33 @@ def salted_repartition(df: DataFrame, cost_col: str, n_parts: int) -> DataFrame:
 
 
 def build_page_results(
-    documents: DataFrame, blobs: DataFrame, n_parts: int = 32, params=DEFAULT_PARAMS
+    documents: DataFrame,
+    blobs: DataFrame,
+    n_parts: int = 32,
+    params=DEFAULT_PARAMS,
+    skew_strategy: str = "salt",
 ) -> DataFrame:
     """documents ⋈ page_blobs → fused image stage. The join key media_ref is
-    unique on both sides (no key skew); byte-size skew is handled after the
-    join by salted_repartition on decoded-pixel cost."""
+    unique on both sides (no key skew). Byte-size skew handling:
+
+    - "salt" (default): size-bucketed salted repartition on decoded-pixel
+      cost after the join — one shuffle of the image bytes, perfectly even
+      tasks. Fastest when the shuffle fits local disk comfortably (measured
+      best at 8 tasks/core).
+    - "scan": NO byte shuffle at all — the page index broadcasts onto the
+      blob scan, and per-task byte skew is bounded at the storage layer by
+      small parquet row groups (synth writes ~2 MB groups; set
+      spark.sql.files.maxPartitionBytes accordingly). At 100 TB, where
+      shuffling the media bytes means re-writing the corpus to shuffle
+      storage, this is the right shape; results are identical
+      (parallelism-invariance holds for any partitioning).
+    """
     pages = page_index(documents)
+    if skew_strategy == "scan":
+        joined = blobs.select("media_ref", "image").join(F.broadcast(pages), "media_ref")
+        return process_pages(
+            joined.select("doc_id", "media_ref", "page_no", "image"), params
+        )
     joined = pages.join(blobs.select("media_ref", "image", "width", "height"), "media_ref")
     joined = joined.withColumn("_cost", F.col("width").cast("long") * F.col("height"))
     joined = salted_repartition(joined, "_cost", n_parts)

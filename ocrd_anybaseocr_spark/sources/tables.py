@@ -36,6 +36,9 @@ def spark_session(cores: int | str = "*", app: str = "ocrd_anybaseocr_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        # count(*) over parquet resolves from row-group metadata — the
+        # pipeline's bucket-derivation counts become footer reads
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
