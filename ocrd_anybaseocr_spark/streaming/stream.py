@@ -3,22 +3,26 @@
 The reference is strictly batch (finite workspaces, reference:
 cli/ocrd_anybaseocr_layout_analysis.py:72-86); its restart semantics map to
 either the checkpoint-table batch design (operators/pipeline.py, the
-default) or this equivalent streaming form: ``readStream`` over the corpus
-table with ``Trigger.AvailableNow`` + Spark's own streaming checkpoint, so
-an interrupted ingest resumes from the last committed micro-batch. New
-corpus partitions dropped into the input directory are picked up
-incrementally — the continuous-ingest mode of a 100 TB pipeline.
+default) or these streaming forms:
 
-No watermarks/stateful operators are needed: extraction is per-document
-(stateless per row), and the document fold is bounded per doc_id, so each
-micro-batch is complete per document by construction.
+- ``stream_extract``: stateless incremental extraction — ``readStream``
+  over the corpus table with ``Trigger.AvailableNow`` + Spark's streaming
+  checkpoint, exactly-once per micro-batch;
+- ``stream_fold_structure``: STATEFUL document assembly via
+  ``applyInPandasWithState`` — page results for one document may arrive
+  across micro-batches (even across restarts); per-doc state accumulates
+  pages in the state store and the W4 fold emits exactly once, when the
+  document's page count completes. State survives restarts through the
+  same streaming checkpoint, which is the whole point: a continuous 100 TB
+  ingest never sees a document atomically.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession, types as T
 
 from .. import schema as S
 from ..operators.extract import extract_spans
@@ -45,6 +49,123 @@ def stream_extract(
     q = (
         extracted.writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "extracted_spans_stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
+# page-result rows a fold stream consumes: identity + ordering + labels +
+# the document's total page count (carried per row so completion is
+# decidable without a side lookup)
+FOLD_INPUT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("labels", T.ArrayType(T.StringType()), False),
+        T.StructField("n_pages", T.IntegerType(), False),
+    ]
+)
+
+# state: accumulated pages as a JSON blob (schema-stable across versions)
+_FOLD_STATE = T.StructType([T.StructField("pages_json", T.StringType())])
+
+
+def fold_structure_stateful(pages: DataFrame) -> DataFrame:
+    """Stateful streaming W4 fold: group the page-result stream by doc_id,
+    accumulate (page_no, media_ref, labels) in the state store, emit the
+    folded DOC_STRUCTURE row exactly once when all n_pages arrived.
+
+    Incomplete documents stay in state across micro-batches AND restarts
+    (the state store rides the streaming checkpoint). Duplicate page
+    deliveries (at-least-once upstream) are absorbed: pages dedupe on
+    page_no inside the state.
+    """
+    import pandas as pd
+
+    def fold_fn(key, pdfs, state):
+        from ..kernels.fold import fold_document
+
+        pages_acc: dict[int, tuple[str, list[str]]] = {}
+        n_total = None
+        if state.exists:
+            (blob,) = state.get
+            for pno, ref, labels, tot in json.loads(blob):
+                pages_acc[pno] = (ref, labels)
+                n_total = tot
+        for pdf in pdfs:
+            for pno, ref, labels, tot in zip(
+                pdf["page_no"], pdf["media_ref"], pdf["labels"], pdf["n_pages"]
+            ):
+                pages_acc[int(pno)] = (str(ref), [str(x) for x in labels])
+                n_total = int(tot)
+        if n_total is not None and len(pages_acc) >= n_total:
+            ordered = [pages_acc[p] for p in sorted(pages_acc)]
+            divs, links = fold_document(ordered)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "doc_id": [key[0]],
+                    "divs": [
+                        [
+                            {"log_id": d[0], "label": d[1], "parent_id": d[2]}
+                            for d in divs
+                        ]
+                    ],
+                    "links": [
+                        [{"log_id": l[0], "media_ref": l[1]} for l in links]
+                    ],
+                }
+            )
+        else:
+            state.update(
+                (
+                    json.dumps(
+                        [
+                            [p, r, ls, n_total]
+                            for p, (r, ls) in sorted(pages_acc.items())
+                        ]
+                    ),
+                )
+            )
+            # incomplete document: emit nothing this batch
+
+    return (
+        pages.groupBy("doc_id")
+        .applyInPandasWithState(
+            fold_fn,
+            outputStructType=S.DOC_STRUCTURE,
+            stateStructType=_FOLD_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def stream_fold_structure(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Incremental stateful fold: a directory of page-result parquet files
+    (FOLD_INPUT schema) → DOC_STRUCTURE parquet, one row per document,
+    emitted when the document completes — possibly several ingest runs
+    later. Trigger.AvailableNow; rerun after new files land to continue."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_fold_checkpoint")
+    pages = (
+        spark.readStream.schema(FOLD_INPUT)
+        # ingest drops may be directories (a Spark write per batch)
+        .option("recursiveFileLookup", "true")
+        .parquet(pages_dir)
+    )
+    q = (
+        fold_structure_stateful(pages)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "doc_structure_stream"))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .outputMode("append")

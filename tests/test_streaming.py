@@ -28,3 +28,67 @@ def test_stream_matches_batch_and_is_exactly_once(spark, corpus_dir, tmp_path_fa
     stream_extract(spark, corpus_dir, out_dir)
     again = _canon(spark.read.parquet(os.path.join(out_dir, "extracted_spans_stream")))
     assert again == want
+
+
+def test_stateful_fold_across_microbatches_and_restart(
+    spark, corpus_dir, tmp_path_factory
+):
+    """Pages of one document arrive in TWO ingest runs (separate query
+    restarts): the stateful fold holds the partial document in the state
+    store across the restart and emits exactly one DOC_STRUCTURE row when
+    the page count completes — equal to the batch oracle fold."""
+    import pyarrow.parquet as pq
+
+    from ocrd_anybaseocr_spark.oracle import process_document
+    from ocrd_anybaseocr_spark.streaming.stream import stream_fold_structure
+
+    docs = pq.read_table(os.path.join(corpus_dir, "documents.parquet")).to_pylist()[:8]
+    blobs = pq.read_table(os.path.join(corpus_dir, "page_blobs.parquet")).to_pylist()
+    bmap = {b["media_ref"]: b["image"] for b in blobs}
+
+    want = {}
+    rows = []
+    for d in docs:
+        _, prs, struct = process_document(d, bmap)
+        want[d["doc_id"]] = (
+            [(v["log_id"], v["label"], v["parent_id"]) for v in struct["divs"]],
+            [(l["log_id"], l["media_ref"]) for l in struct["links"]],
+        )
+        for r in prs:
+            rows.append(
+                (r["doc_id"], r["media_ref"], r["page_no"], r["labels"], len(prs))
+            )
+
+    multi = {r[0] for r in rows if r[4] > 1}
+    first = [r for r in rows if not (r[0] in multi and r[2] == r[4] - 1)]
+    second = [r for r in rows if r[0] in multi and r[2] == r[4] - 1]
+    assert second, "fixture needs multi-page docs"
+
+    from ocrd_anybaseocr_spark.streaming.stream import FOLD_INPUT
+
+    in_dir = str(tmp_path_factory.mktemp("fold_in"))
+    out_dir = str(tmp_path_factory.mktemp("fold_out"))
+    spark.createDataFrame(first, FOLD_INPUT).write.parquet(
+        os.path.join(in_dir, "batch1.parquet")
+    )
+    stream_fold_structure(spark, in_dir, out_dir)
+    out_path = os.path.join(out_dir, "doc_structure_stream")
+    import ocrd_anybaseocr_spark.schema as S
+
+    def read_out():
+        return spark.read.schema(S.DOC_STRUCTURE).parquet(out_path)
+
+    got1 = {r.doc_id for r in read_out().collect()}
+    assert got1 == {r[0] for r in rows if r[0] not in multi}  # only complete docs
+
+    # run 2 (a fresh query against the same checkpoint): last pages land
+    spark.createDataFrame(second, FOLD_INPUT).write.parquet(
+        os.path.join(in_dir, "batch2.parquet")
+    )
+    stream_fold_structure(spark, in_dir, out_dir)
+    final = read_out().collect()
+    assert len(final) == len(docs)  # exactly once per document
+    for r in final:
+        wd, wl = want[r.doc_id]
+        assert [(v.log_id, v.label, v.parent_id) for v in r.divs] == wd, r.doc_id
+        assert [(l.log_id, l.media_ref) for l in r.links] == wl, r.doc_id
