@@ -69,6 +69,24 @@ def _plane_dot_spark(plane: np.ndarray) -> str:
     return f"aggregate(zip_with(se, {arr}, (x, p) -> x * p), 0L, (acc, v) -> acc + v)"
 
 
+def _buckets_expr_spark(n_tables: int, n_bits: int) -> str:
+    """ALL table buckets as one array expression: a single nested
+    higher-order function over one (tables*bits) x dim literal — one
+    codegen unit instead of tables*bits separate aggregate trees (36
+    separate expressions measured ~3x the plan-compile+eval cost)."""
+    planes = "array(" + ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in _PLANES[k]) + ")"
+        for k in range(n_tables * n_bits)
+    ) + ")"
+    return (
+        f"transform(sequence(0, {n_tables - 1}), t -> "
+        f"aggregate(sequence(0, {n_bits - 1}), 0, (bk, j) -> bk + "
+        f"CASE WHEN aggregate(zip_with(se, element_at({planes}, t * {n_bits} + j + 1),"
+        f" (x, p) -> x * p), 0L, (acc, v) -> acc + v) >= 0"
+        f" THEN cast(shiftleft(1, j) as int) ELSE 0 END))"
+    )
+
+
 def _plane_dot_duck(plane: np.ndarray) -> str:
     arr = "[" + ",".join(str(int(v)) for v in plane) + "]"
     return f"list_dot_product(se, {arr})"
@@ -91,7 +109,7 @@ def lsh_assignments(
     if n_tables * n_bits > _PLANES.shape[0]:
         raise ValueError("not enough precomputed hyperplanes for requested tables*bits")
     with_se = emb.withColumn("se", F.expr(_SE_SPARK))
-    bks = F.array(*[F.expr(_bucket_sql(t, n_bits, _plane_dot_spark)) for t in range(n_tables)])
+    bks = F.expr(_buckets_expr_spark(n_tables, n_bits))
     return with_se.select("vec_id", F.posexplode(bks).alias("tbl", "bucket"))
 
 
