@@ -188,8 +188,11 @@ ORACLE_MINHASH = f"""
 
 VERIFY_JACCARD_MIN = 0.5
 
-ORACLE_MINHASH_VERIFIED = f"""
-    WITH {_minhash_pairs_cte()},
+
+def _verified_cte() -> str:
+    """Extends _minhash_pairs_cte with ve(doc_a, doc_b, inter, jaccard) —
+    the exact-Jaccard-verified near-dup pairs."""
+    return f"""{_minhash_pairs_cte()},
     dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
     inter AS (
@@ -198,13 +201,42 @@ ORACLE_MINHASH_VERIFIED = f"""
       JOIN dsh sa ON sa.doc_id = c.doc_a
       JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY c.doc_a, c.doc_b
+    ),
+    ve AS (
+      SELECT i.doc_a, i.doc_b, i.inter,
+             round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6)
+            >= {VERIFY_JACCARD_MIN}
+    )"""
+
+
+ORACLE_MINHASH_VERIFIED = f"""
+    WITH {_verified_cte()}
+    SELECT doc_a, doc_b, inter, jaccard FROM ve
+"""
+
+# connected components over the verified near-dup graph: every document
+# gets the MIN doc_id of its component as cluster_id (isolated docs are
+# their own cluster). DuckDB side: recursive label reachability — a label
+# propagates along an edge only while smaller (prunes + terminates under
+# UNION set semantics).
+ORACLE_DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE {_verified_cte()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM ve
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM ve
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+      WHERE r.lbl < e.a
     )
-    SELECT i.doc_a, i.doc_b, i.inter,
-           round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.doc_a
-    JOIN sizes nb ON nb.doc_id = i.doc_b
-    WHERE round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) >= {VERIFY_JACCARD_MIN}
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
 # ---------------------------------------------------------------------------
@@ -242,6 +274,7 @@ def _hexn_to_int_duck(col_expr: str, n_hex: int) -> str:
 _H32_DUCK = _hexn_to_int_duck("md5(shingle)", 8)
 ORACLE_MINHASH = ORACLE_MINHASH.replace("{H32}", _H32_DUCK)
 ORACLE_MINHASH_VERIFIED = ORACLE_MINHASH_VERIFIED.replace("{H32}", _H32_DUCK)
+ORACLE_DEDUP_CLUSTERS = ORACLE_DEDUP_CLUSTERS.replace("{H32}", _H32_DUCK)
 
 
 def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +407,67 @@ def jaccard_pairs(
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs)
+
+
+def connected_components_labels(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Iterative min-label propagation: nodes(doc_id) × edges(doc_a, doc_b)
+    → (doc_id, cluster_id) with cluster_id = MIN doc_id of the connected
+    component (isolated nodes label themselves).
+
+    This is the distributed connected-components shape (GraphX CC /
+    hash-min): each round every node takes the min of its own label and
+    its neighbors' labels; converges in O(component diameter) rounds —
+    near-dup clusters are shallow, so a handful. Lineage is truncated per
+    round with localCheckpoint (an iterative algorithm would otherwise
+    stack joins); the fixpoint check is a count of changed labels, the
+    same result on any engine/partitioning (min is order-free)."""
+    sym = edges.select("doc_a", "doc_b").union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("nl")
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nl").alias("mn"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("mn", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: connected components over the VERIFIED
+    near-dup graph — the table a training pipeline keeps one document per
+    cluster_id from. Every document appears (singletons cluster alone)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = q_dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components_labels(docs.select("doc_id"), edges)
 
 
 ORACLE_JACCARD = f"""

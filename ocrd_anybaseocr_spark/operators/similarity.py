@@ -64,11 +64,6 @@ _DOT = (
 )
 
 
-def _plane_dot_spark(plane: np.ndarray) -> str:
-    arr = "array(" + ",".join(f"{int(v)}L" for v in plane) + ")"
-    return f"aggregate(zip_with(se, {arr}, (x, p) -> x * p), 0L, (acc, v) -> acc + v)"
-
-
 def _buckets_expr_spark(n_tables: int, n_bits: int) -> str:
     """ALL table buckets as one array expression: a single nested
     higher-order function over one (tables*bits) x dim literal — one

@@ -503,6 +503,7 @@ from .operators import textstats as _ts  # noqa: E402
 
 register("dedup_minhash_lsh", _dd.ORACLE_MINHASH)(_dd.q_dedup_minhash_lsh)
 register("dedup_minhash_verified", _dd.ORACLE_MINHASH_VERIFIED)(_dd.q_dedup_minhash_verified)
+register("dedup_clusters", _dd.ORACLE_DEDUP_CLUSTERS)(_dd.q_dedup_clusters)
 register("dedup_simhash", _dd.ORACLE_SIMHASH)(_dd.q_dedup_simhash)
 register("dedup_jaccard_ngram", _dd.ORACLE_JACCARD)(_dd.q_dedup_jaccard)
 register("ann_brute_force", _sim.ORACLE_ANN_BRUTE)(_sim.q_ann_brute_force)

@@ -130,6 +130,19 @@ def test_minhash_band_cap(spark):
     assert uncapped >= 200 * 199 // 2
 
 
+def test_connected_components_chain(spark):
+    """Min-label propagation crosses a diameter-3 chain (needs several
+    rounds) and leaves isolated nodes as their own cluster."""
+    from ocrd_anybaseocr_spark.operators.dedup import connected_components_labels
+
+    nodes = spark.createDataFrame([(x,) for x in "abcdez"], ["doc_id"])
+    edges = spark.createDataFrame(
+        [("c", "d"), ("b", "c"), ("a", "b"), ("e", "z")], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components_labels(nodes, edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "z": "e"}
+
+
 def test_jaccard_stop_shingle_cap(spark):
     """150 docs sharing only a stop-shingle must NOT pair (the hot shingle
     is dropped before the join); a true near-dup pair with distinctive
