@@ -27,6 +27,12 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--n-parts", type=int, default=256)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--skew-strategy", choices=("salt", "scan"), default="salt",
+        help="salt = salted byte-shuffle repartition (fastest when shuffle "
+             "storage is cheap); scan = no byte shuffle, skew bounded by "
+             "parquet row-group splits (the 100 TB shape)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -43,7 +49,8 @@ def main() -> None:
     from ocrd_anybaseocr_spark.operators.pipeline import run_pipeline
 
     summary = run_pipeline(
-        spark, args.input, args.output, n_parts=args.n_parts, resume=not args.no_resume
+        spark, args.input, args.output, n_parts=args.n_parts,
+        resume=not args.no_resume, skew_strategy=args.skew_strategy,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -423,11 +423,21 @@ def connected_components_labels(
     round with localCheckpoint (an iterative algorithm would otherwise
     stack joins); the fixpoint check is a count of changed labels, the
     same result on any engine/partitioning (min is order-free)."""
-    sym = edges.select("doc_a", "doc_b").union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    # materialize the edge set ONCE — its lineage (LSH + banding + Jaccard
+    # verification) must not recompute inside every propagation round —
+    # and iterate only over edge-touched nodes: near-dup graphs are a tiny
+    # fraction of the corpus; singletons join back at the end.
+    sym = (
+        edges.select("doc_a", "doc_b")
+        .union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -458,7 +468,9 @@ def connected_components_labels(
         labels = new
         if changed == 0:
             break
-    return labels
+    return nodes.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

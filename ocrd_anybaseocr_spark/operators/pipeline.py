@@ -143,6 +143,7 @@ def run_pipeline(
     n_parts: int = 32,
     resume: bool = True,
     n_buckets: int | None = None,
+    skew_strategy: str = "salt",
 ) -> dict:
     """End-to-end run with checkpointed, idempotent resume.
 
@@ -186,7 +187,7 @@ def run_pipeline(
     t0 = time.monotonic()
 
     extracted = extract_spans(documents.select("doc_id", "spans"))
-    page_results = build_page_results(documents, blobs, n_parts)
+    page_results = build_page_results(documents, blobs, n_parts, skew_strategy=skew_strategy)
 
     bucket = F.pmod(F.hash("doc_id"), F.lit(n_buckets)).cast("int")
 
