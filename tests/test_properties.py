@@ -160,3 +160,35 @@ def test_runs_from_image_equals_mask_path(seed, h, w, strip):
     got = runs_from_image(img, t, strip=strip)
     for a, b in zip(got, want):
         assert np.array_equal(a, b)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(2, 120), st.integers(2, 90),
+       st.sampled_from([1.25, 1.5, 2.0, 2.5, 3.0]),
+       st.sampled_from([-0.02, -0.01, 0.0, 0.01, 0.02]))
+@settings(max_examples=40, deadline=None)
+def test_run_space_transforms_equal_pixel_path(seed, h, w, zoom, shear):
+    """zoom_runs ∘ unshear_runs must equal resize_nearest ∘ unshear for
+    ANY image, zoom and shear — the production run-space path never
+    materializes the working raster, so this equality is the correctness
+    backbone of the DPI pipeline."""
+    from ocrd_anybaseocr_spark.kernels.components import (
+        runs_from_image,
+        unshear_runs,
+        zoom_runs,
+    )
+    from ocrd_anybaseocr_spark.kernels.deskew import unshear
+    from ocrd_anybaseocr_spark.kernels.transform import resize_nearest
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    t = 128
+    wimg = resize_nearest(img, zoom)
+    want = runs_from_image(unshear(wimg, shear), t)
+    got = unshear_runs(zoom_runs(runs_from_image(img, t), zoom, h), shear, wimg.shape[1])
+
+    def canon(r):
+        o = np.lexsort((r[1], r[0]))
+        return tuple(a[o] for a in r)
+
+    for a, b in zip(canon(got), canon(want)):
+        assert np.array_equal(a, b)
