@@ -156,3 +156,87 @@ ORACLE_FINGERPRINT = """
              AS fp_wordset
     FROM documents
 """
+
+# winnowing parameters: k-gram size and window width (MOSS defaults scaled
+# to word tokens) — every window of WINNOW_W consecutive k-gram hashes
+# contributes its minimum, so any shared passage of >= k + WINNOW_W - 1
+# words between two documents shares at least one fingerprint.
+WINNOW_K = 4
+WINNOW_W = 5
+
+_HEX = "0123456789abcdef"
+
+
+def _hex8_int(col: str, strpos_fn: str) -> str:
+    parts = [
+        f"(CAST({strpos_fn}('{_HEX}', substring({col}, {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprinting by WINNOWING (the MOSS
+    algorithm): hash every WINNOW_K-word k-gram (md5 prefix → int), take
+    the minimum of each sliding window of WINNOW_W hashes, keep the
+    distinct minima. Pure array expressions — one pass, no explode, no
+    shuffle. Guarantee: two documents sharing ANY passage of at least
+    WINNOW_K + WINNOW_W - 1 words share at least one fingerprint (both
+    contain the identical window of k-gram hashes, so both select its
+    minimum)."""
+    words = "split(text, ' ')"
+    h = _hex8_int(f"md5(cast(concat_ws(' ', slice({words}, i + 1, {WINNOW_K})) as binary))", "instr")
+    kg = (
+        f"CASE WHEN size({words}) >= {WINNOW_K} THEN"
+        f" transform(sequence(0, size({words}) - {WINNOW_K}), i -> {h})"
+        f" ELSE array() END"
+    )
+    wins = (
+        f"CASE WHEN size(kg) >= {WINNOW_W} THEN"
+        f" transform(sequence(0, size(kg) - {WINNOW_W}), j -> array_min(slice(kg, j + 1, {WINNOW_W})))"
+        f" ELSE (CASE WHEN size(kg) > 0 THEN array(array_min(kg)) ELSE array() END) END"
+    )
+    return (
+        docs.select("doc_id", F.expr(kg).alias("kg"))
+        .select("doc_id", F.expr(wins).alias("wins"))
+        .select("doc_id", F.expr("array_sort(array_distinct(wins))").alias("fps"))
+    )
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints as a driver query: fingerprint count + a
+    canonical digest of the set (the set itself is checked in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs).select(
+        "doc_id",
+        F.expr("size(fps)").cast("bigint").alias("n_fp"),
+        F.expr(
+            "md5(cast(concat_ws(',', transform(fps, x -> cast(x as string))) as binary))"
+        ).alias("fp_digest"),
+    )
+
+
+ORACLE_FINGERPRINT_WINNOW = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), kgs AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= {WINNOW_K} THEN
+               list_transform(generate_series(0, len(words) - {WINNOW_K}),
+                 i -> {_hex8_int(f"md5(array_to_string(words[i + 1:i + {WINNOW_K}], ' '))", "strpos")})
+             ELSE [] END AS kg
+      FROM w
+    ), wn AS (
+      SELECT doc_id,
+             CASE WHEN len(kg) >= {WINNOW_W} THEN
+               list_transform(generate_series(0, len(kg) - {WINNOW_W}),
+                 j -> list_min(kg[j + 1:j + {WINNOW_W}]))
+             ELSE (CASE WHEN len(kg) > 0 THEN [list_min(kg)] ELSE [] END) END AS wins
+      FROM kgs
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_sort(list_distinct(wins)), ',')) AS fp_digest
+    FROM wn
+"""

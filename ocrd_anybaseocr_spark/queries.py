@@ -513,6 +513,7 @@ register("lang_id", _ts.ORACLE_LANG_ID)(_ts.q_lang_id)
 register("quality_score", _ts.ORACLE_QUALITY)(_ts.q_quality_score)
 register("token_count", _ts.ORACLE_TOKEN_COUNT)(_ts.q_token_count)
 register("fingerprint", _ts.ORACLE_FINGERPRINT)(_ts.q_fingerprint)
+register("fingerprint_winnow", _ts.ORACLE_FINGERPRINT_WINNOW)(_ts.q_fingerprint_winnow)
 
 
 # ---------------------------------------------------------------------------

@@ -165,3 +165,27 @@ def test_jaccard_stop_shingle_cap(spark):
     # without the cap the stop-shingle clique pairs quadratically
     uncapped = jaccard_pairs(docs, max_shingle_df=10**9).count()
     assert uncapped >= 150 * 149 // 2
+
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """Winnowing guarantee: documents sharing a passage of at least
+    k + w - 1 words share >= 1 fingerprint; unrelated docs share none."""
+    from ocrd_anybaseocr_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = spark.createDataFrame(
+        [
+            ("a", f"alpha beta gamma {passage} delta epsilon"),
+            ("b", f"one two {passage} three four five six"),
+            ("c", "totally different words nothing in common here at all today"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: set(r.fps) for r in winnow_fingerprints(docs).collect()}
+    assert fps["a"] & fps["b"], "shared passage must share a fingerprint"
+    assert not (fps["a"] & fps["c"])
+    assert not (fps["b"] & fps["c"])
