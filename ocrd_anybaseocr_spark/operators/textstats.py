@@ -168,6 +168,11 @@ _HEX = "0123456789abcdef"
 
 
 def _hex8_int(col: str, strpos_fn: str) -> str:
+    """First 8 hex chars of an md5 → bigint via strpos arithmetic — DuckDB
+    oracle side only. The Spark side uses conv() (one md5 per k-gram): the
+    strpos form splices the md5 into 8 terms and Catalyst does not CSE the
+    repeats, so the md5 ran 8x per k-gram (measured 6.7x slower — VERDICT
+    round 2, item 1). Values are identical across the two forms."""
     parts = [
         f"(CAST({strpos_fn}('{_HEX}', substring({col}, {i + 1}, 1)) AS BIGINT) - 1)"
         f" * {16 ** (7 - i)}"
@@ -186,7 +191,10 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     contain the identical window of k-gram hashes, so both select its
     minimum)."""
     words = "split(text, ' ')"
-    h = _hex8_int(f"md5(cast(concat_ws(' ', slice({words}, i + 1, {WINNOW_K})) as binary))", "instr")
+    h = (
+        f"cast(conv(substring(md5(cast(concat_ws(' ',"
+        f" slice({words}, i + 1, {WINNOW_K})) as binary)), 1, 8), 16, 10) as bigint)"
+    )
     kg = (
         f"CASE WHEN size({words}) >= {WINNOW_K} THEN"
         f" transform(sequence(0, size({words}) - {WINNOW_K}), i -> {h})"

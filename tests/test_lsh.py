@@ -116,9 +116,14 @@ def test_minhash_band_cap(spark):
     pair with unique-ish shingles still collides."""
     mass = [(f"m{i:03d}", "lorem ipsum dolor sit amet consectetur adipiscing elit")
             for i in range(200)]
+    # near-dup pair at Jaccard ~0.94 (100 words, one changed at the end):
+    # with the non-degenerate wrapping family a band collides with prob
+    # J^4 ~ 0.78, so >=1-of-4 bands ~ 0.998 — deterministic constants,
+    # verified to collide (a J~0.78 pair legitimately missed all bands)
+    base = " ".join(f"tok{i}" for i in range(99))
     near = [
-        ("n1", "quick brown fox jumps over the lazy dog tonight again"),
-        ("n2", "quick brown fox jumps over the lazy dog tonight twice"),
+        ("n1", base + " again"),
+        ("n2", base + " twice"),
     ]
     docs = spark.createDataFrame(mass + near, ["doc_id", "text"])
     pairs = lsh_pairs(minhash_signatures(docs)).collect()
@@ -128,6 +133,34 @@ def test_minhash_band_cap(spark):
     # without the cap the clique explodes quadratically
     uncapped = lsh_pairs(minhash_signatures(docs), band_cap=10**9).count()
     assert uncapped >= 200 * 199 // 2
+
+
+def test_minhash_family_not_degenerate():
+    """The 16 per-doc minima must NOT all be attained at the same shingle —
+    the affine family's modulus has to actually wrap so each h_j permutes
+    the shingle order (ADVICE round 2, item 1: with A*h+B always below P the
+    family was monotone in h and the signature degenerated to one hash)."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        _MH_A,
+        _MH_B,
+        _MH_HEX,
+        _MH_P,
+        N_MINHASH,
+    )
+
+    shingles = [f"shingle number {i} text" for i in range(200)]
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:_MH_HEX], 16) for s in shingles]
+    argmins = {
+        min(range(len(hs)), key=lambda i: (_MH_A[j] * hs[i] + _MH_B[j]) % _MH_P)
+        for j in range(N_MINHASH)
+    }
+    assert len(argmins) > 4, f"family is (near-)degenerate: minima at {argmins}"
+    # the modulus must be reachable: products exceed P so % really wraps...
+    assert max(_MH_A) * max(hs) > _MH_P
+    # ...and every term stays exactly representable in int64 on both engines
+    assert max(_MH_A) * (16 ** _MH_HEX - 1) + max(_MH_B) < 2 ** 63
 
 
 def test_connected_components_chain(spark):
