@@ -58,9 +58,16 @@ def zoom_runs(runs, zoom: float, nat_h: int):
     re-sorted row-major (cc_from_runs sweeps rows in order). Exact for the
     binary-representable zooms the corpus uses (2, 1.5); float ulp on other
     zooms only ever moves a boundary the same way in both the run and pixel
-    paths is NOT guaranteed — the pixel path stays available for those."""
+    paths is NOT guaranteed — the pixel path stays available for those.
+
+    UPSCALE ONLY: for zoom < 1 the ceil mapping emits zero-length runs and
+    unmerged abutting fragments that diverge from resize_nearest (ADVICE
+    round 2, item 2) — process_page routes downscales through the pixel
+    path, and this guard keeps any other caller honest."""
     rr, ss, ee = runs
     z = float(zoom)
+    if z < 1.0:
+        raise ValueError(f"zoom_runs is exact for zoom >= 1 only, got {z}")
     row_first = np.ceil(np.arange(nat_h + 1) * z).astype(np.int64)
     cnt = (row_first[rr + 1] - row_first[rr]).astype(np.int64)
     reps = np.repeat(np.arange(len(rr)), cnt)

@@ -86,7 +86,10 @@ def crop_to_polygon(
     y2 = min(h - 1, int(np.floor(ys.max())))
     if x2 <= x1 or y2 <= y1:
         return np.full((1, 1), fill, dtype=np.uint8)
-    out = np.ascontiguousarray(img[y1 : y2 + 1, x1 : x2 + 1])
+    # .copy(), not ascontiguousarray: a full-width slice IS C-contiguous, so
+    # ascontiguousarray returns a VIEW and the fill below would write
+    # background pixels into the caller's image (ADVICE round 2, item 3)
+    out = img[y1 : y2 + 1, x1 : x2 + 1].copy()
     rows = np.arange(y1, y2 + 1, dtype=np.float64)
     lo = np.full(rows.shape, float(x1))
     hi = np.full(rows.shape, float(x2))
@@ -128,4 +131,5 @@ def crop_to_border(
     y2 = min(h - 1, border[3] - padding)
     if x2 <= x1 or y2 <= y1:
         return np.full((1, 1), fill, dtype=np.uint8)
-    return np.ascontiguousarray(img[y1 : y2 + 1, x1 : x2 + 1])
+    # copy: never hand back a view that aliases (and pins) the full page
+    return img[y1 : y2 + 1, x1 : x2 + 1].copy()

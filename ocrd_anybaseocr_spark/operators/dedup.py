@@ -450,6 +450,7 @@ def connected_components_labels(
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -480,6 +481,16 @@ def connected_components_labels(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # silent fall-through would return PARTIAL (wrong) labels for any
+        # component whose diameter exceeds max_iter — long near-dup chains
+        # (templated/serial documents) make that plausible at corpus scale
+        # (ADVICE round 2, item 4). Fail loudly; callers raise max_iter.
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds"
+            f" ({changed} labels still changing) — component diameter exceeds"
+            f" max_iter; raise max_iter"
+        )
     return nodes.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )

@@ -40,13 +40,18 @@ def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
     nat_h, nat_w = img.shape
     eff_dpi = params.crop.dpi_override if params.crop.dpi_override > 0 else dpi
     zoom = zoom_factor(eff_dpi, params.crop.dpi)
-    # Zoom strategy: the Otsu path zooms in RUN SPACE (zoom_runs) — the
+    # Zoom strategy: the Otsu path zooms UP in RUN SPACE (zoom_runs) — the
     # upscaled image is never materialized, so a 150-DPI page costs native
     # pixel work + run arithmetic instead of 4x the memory traffic (the
     # shared-bus host punishes exactly that; see CLAUDE.md). Sauvola is a
     # windowed local threshold, so its (rare, test/param) path upscales
     # pixels — window statistics are not expressible over duplicated runs.
-    zoom_in_runs = zoom != 1.0 and params.binarize.method != "sauvola"
+    # DOWNSCALE (zoom < 1, a >300-DPI scan) takes the materialized pixel
+    # path: run arithmetic can't express it — ceil-mapping a native run
+    # downward emits zero-length runs and abutting fragments that diverge
+    # from resize_nearest (ADVICE round 2, item 2), and downscaled images
+    # are SMALLER than native, so materializing costs less than the input.
+    zoom_in_runs = zoom > 1.0 and params.binarize.method != "sauvola"
     if zoom != 1.0 and not zoom_in_runs:
         img = resize_nearest(img, zoom)
     if zoom_in_runs:

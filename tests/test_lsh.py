@@ -176,6 +176,29 @@ def test_connected_components_chain(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "z": "e"}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """Hitting max_iter with labels still moving must FAIL, not silently
+    return partial clusters (ADVICE round 2, item 4)."""
+    import pytest
+
+    from ocrd_anybaseocr_spark.operators.dedup import connected_components_labels
+
+    chain = "abcdefgh"
+    nodes = spark.createDataFrame([(x,) for x in chain], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(chain[i], chain[i + 1]) for i in range(len(chain) - 1)],
+        ["doc_a", "doc_b"],
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_labels(nodes, edges, max_iter=2).collect()
+    # and with enough rounds the same chain converges to one cluster
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_labels(nodes, edges, max_iter=20).collect()
+    }
+    assert set(got.values()) == {"a"}
+
+
 def test_jaccard_stop_shingle_cap(spark):
     """150 docs sharing only a stop-shingle must NOT pair (the hot shingle
     is dropped before the join); a true near-dup pair with distinctive

@@ -51,6 +51,23 @@ def test_crop_to_polygon_rect_equals_crop_to_border():
     assert np.array_equal(a, b)
 
 
+def test_crop_to_polygon_never_mutates_input():
+    """A FULL-WIDTH crop slice is C-contiguous, so the old
+    ascontiguousarray returned a view and the background fill silently
+    corrupted the caller's page (ADVICE round 2, item 3)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 200, size=(120, 80), dtype=np.uint8)
+    before = img.copy()
+    # full-width quad: bbox spans columns 0..79 → contiguous slice
+    quad = np.array([[40.0, 10.0], [79.0, 60.0], [40.0, 110.0], [0.0, 60.0]])
+    out = crop_to_polygon(img, quad, padding=0, fill=235)
+    assert (out == 235).any()  # fill actually happened
+    assert np.array_equal(img, before), "input image was mutated"
+    b2 = img.copy()
+    crop_to_border(img, [0, 10, 79, 110], padding=0)
+    assert np.array_equal(img, b2)
+
+
 def test_crop_to_polygon_fills_outside_quad():
     """Non-rectangular border: pixels inside the bbox but outside the
     polygon are background-filled; pixels inside the polygon survive."""
