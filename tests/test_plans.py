@@ -66,6 +66,16 @@ def test_session_window_single_shuffle(spark, sf_dir):
     assert count_exchanges(df) == 1, explain_str(df, "simple")
 
 
+def test_value_quantiles_single_shuffle_no_buffer_agg(spark, sf_dir):
+    """Sort-based exact quantiles: ONE exchange on event_type (window sort
+    + rank + final groupBy all reuse it), and no `percentile` aggregate —
+    that one buffers whole groups in executor memory, an OOM with few huge
+    groups at 100x scale (VERDICT round 2)."""
+    df = QUERIES["value_quantiles"](spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+    assert "percentile" not in explain_str(df).lower()
+
+
 def test_ann_brute_force_no_shuffle(spark, sf_dir):
     """Query side broadcast → corpus side streams; top-k window shuffles
     only the scored candidates (tiny)."""
