@@ -48,6 +48,11 @@ class BinarizeParams:
     method: str = "otsu"             # 'otsu' | 'sauvola'
     sauvola_window: int = 31
     sauvola_k: float = 0.34
+    normalize_gray: bool = True      # percentile stretch before binarize —
+                                     # emits the 'grayscale_normalized' feature
+                                     # (ref feature vocabulary, cropping.py:118-120)
+    norm_lo_pct: float = 5.0         # ocropus-nlbin percentile pair
+    norm_hi_pct: float = 90.0
 
 
 @dataclass(frozen=True)

@@ -13,6 +13,28 @@ from __future__ import annotations
 import numpy as np
 
 
+def normalize_gray(
+    img: np.ndarray, lo_pct: float = 5.0, hi_pct: float = 90.0
+) -> np.ndarray:
+    """Percentile contrast normalization — the 'grayscale_normalized'
+    stage of the reference's feature vocabulary (its cropping step filters
+    on it, cli/ocrd_anybaseocr_cropping.py:118-120; the normalization
+    itself is the ocropus-nlbin percentile stretch the dropped
+    ocrd-anybaseocr-binarize processor performed). Maps the [p_lo, p_hi]
+    intensity band to [0, 255] with clipping; a flat band (p_hi <= p_lo,
+    e.g. ink fraction below lo_pct on an already-clean page) is a no-op.
+    Deterministic: np.percentile linear interpolation, fixed percentiles,
+    sampled on every 4th row like otsu_threshold (same traffic argument).
+    """
+    sample = img[::4] if img.shape[0] > 16 else img
+    lo = float(np.percentile(sample, lo_pct))
+    hi = float(np.percentile(sample, hi_pct))
+    if hi - lo < 1.0:
+        return img
+    out = (img.astype(np.float64) - lo) * (255.0 / (hi - lo))
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def otsu_threshold(img: np.ndarray, row_step: int = 4) -> int:
     """Otsu's global threshold on a uint8 grayscale image.
 

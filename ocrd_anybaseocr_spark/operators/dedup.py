@@ -333,7 +333,7 @@ _VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _verified_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.conf.get("spark.app.id", "?"), sf_dir)
     if key not in _VERIFIED_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         _VERIFIED_CACHE[key] = verified_pairs(docs).localCheckpoint(eager=True)

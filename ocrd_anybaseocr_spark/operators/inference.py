@@ -60,15 +60,17 @@ def get_scorer(name: str) -> Callable:
 
 def preprocess_nhwc(png_batch: list[bytes]) -> np.ndarray:
     """F9: the reference's exact input contract for the CNN — 500x600
-    LANCZOS-class resize (bilinear here), /255 float, NHWC single channel
-    (ref layout_analysis.py:96-99: shape (n, 600, 500, 1))."""
-    from ..kernels.transform import resize_bilinear
+    LANCZOS-class resize (support-scaled cubic: an interpolating,
+    anti-aliasing filter matching the reference's tensor contract on real
+    scans, where nearest/point sampling aliases fine strokes), /255 float,
+    NHWC single channel (ref layout_analysis.py:96-99: (n, 600, 500, 1))."""
+    from ..kernels.transform import resize_cubic
     from ..png import decode_gray
 
     out = np.empty((len(png_batch), 600, 500, 1), dtype=np.float32)
     for i, png in enumerate(png_batch):
         img, _ = decode_gray(bytes(png))
-        out[i, :, :, 0] = resize_bilinear(img, 600, 500).astype(np.float32) / 255.0
+        out[i, :, :, 0] = resize_cubic(img, 600, 500).astype(np.float32) / 255.0
     return out
 
 

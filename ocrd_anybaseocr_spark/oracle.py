@@ -37,6 +37,12 @@ def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
     Returns a dict matching schema.PAGE_RESULTS minus doc/page identity.
     """
     img, dpi = decode_gray(png_bytes)
+    if params.binarize.normalize_gray:
+        from .kernels.binarize import normalize_gray
+
+        img = normalize_gray(
+            img, params.binarize.norm_lo_pct, params.binarize.norm_hi_pct
+        )
     nat_h, nat_w = img.shape
     eff_dpi = params.crop.dpi_override if params.crop.dpi_override > 0 else dpi
     zoom = zoom_factor(eff_dpi, params.crop.dpi)
@@ -98,7 +104,11 @@ def process_page(png_bytes: bytes, params: PipelineParams = DEFAULT_PARAMS):
             min(int(border[2] // zoom), nat_w - 1),
             min(int(border[3] // zoom), nat_h - 1),
         ]
-    features = "binarized"
+    features = (
+        "grayscale_normalized,binarized"
+        if params.binarize.normalize_gray
+        else "binarized"
+    )
     if shear != 0.0:
         features += ",deskewed"
     features += ",cropped"

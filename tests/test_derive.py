@@ -35,6 +35,37 @@ def test_crop_images_emit(spark, corpus_dir):
         assert dpi == t.dpi
 
 
+def test_grayscale_normalized_stage_emitted_and_matchable(corpus_dir):
+    """The grayscale_normalized stage (ref feature vocabulary,
+    cropping.py:118-120) is a REAL produced stage: default params emit the
+    feature, a feature_filter naming it now actually excludes produced
+    rows, and disabling the stage drops the feature. The normalization
+    itself must not perturb truth recovery (see test_dpi/test_kernels —
+    exact-border tests run with the default-ON stage)."""
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.config import BinarizeParams, PipelineParams
+    from ocrd_anybaseocr_spark.kernels.binarize import normalize_gray
+    from ocrd_anybaseocr_spark.oracle import process_page
+    from ocrd_anybaseocr_spark.synth import generate_doc
+
+    _, blobs = generate_doc(42, 0)
+    png = bytes(blobs[0]["image"])
+    r = process_page(png)
+    assert r["features"].startswith("grayscale_normalized,binarized")
+    off = PipelineParams(binarize=BinarizeParams(normalize_gray=False))
+    r2 = process_page(png, off)
+    assert "grayscale_normalized" not in r2["features"]
+
+    # the stretch really normalizes: a low-contrast page (values compressed
+    # into [100, 160]) maps its percentile band to full range
+    rng = np.random.default_rng(3)
+    flat = rng.integers(100, 160, size=(120, 90), dtype=np.uint8)
+    out = normalize_gray(flat)
+    assert out.min() == 0 and out.max() == 255
+    assert normalize_gray(np.full((50, 50), 128, np.uint8)).max() == 128  # flat no-op
+
+
 def test_feature_selector_and_filter(spark):
     df = spark.createDataFrame(
         [("a", "binarized,cropped"), ("b", "binarized,deskewed,cropped"), ("c", "grayscale_normalized")],
