@@ -3,7 +3,7 @@
     spark-submit --py-files engine.zip jobs/extract_job.py \
         --input  <corpus dir / Iceberg table path> \
         --output <output root> \
-        [--n-parts 4096] [--no-resume]
+        [--n-parts 4096] [--no-resume] [--catalog <catalog.namespace>]
 
 Packaging (north_rule: "packaged for spark-submit --py-files"):
 
@@ -33,6 +33,13 @@ def main() -> None:
              "storage is cheap); scan = no byte shuffle, skew bounded by "
              "parquet row-group splits (the 100 TB shape)",
     )
+    p.add_argument(
+        "--catalog", default=None,
+        help="catalog namespace (e.g. iceberg_cat.graft) — outputs become "
+             "catalog tables written via the v2 writeTo API (atomic "
+             "snapshot commits on Iceberg) instead of parquet directories "
+             "under --output",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,6 +58,7 @@ def main() -> None:
     summary = run_pipeline(
         spark, args.input, args.output, n_parts=args.n_parts,
         resume=not args.no_resume, skew_strategy=args.skew_strategy,
+        catalog=args.catalog,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -113,6 +113,53 @@ def test_bucket_count_invariance(spark, corpus_dir, pipeline_out, tmp_path_facto
         assert rows(pipeline_out) == rows(out4), table
 
 
+def test_catalog_writer_resume(spark, corpus_dir, pipeline_out, tmp_path_factory):
+    """S1/S4 catalog write path: run_pipeline(catalog=...) writes all four
+    tables via the v2 writeTo API (the built-in session catalog stands in
+    for Iceberg — its v1 tables exercise create() plus the documented
+    insertInto fallback) and passes the SAME resume contract as the
+    parquet-path writer: full rerun is a no-op, a half-truncated
+    checkpoint table resumes to full output with no duplicate doc_id."""
+    import ocrd_anybaseocr_spark.schema as S
+
+    db = "graft_cat_test"
+    loc = str(tmp_path_factory.mktemp("warehouse"))
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    try:
+        out_dir = str(tmp_path_factory.mktemp("unused"))
+        s1 = run_pipeline(spark, corpus_dir, out_dir, n_parts=8, catalog=db)
+        assert s1["docs"] > 0
+        ext_tbl = f"{db}.extracted_spans"
+        full = spark.read.table(ext_tbl).count()
+        assert full > 0
+
+        # fully checkpointed -> rerun does no work
+        s2 = run_pipeline(spark, corpus_dir, out_dir, n_parts=8, catalog=db)
+        assert s2["docs"] == 0
+
+        # mid-corpus failure: keep half the checkpoint rows, rerun
+        ck = spark.read.table(f"{db}.checkpoints").toPandas()
+        keep = ck.iloc[: len(ck) // 2]
+        spark.sql(f"DROP TABLE {db}.checkpoints")
+        (spark.createDataFrame(keep, S.CHECKPOINT)
+            .writeTo(f"{db}.checkpoints").using("parquet").create())
+        s3 = run_pipeline(spark, corpus_dir, out_dir, n_parts=8, catalog=db)
+        assert s3["docs"] > 0
+        ext = spark.read.table(ext_tbl)
+        assert ext.count() == full
+        assert ext.select("doc_id").distinct().count() == full
+        # catalog output equals the parquet-path output row for row
+        def rows(df):
+            d = df.drop("part_bucket")
+            return d.select(*sorted(d.columns)).orderBy("doc_id").collect()
+
+        want = spark.read.parquet(os.path.join(pipeline_out, "extracted_spans"))
+        assert rows(ext) == rows(want)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_partial_checkpoint_resume(spark, corpus_dir, tmp_path_factory):
     # simulate a mid-corpus failure: keep only some checkpoint rows, rerun,
     # assert full output with no duplicate doc_id (FIXTURES.md §3.4)
