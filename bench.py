@@ -67,7 +67,11 @@ def _pipeline_bench_inproc(cores: int, out_root: str, n_docs: int) -> dict:
     from ocrd_anybaseocr_spark.sources.tables import spark_session
 
     corpus = ensure_corpus(n_docs)
-    spark = spark_session(cores=cores, shuffle_partitions=max(cores, 16))
+    spark = spark_session(
+        cores=cores,
+        shuffle_partitions=max(cores, 16),
+        arrow_batch=int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256")),
+    )
     _warmup(spark, corpus, cores)
     # best-of-2 (same policy at every core count): the host shows ±30%
     # run-to-run noise; the faster run is the better estimate of capacity
@@ -83,6 +87,7 @@ def _pipeline_bench_inproc(cores: int, out_root: str, n_docs: int) -> dict:
         if best_wall is None or wall < best_wall:
             best_wall, summary = wall, s
     spark.stop()
+    kernel_s = summary.get("kernel_ms", 0) / 1000.0
     return {
         "cores": cores,
         "wall_s": round(best_wall, 2),
@@ -90,6 +95,13 @@ def _pipeline_bench_inproc(cores: int, out_root: str, n_docs: int) -> dict:
         "pages": summary["pages"],
         "docs_per_sec": round(summary["docs"] / best_wall, 2),
         "pages_per_sec": round(summary["pages"] / best_wall, 2),
+        # in-UDF kernel CPU seconds + its share of wall*cores: the measured
+        # split between hardware time (kernels, incl. bus contention — also
+        # visible in the mp.Pool sweep) and Spark-side time (Arrow hop,
+        # scheduling, span/fold/write jobs)
+        "kernel_cpu_s": round(kernel_s, 1),
+        "kernel_util": round(kernel_s / (best_wall * cores), 3) if best_wall else None,
+        "ms_per_page": round(kernel_s * 1000.0 / summary["pages"], 2) if summary["pages"] else None,
     }
 
 
@@ -220,11 +232,44 @@ def _raw_section(raw: dict[int, float] | None) -> str:
     )
 
 
+def run_attribution(out_root: str) -> list[dict]:
+    """Measured attribution of the 8→32 scaling gap (VERDICT round 2 item
+    6): pipeline runs at 8 and 32 cores with kernel-CPU accounting, an
+    Arrow batch-size sweep, and the mapInArrow transport variant — each in
+    its own subprocess. The kernel_util / ms_per_page split shows how much
+    of the gap is kernel-time inflation (shared memory bus, also present
+    in the raw mp.Pool sweep) vs Spark-side time (Arrow hop + scheduling
+    + the non-image jobs)."""
+    configs = [
+        ("pandas", 256, 8),
+        ("pandas", 256, 32),
+        ("pandas", 64, 32),
+        ("pandas", 512, 32),
+        ("arrow", 256, 32),
+    ]
+    out = []
+    for impl, ab, cores in configs:
+        os.environ["SPARK_GRAFT_UDF_IMPL"] = impl
+        os.environ["SPARK_GRAFT_ARROW_BATCH"] = str(ab)
+        r = run_pipeline_bench(cores, out_root, n_docs=SCALING_DOCS)
+        r.update(impl=impl, arrow_batch=ab)
+        print(json.dumps(r), file=sys.stderr)
+        out.append(r)
+    os.environ.pop("SPARK_GRAFT_UDF_IMPL", None)
+    os.environ.pop("SPARK_GRAFT_ARROW_BATCH", None)
+    return out
+
+
 def main() -> None:
     if "--pipeline-probe" in sys.argv:
         i = sys.argv.index("--pipeline-probe")
         cores, n_docs, out_root = int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3]
         print(json.dumps(_pipeline_bench_inproc(cores, out_root, n_docs)))
+        return
+    if "--attribution" in sys.argv:
+        out_root = os.path.join(_ROOT, ".bench")
+        os.makedirs(out_root, exist_ok=True)
+        print(json.dumps({"attribution": run_attribution(out_root)}))
         return
     scaling = "--scaling" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

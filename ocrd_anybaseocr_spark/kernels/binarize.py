@@ -27,12 +27,35 @@ def normalize_gray(
     sampled on every 4th row like otsu_threshold (same traffic argument).
     """
     sample = img[::4] if img.shape[0] > 16 else img
-    lo = float(np.percentile(sample, lo_pct))
-    hi = float(np.percentile(sample, hi_pct))
+    # exact np.percentile('linear') order statistics from the histogram —
+    # no sort/partition over the pixels, and the stretch applies as a
+    # 256-entry LUT gather so the image crosses memory as uint8 ONCE
+    # (a float64 full-image pass here measurably drags the whole 32-way
+    # pipeline on the shared-bus host; see CLAUDE.md)
+    hist = np.bincount(sample.ravel(), minlength=256)
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    if n == 0:
+        return img
+    def pctl(q: float) -> float:
+        pos = (n - 1) * (q / 100.0)
+        k = int(np.floor(pos))
+        frac = pos - k
+        # k-th (0-indexed) order statistic = first value whose cumulative
+        # count exceeds k
+        vlo = float(np.searchsorted(cum, k + 1))
+        vhi = float(np.searchsorted(cum, min(k + 2, n)))
+        return vlo + (vhi - vlo) * frac
+
+    lo, hi = pctl(lo_pct), pctl(hi_pct)
     if hi - lo < 1.0:
         return img
-    out = (img.astype(np.float64) - lo) * (255.0 / (hi - lo))
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    lut = np.clip(
+        np.round((np.arange(256, dtype=np.float64) - lo) * (255.0 / (hi - lo))),
+        0,
+        255,
+    ).astype(np.uint8)
+    return lut[img]
 
 
 def otsu_threshold(img: np.ndarray, row_step: int = 4) -> int:

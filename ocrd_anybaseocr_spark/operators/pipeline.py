@@ -52,14 +52,26 @@ def derive_buckets(n_docs: int) -> int:
     return int(min(N_BUCKETS_MAX, max(N_BUCKETS_MIN, -(-n_docs // DOCS_PER_BUCKET))))
 
 
-def process_pages(pages_with_blobs: DataFrame, params=DEFAULT_PARAMS) -> DataFrame:
+def process_pages(
+    pages_with_blobs: DataFrame, params=DEFAULT_PARAMS, impl: str | None = None
+) -> DataFrame:
     """Fused per-page stage over (doc_id, media_ref, page_no, image).
 
     One Arrow hop: bytes in, small structured results out. Kernel code is
     imported inside the UDF so executors resolve it from --py-files; the
     frozen params dataclass ships in the UDF closure (analogous to the
     reference's validated parameter JSON, ocrd-tool.json:17-132).
+
+    ``impl`` (or env SPARK_GRAFT_UDF_IMPL): 'pandas' (mapInPandas,
+    default) or 'arrow' (mapInArrow — skips the pandas Series/Block
+    wrapping of the binary column on both sides of the hop; identical
+    results, pytest-asserted). Both are vectorized batch transports; the
+    knob exists because the 8→32 scaling gap needed a measured Arrow-hop
+    attribution (VERDICT round 2, item 6).
     """
+    impl = impl or os.environ.get("SPARK_GRAFT_UDF_IMPL", "pandas")
+    if impl == "arrow":
+        return _process_pages_arrow(pages_with_blobs, params)
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # heavy imports once per task, not per batch (ref model-load-once:
@@ -83,6 +95,60 @@ def process_pages(pages_with_blobs: DataFrame, params=DEFAULT_PARAMS) -> DataFra
             yield pd.DataFrame(out, columns=[f.name for f in _STAGE_SCHEMA.fields])
 
     return pages_with_blobs.mapInPandas(stage, schema=_STAGE_SCHEMA)
+
+
+_STAGE_COLS = [f.name for f in _STAGE_SCHEMA.fields]
+
+
+def _process_pages_arrow(pages_with_blobs: DataFrame, params=DEFAULT_PARAMS) -> DataFrame:
+    """mapInArrow twin of the pandas stage: RecordBatch in, RecordBatch
+    out, no pandas conversion of the page-bytes column. Output batches are
+    built with from_pydict against an explicit Arrow schema matching
+    _STAGE_SCHEMA's Spark types (int32/list<int32>/...)."""
+
+    def stage(batches):
+        import pyarrow as pa
+
+        from ..oracle import process_page
+
+        aschema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("media_ref", pa.string()),
+                ("page_no", pa.int32()),
+                ("border", pa.list_(pa.int32())),
+                ("perfect", pa.bool_()),
+                ("skew", pa.float64()),
+                ("features", pa.string()),
+                ("scores", pa.list_(pa.float64())),
+                ("labels", pa.list_(pa.string())),
+                ("n_text_regions", pa.int32()),
+                ("n_image_regions", pa.int32()),
+                ("ink_ratio", pa.float64()),
+                ("proc_ms", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            d = batch.select(["doc_id", "media_ref", "page_no", "image"]).to_pydict()
+            out: dict[str, list] = {name: [] for name in _STAGE_COLS}
+            for doc_id, media_ref, page_no, png in zip(
+                d["doc_id"], d["media_ref"], d["page_no"], d["image"]
+            ):
+                t0 = time.monotonic()
+                r = process_page(bytes(png), params)
+                r.update(
+                    doc_id=doc_id,
+                    media_ref=media_ref,
+                    page_no=int(page_no),
+                    proc_ms=int((time.monotonic() - t0) * 1000),
+                )
+                for name in _STAGE_COLS:
+                    out[name].append(r[name])
+            yield pa.RecordBatch.from_pydict(out, schema=aschema)
+
+    return pages_with_blobs.select("doc_id", "media_ref", "page_no", "image").mapInArrow(
+        stage, schema=_STAGE_SCHEMA
+    )
 
 
 def salted_repartition(df: DataFrame, cost_col: str, n_parts: int) -> DataFrame:
@@ -360,4 +426,9 @@ def run_pipeline(
         "pages": pages,
         "resumed_buckets": sorted(done),
         "elapsed_s": elapsed_ms / 1000.0,
+        # pure in-UDF kernel CPU time (decode→classify), summed from the
+        # checkpoint metrics — wall*cores minus this is the Spark-side
+        # share (Arrow hop, scheduling, non-image jobs): the 8→32 scaling
+        # attribution input (BENCH/BASELINE.md)
+        "kernel_ms": int(sum(r.latency_ms for r in new_rows)),
     }

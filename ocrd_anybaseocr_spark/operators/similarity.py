@@ -313,12 +313,11 @@ def embedding_lsh_pairs(
     )
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cosine_verified_pairs(emb: DataFrame) -> DataFrame:
     """Embedding near-dup detection: hyperplane-LSH candidate pairs, then an
     EXACT 1e4-scaled integer dot product threshold — order-independent and
     bit-identical across engines (float dot products differ in the last
     ulps between engines)."""
-    emb = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_lsh_pairs(emb.select("vec_id", "embedding"))
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
@@ -329,6 +328,28 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dot_e8") >= NEAR_DUP_DOT_E8)
         .select("vec_a", "vec_b", "dot_e8")
     )
+
+
+# computed once per (session, sf_dir) and lineage-truncated, shared by the
+# pairs query and the clusters query — same rationale and shape as
+# dedup._verified_cached (the CC edge materialization would otherwise
+# evaluate the whole LSH+verify lineage twice via the symmetric union)
+_EMB_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _emb_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.conf.get("spark.app.id", "?"), sf_dir)
+    if key not in _EMB_PAIRS_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _EMB_PAIRS_CACHE[key] = cosine_verified_pairs(emb).localCheckpoint(eager=True)
+    return _EMB_PAIRS_CACHE[key]
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_pairs_cached(spark, sf_dir).select("vec_a", "vec_b", "dot_e8")
+
+
+q_dedup_embedding_cosine.__doc__ = cosine_verified_pairs.__doc__
 
 
 _DEDUP_EMB_CTE = f"""{_bk_cte_duck()},
@@ -367,7 +388,7 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components_labels
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = q_dedup_embedding_cosine(spark, sf_dir).select(
+    pairs = _emb_pairs_cached(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     lab = connected_components_labels(

@@ -113,6 +113,24 @@ def test_bucket_count_invariance(spark, corpus_dir, pipeline_out, tmp_path_facto
         assert rows(pipeline_out) == rows(out4), table
 
 
+def test_arrow_transport_equals_pandas_transport(spark, corpus_dir):
+    """The mapInArrow stage variant (scaling-attribution knob) must be
+    result-identical to the mapInPandas default — same kernels, same
+    batches, different batch transport only."""
+    from ocrd_anybaseocr_spark.operators.extract import page_index
+    from ocrd_anybaseocr_spark.operators.pipeline import process_pages
+
+    docs, blobs = load_corpus(spark, corpus_dir)
+    sel = (
+        page_index(docs)
+        .join(blobs.select("media_ref", "image"), "media_ref")
+        .select("doc_id", "media_ref", "page_no", "image")
+    )
+    ra = sorted(tuple(r) for r in process_pages(sel, impl="pandas").drop("proc_ms").collect())
+    rb = sorted(tuple(r) for r in process_pages(sel, impl="arrow").drop("proc_ms").collect())
+    assert ra == rb and len(ra) > 0
+
+
 def test_catalog_writer_resume(spark, corpus_dir, pipeline_out, tmp_path_factory):
     """S1/S4 catalog write path: run_pipeline(catalog=...) writes all four
     tables via the v2 writeTo API (the built-in session catalog stands in
