@@ -225,6 +225,89 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corpus-level boilerplate criterion (the C4 "line repeated across
+# documents" rule re-expressed over word 3-grams, since this corpus has no
+# line structure): a shingle occurring in >= BOILER_DF documents of the
+# SAME source is boilerplate. north_rule names "HTML boilerplate strip" as
+# the extraction shape — this is its text-table analog: per-document
+# boilerplate mass a cleaning pass would strip.
+BOILER_DF = 2
+
+_SHINGLES_SRC_SPARK = (
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+    " transform(sequence(0, size(split(text, ' ')) - 3),"
+    "   i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+    " ELSE array() END"
+)
+
+
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate mass: shingle occurrences whose per-source
+    document frequency >= BOILER_DF, as count + ratio. One shuffle on
+    (source, shingle) shared by the df-aggregation and the join back (the
+    MAX_SHINGLE_DF pattern), then a per-doc agg — scale-safe: no step is
+    ever quadratic in documents, and the df relation shards on the same
+    high-entropy key it joins on."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(F.expr(_SHINGLES_SRC_SPARK)).alias("shingle")
+    )
+    dfq = sh.groupBy("source", "shingle").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per = (
+        sh.join(dfq, ["source", "shingle"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= BOILER_DF, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+      FROM documents
+    ), dfq AS (
+      SELECT source, shingle, COUNT(DISTINCT doc_id) AS df
+      FROM sh GROUP BY source, shingle
+    ), per AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN dfq.df >= {BOILER_DF} THEN 1 ELSE 0 END) AS n_boiler
+      FROM sh s JOIN dfq USING (source, shingle)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+           round(coalesce(per.n_boiler, 0)
+                 / CAST(greatest(coalesce(per.n_shingles, 0), 1) AS DOUBLE), 6)
+             AS boiler_ratio
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
 ORACLE_FINGERPRINT_WINNOW = f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM documents

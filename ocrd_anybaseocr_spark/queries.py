@@ -514,6 +514,7 @@ register("quality_score", _ts.ORACLE_QUALITY)(_ts.q_quality_score)
 register("token_count", _ts.ORACLE_TOKEN_COUNT)(_ts.q_token_count)
 register("fingerprint", _ts.ORACLE_FINGERPRINT)(_ts.q_fingerprint)
 register("fingerprint_winnow", _ts.ORACLE_FINGERPRINT_WINNOW)(_ts.q_fingerprint_winnow)
+register("boilerplate_ratio", _ts.ORACLE_BOILERPLATE)(_ts.q_boilerplate_ratio)
 
 
 # ---------------------------------------------------------------------------

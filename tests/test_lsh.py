@@ -257,6 +257,38 @@ def test_jaccard_stop_shingle_cap(spark):
     assert uncapped >= 150 * 149 // 2
 
 
+def test_boilerplate_ratio_per_source(spark):
+    """The C4-style boilerplate criterion: a phrase repeated across
+    documents of the SAME source counts as boilerplate mass; the same
+    phrase appearing in a different source's single document does not."""
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    header = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            ("a1", "s1", f"{header} alpha beta gamma delta"),
+            ("a2", "s1", f"{header} epsilon zeta eta theta"),
+            ("b1", "s2", f"{header} unique words entirely here"),
+            ("c1", "s1", "nothing shared with anything else at all"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    import types
+
+    fake_dir = "unused"
+    orig = ts.load_table
+    ts.load_table = lambda spark, sf_dir, name: docs
+    try:
+        got = {r.doc_id: r for r in ts.q_boilerplate_ratio(spark, fake_dir).collect()}
+    finally:
+        ts.load_table = orig
+    # the 3 shingles fully inside the 5-word header are shared by a1/a2
+    assert got["a1"].n_boiler == 3 and got["a2"].n_boiler == 3
+    assert got["b1"].n_boiler == 0, "cross-source repetition is not boilerplate"
+    assert got["c1"].n_boiler == 0
+    assert 0 < got["a1"].boiler_ratio < 1
+
+
 def test_winnowing_shared_passage_guarantee(spark):
     """Winnowing guarantee: documents sharing a passage of at least
     k + w - 1 words share >= 1 fingerprint; unrelated docs share none."""
