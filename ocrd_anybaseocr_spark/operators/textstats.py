@@ -243,11 +243,14 @@ _SHINGLES_SRC_SPARK = (
 
 def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate mass: shingle occurrences whose per-source
-    document frequency >= BOILER_DF, as count + ratio. One shuffle on
-    (source, shingle) shared by the df-aggregation and the join back (the
-    MAX_SHINGLE_DF pattern), then a per-doc agg — scale-safe: no step is
-    ever quadratic in documents, and the df relation shards on the same
-    high-entropy key it joins on."""
+    document frequency >= BOILER_DF, as count + ratio.
+
+    Plan shape (asserted in test_plans): every aggregate is map-side
+    partial, every exchange keys on a high-entropy (source, shingle[,
+    doc_id]) tuple, and the df-relation join is an equi-join the planner
+    sizes itself (broadcast at sandbox scale, shuffle-hash at corpus
+    scale via AQE) — no step is quadratic in documents and no corpus-
+    sized relation is forced to broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", "source", F.explode(F.expr(_SHINGLES_SRC_SPARK)).alias("shingle")

@@ -15,6 +15,12 @@ default) or these streaming forms:
   document's page count completes. State survives restarts through the
   same streaming checkpoint, which is the whole point: a continuous 100 TB
   ingest never sees a document atomically.
+- ``stream_windowed_event_counts``: WATERMARKED tumbling-window rollup of
+  the ingest-metrics event stream (the A7 checkpoint-metrics shape, fed
+  continuously): windows finalize and append exactly once when the
+  watermark passes their end; events later than the watermark are dropped,
+  bounding state. Watermark + open windows ride the checkpoint across
+  restarts.
 """
 
 from __future__ import annotations
@@ -49,6 +55,77 @@ def stream_extract(
     q = (
         extracted.writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "extracted_spans_stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
+# event rows the windowed-metrics stream consumes
+EVENTS_STREAM = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with a late-data watermark.
+
+    In append mode a window row is emitted exactly once, when the
+    watermark (max event time seen minus ``watermark``) passes the
+    window's end; events arriving later than the watermark are DROPPED —
+    that bound is what keeps the state store finite on an unbounded
+    stream. The shuffle keys on (window, event_type); partial aggregation
+    applies per micro-batch as in the batch rollups."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> None:
+    """Incremental watermarked rollup: a growing directory of event parquet
+    drops → finalized window rows, append-exactly-once per window.
+    Trigger.AvailableNow; rerun after new drops land — the watermark and
+    open windows resume from the checkpoint."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_window_checkpoint")
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    q = (
+        windowed_event_counts(ev, window, watermark)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "event_windows_stream"))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .outputMode("append")

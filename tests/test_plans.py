@@ -76,6 +76,18 @@ def test_value_quantiles_single_shuffle_no_buffer_agg(spark, sf_dir):
     assert "percentile" not in explain_str(df).lower()
 
 
+def test_boilerplate_partial_aggs_no_cartesian(spark, sf_dir):
+    """The boilerplate df-join must stay an equi-join with map-side
+    partial aggregates on high-entropy keys — never a cartesian or a
+    nested-loop (a hot shingle would make that quadratic)."""
+    df = QUERIES["boilerplate_ratio"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in explain_str(df).lower()
+    assert count_exchanges(df) <= 4, plan
+
+
 def test_ann_brute_force_no_shuffle(spark, sf_dir):
     """Query side broadcast → corpus side streams; top-k window shuffles
     only the scored candidates (tiny)."""

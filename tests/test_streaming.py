@@ -92,3 +92,56 @@ def test_stateful_fold_across_microbatches_and_restart(
         wd, wl = want[r.doc_id]
         assert [(v.log_id, v.label, v.parent_id) for v in r.divs] == wd, r.doc_id
         assert [(l.log_id, l.media_ref) for l in r.links] == wl, r.doc_id
+
+
+def test_watermarked_window_finalize_and_late_drop(spark, tmp_path_factory):
+    """Watermarked tumbling windows across TWO ingest runs: a window
+    appends exactly once when the watermark passes its end; an event
+    arriving later than the watermark is dropped, never mutating an
+    already-finalized window (the state-bounding contract of §2.9)."""
+    import datetime as dt
+
+    from ocrd_anybaseocr_spark.streaming.stream import (
+        EVENTS_STREAM,
+        stream_windowed_event_counts,
+    )
+
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, etype="scan", value=1.0):
+        return (eid, T0 + dt.timedelta(minutes=minutes), etype, value)
+
+    in_dir = str(tmp_path_factory.mktemp("ev_in"))
+    out_dir = str(tmp_path_factory.mktemp("ev_out"))
+
+    # drop 1: two full windows [10:00,10:10) and [10:10,10:20), plus one
+    # event at 10:40 that advances the watermark to 10:30 — both early
+    # windows finalize; [10:40,10:50) stays open in state
+    drop1 = [ev(1, 1), ev(2, 5), ev(3, 12), ev(4, 40)]
+    spark.createDataFrame(drop1, EVENTS_STREAM).write.parquet(
+        os.path.join(in_dir, "drop1.parquet")
+    )
+    stream_windowed_event_counts(spark, in_dir, out_dir)
+    out_path = os.path.join(out_dir, "event_windows_stream")
+
+    def read_out():
+        return {
+            (r.win_start.minute, r.event_type): r.n_events
+            for r in spark.read.parquet(out_path).collect()
+        }
+
+    got1 = read_out()
+    assert got1 == {(0, "scan"): 2, (10, "scan"): 1}
+
+    # drop 2: a LATE event at 10:05 (beyond the persisted 10:30 watermark
+    # -> dropped) and one at 11:00 (advances watermark to 10:50 -> the
+    # [10:40,10:50) window finalizes with exactly its on-time event)
+    drop2 = [ev(5, 5), ev(6, 60)]
+    spark.createDataFrame(drop2, EVENTS_STREAM).write.parquet(
+        os.path.join(in_dir, "drop2.parquet")
+    )
+    stream_windowed_event_counts(spark, in_dir, out_dir)
+    got2 = read_out()
+    assert got2[(40, "scan")] == 1  # late 10:05 event did not resurrect anything
+    assert got2[(0, "scan")] == 2  # finalized window unchanged
+    assert (5, "scan") not in got2
