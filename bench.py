@@ -263,29 +263,47 @@ def run_attribution(out_root: str) -> list[dict]:
         ("arrow", 256, 32),
     ]
     out = []
-    for impl, ab, cores in configs:
-        os.environ["SPARK_GRAFT_UDF_IMPL"] = impl
-        os.environ["SPARK_GRAFT_ARROW_BATCH"] = str(ab)
-        r = run_pipeline_bench(cores, out_root, n_docs=SCALING_DOCS)
-        r.update(impl=impl, arrow_batch=ab)
-        print(json.dumps(r), file=sys.stderr)
-        out.append(r)
-    os.environ.pop("SPARK_GRAFT_UDF_IMPL", None)
-    os.environ.pop("SPARK_GRAFT_ARROW_BATCH", None)
+    saved = {
+        k: os.environ.get(k)
+        for k in ("SPARK_GRAFT_UDF_IMPL", "SPARK_GRAFT_ARROW_BATCH")
+    }
+    try:
+        for impl, ab, cores in configs:
+            os.environ["SPARK_GRAFT_UDF_IMPL"] = impl
+            os.environ["SPARK_GRAFT_ARROW_BATCH"] = str(ab)
+            r = run_pipeline_bench(cores, out_root, n_docs=SCALING_DOCS)
+            r.update(impl=impl, arrow_batch=ab)
+            print(json.dumps(r), file=sys.stderr)
+            out.append(r)
+    finally:
+        # restore, don't pop: a probe failure must not leave the sweep's
+        # env skewing later benchmarks, nor destroy a user-exported value
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     return out
 
 
 ATTR_MARKER = "\n## 8→32 attribution sweep (measured)\n"
+VARIANCE_MARKER = "\n## Measurement-window variance\n"
 
 
 def write_attribution_md(rows: list[dict]) -> None:
-    """Append/replace the attribution section of BENCH/BASELINE.md with the
-    measured kernel-vs-Spark split of the 8→32 scaling gap."""
+    """Replace the attribution section of BENCH/BASELINE.md with the
+    measured kernel-vs-Spark split of the 8→32 scaling gap. The analysis
+    lines are COMPUTED from the rows (a rerun in a different noise window
+    must not inherit a stale narrative), and any hand-written
+    VARIANCE_MARKER section after it is preserved."""
     path = os.path.join(_ROOT, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    base = "# BENCH\n"
+    base, variance_tail = "# BENCH\n", ""
     if os.path.exists(path):
-        base = open(path).read().split(ATTR_MARKER)[0]
+        content = open(path).read()
+        base = content.split(ATTR_MARKER)[0]
+        if VARIANCE_MARKER in content:
+            variance_tail = VARIANCE_MARKER + content.split(VARIANCE_MARKER, 1)[1]
     tbl = "\n".join(
         f"| {r['impl']}/{r['arrow_batch']} | local[{r['cores']}] | {r['pages_per_sec']} |"
         f" {r['ms_per_page']} | {r['kernel_util']} |"
@@ -294,33 +312,45 @@ def write_attribution_md(rows: list[dict]) -> None:
     by = {(r["impl"], r["arrow_batch"], r["cores"]): r for r in rows}
     r8 = by.get(("pandas", 256, 8))
     r32 = by.get(("pandas", 256, 32))
-    analysis = ""
+    lines = []
     if r8 and r32:
         eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4.0
         infl = r32["ms_per_page"] / r8["ms_per_page"] - 1.0
-        analysis = (
-            f"\n- matched-config eff(8→32) = **{eff:.3f}**; in-kernel ms/page inflates "
-            f"{r8['ms_per_page']} → {r32['ms_per_page']} (**+{infl * 100:.0f}%**) — that part of the gap is\n"
-            f"  HARDWARE (shared memory bus inside the numpy kernels; the raw mp.Pool sweep\n"
-            f"  shows the same inflation with zero Spark), bounding ideal 32-core throughput\n"
-            f"  at 32/ms_per_page = {32000 / r32['ms_per_page']:.0f} pages/s.\n"
-            f"- kernel_util (kernel-CPU ÷ wall·cores) drops {r8['kernel_util']} → "
-            f"{r32['kernel_util']}: the NON-kernel share (Arrow hop, scheduling, the\n"
-            f"  span/fold/write jobs, stage tails) is the Spark-side remainder.\n"
-            f"- Arrow batch 64 beat 256 by ~8% at 32 cores (finer batches interleave\n"
-            f"  better across 8 tasks/core) — within the ±25-30% host noise band, so 256\n"
-            f"  stays the default; the knob is SPARK_GRAFT_ARROW_BATCH.\n"
-            f"- mapInArrow transport (impl=arrow): LOWEST in-kernel ms/page (less memory\n"
-            f"  pressure than pandas Block assembly) but net throughput ~3% lower — the\n"
-            f"  to_pydict/from_pydict conversion eats the saving. Knob: SPARK_GRAFT_UDF_IMPL.\n"
+        lines.append(
+            f"- matched-config eff(8→32) = **{eff:.3f}**; in-kernel ms/page "
+            f"{r8['ms_per_page']} → {r32['ms_per_page']} ({infl * 100:+.0f}%) — kernel-time\n"
+            "  inflation is HARDWARE (shared memory bus inside the numpy kernels; the raw\n"
+            "  mp.Pool sweep shows the same shape with zero Spark), bounding ideal 32-core\n"
+            f"  throughput at 32/ms_per_page = {32000 / r32['ms_per_page']:.0f} pages/s."
         )
+        lines.append(
+            f"- kernel_util (kernel-CPU ÷ wall·cores): {r8['kernel_util']} → "
+            f"{r32['kernel_util']} — the non-kernel share (Arrow hop, scheduling, the\n"
+            "  span/fold/write jobs, stage tails) is the Spark-side remainder."
+        )
+        for (impl, ab), label in (
+            (("pandas", 64), "Arrow batch 64"),
+            (("pandas", 512), "Arrow batch 512"),
+            (("arrow", 256), "mapInArrow transport"),
+        ):
+            rv = by.get((impl, ab, 32))
+            if rv:
+                d = rv["pages_per_sec"] / r32["pages_per_sec"] - 1.0
+                lines.append(
+                    f"- {label}: {d * 100:+.1f}% vs pandas/256 at 32 cores "
+                    f"(kernel {rv['ms_per_page']} ms/page, util {rv['kernel_util']}) — "
+                    "single best-of-2 measurement; judge against the ±25-30% host noise\n"
+                    "  band before drawing conclusions. Knobs: SPARK_GRAFT_ARROW_BATCH,\n"
+                    "  SPARK_GRAFT_UDF_IMPL."
+                )
     with open(path, "w") as f:
         f.write(
             base
             + ATTR_MARKER
             + "\nEach row one fresh-subprocess pipeline run (9600 docs, best-of-2, warmed):\n\n"
             "| impl/arrow_batch | config | pages/sec | kernel ms/page | kernel_util |\n"
-            "|---|---|---|---|---|\n" + tbl + "\n" + analysis
+            "|---|---|---|---|---|\n" + tbl + "\n\n" + "\n".join(lines) + "\n"
+            + variance_tail
         )
 
 

@@ -38,16 +38,36 @@ MAX_SHINGLE_DF = 32  # per-source document-frequency cap for the Jaccard join
 # ---------------------------------------------------------------------------
 
 # NB: Spark's sequence(0, -1) yields a DESCENDING sequence, not empty —
-# short texts must be guarded explicitly.
-_SHINGLES_SPARK = (
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-    " transform(sequence(0, size(split(text, ' ')) - 3),"
-    "   i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+# short texts must be guarded explicitly. The expression references a
+# pre-materialized `_words` column: putting split(text) inside the
+# per-element lambda re-splits the whole document for EVERY shingle
+# (Catalyst does not hoist subexpressions out of HOF lambdas — the same
+# non-CSE behavior as the md5 finding), O(words^2) per row.
+_SHINGLES_FROM_WORDS = (
+    "CASE WHEN size(_words) >= 3 THEN"
+    " transform(sequence(0, size(_words) - 3),"
+    "   i -> concat_ws(' ', slice(_words, i + 1, 3)))"
     " ELSE array() END"
 )
 
-_SHINGLES_DUCK = """
-      SELECT doc_id,
+
+def shingle_explode(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, shingle) — word 3-grams, narrow explode.
+    Single definition shared by minhash/jaccard/boilerplate so the notion
+    of 'shingle' cannot drift between operators."""
+    return (
+        docs.withColumn("_words", F.split("text", " "))
+        .select(
+            "doc_id", *extra_cols, F.explode(F.expr(_SHINGLES_FROM_WORDS)).alias("shingle")
+        )
+    )
+
+def shingles_cte_duck(extra_cols: str = "") -> str:
+    """DuckDB twin of shingle_explode — the single SQL definition of a
+    word 3-gram, optionally carrying extra columns (e.g. source)."""
+    cols = "doc_id" + (f", {extra_cols}" if extra_cols else "")
+    return f"""
+      SELECT {cols},
              unnest(list_transform(
                generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
                i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
@@ -55,9 +75,12 @@ _SHINGLES_DUCK = """
 """
 
 
+_SHINGLES_DUCK = shingles_cte_duck()
+
+
 def shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) — word 3-grams, narrow explode."""
-    return docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    return shingle_explode(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -333,8 +356,14 @@ _VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _verified_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.conf.get("spark.app.id", "?"), sf_dir)
+    app = spark.conf.get("spark.app.id", "?")
+    key = (app, sf_dir)
     if key not in _VERIFIED_CACHE:
+        # entries keyed to another app id belong to stopped sessions and
+        # can never be hit again — drop them so a long-lived driver that
+        # cycles sessions doesn't pin dead checkpoint references forever
+        for k in [k for k in _VERIFIED_CACHE if k[0] != app]:
+            del _VERIFIED_CACHE[k]
         docs = load_table(spark, sf_dir, "documents")
         _VERIFIED_CACHE[key] = verified_pairs(docs).localCheckpoint(eager=True)
     return _VERIFIED_CACHE[key]
@@ -405,10 +434,7 @@ def jaccard_pairs(
     frequency above ``max_shingle_df`` are removed before the pair join
     (the windowed count shares the join's shuffle key); set sizes use the
     same filtered universe, so jaccard compares distinctive content."""
-    sh = (
-        docs.select("doc_id", "source", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
-        .distinct()
-    )
+    sh = shingle_explode(docs, "source").distinct()
     w = Window.partitionBy("source", "shingle")
     sh = (
         sh.withColumn("_df", F.count(F.lit(1)).over(w))
@@ -547,15 +573,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_JACCARD = f"""
-    WITH sh0 AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
-      FROM documents
+    WITH sh0 AS ({shingles_cte_duck("source")}
     ), shs AS (
-      SELECT DISTINCT d.doc_id, d.source, s.shingle
-      FROM documents d JOIN sh0 s ON d.doc_id = s.doc_id
+      SELECT DISTINCT doc_id, source, shingle FROM sh0
     ), shf AS (
       SELECT doc_id, source, shingle FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY source, shingle) AS df FROM shs

@@ -70,6 +70,10 @@ def process_pages(
     attribution (VERDICT round 2, item 6).
     """
     impl = impl or os.environ.get("SPARK_GRAFT_UDF_IMPL", "pandas")
+    if impl not in ("pandas", "arrow"):
+        # a typo'd SPARK_GRAFT_UDF_IMPL during an A/B sweep must fail, not
+        # silently measure pandas against itself under the wrong label
+        raise ValueError(f"unknown UDF impl {impl!r}: expected 'pandas' or 'arrow'")
     if impl == "arrow":
         return _process_pages_arrow(pages_with_blobs, params)
 
@@ -79,20 +83,12 @@ def process_pages(
         from ..oracle import process_page
 
         for pdf in batches:
-            out = []
-            for doc_id, media_ref, page_no, png in zip(
-                pdf["doc_id"], pdf["media_ref"], pdf["page_no"], pdf["image"]
-            ):
-                t0 = time.monotonic()
-                r = process_page(bytes(png), params)
-                r.update(
-                    doc_id=doc_id,
-                    media_ref=media_ref,
-                    page_no=int(page_no),
-                    proc_ms=int((time.monotonic() - t0) * 1000),
-                )
-                out.append(r)
-            yield pd.DataFrame(out, columns=[f.name for f in _STAGE_SCHEMA.fields])
+            out = _process_rows(
+                process_page,
+                params,
+                zip(pdf["doc_id"], pdf["media_ref"], pdf["page_no"], pdf["image"]),
+            )
+            yield pd.DataFrame(out, columns=_STAGE_COLS)
 
     return pages_with_blobs.mapInPandas(stage, schema=_STAGE_SCHEMA)
 
@@ -100,50 +96,43 @@ def process_pages(
 _STAGE_COLS = [f.name for f in _STAGE_SCHEMA.fields]
 
 
+def _process_rows(process_page, params, rows) -> list[dict]:
+    """Shared per-row kernel loop of both batch transports."""
+    out = []
+    for doc_id, media_ref, page_no, png in rows:
+        t0 = time.monotonic()
+        r = process_page(bytes(png), params)
+        r.update(
+            doc_id=doc_id,
+            media_ref=media_ref,
+            page_no=int(page_no),
+            proc_ms=int((time.monotonic() - t0) * 1000),
+        )
+        out.append(r)
+    return out
+
+
 def _process_pages_arrow(pages_with_blobs: DataFrame, params=DEFAULT_PARAMS) -> DataFrame:
     """mapInArrow twin of the pandas stage: RecordBatch in, RecordBatch
-    out, no pandas conversion of the page-bytes column. Output batches are
-    built with from_pydict against an explicit Arrow schema matching
-    _STAGE_SCHEMA's Spark types (int32/list<int32>/...)."""
+    out, no pandas conversion of the page-bytes column. The Arrow output
+    schema is DERIVED from _STAGE_SCHEMA (single source of truth — a new
+    PAGE_RESULTS field must not break only the non-default transport)."""
 
     def stage(batches):
         import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         from ..oracle import process_page
 
-        aschema = pa.schema(
-            [
-                ("doc_id", pa.string()),
-                ("media_ref", pa.string()),
-                ("page_no", pa.int32()),
-                ("border", pa.list_(pa.int32())),
-                ("perfect", pa.bool_()),
-                ("skew", pa.float64()),
-                ("features", pa.string()),
-                ("scores", pa.list_(pa.float64())),
-                ("labels", pa.list_(pa.string())),
-                ("n_text_regions", pa.int32()),
-                ("n_image_regions", pa.int32()),
-                ("ink_ratio", pa.float64()),
-                ("proc_ms", pa.int64()),
-            ]
-        )
+        aschema = to_arrow_schema(_STAGE_SCHEMA)
         for batch in batches:
             d = batch.select(["doc_id", "media_ref", "page_no", "image"]).to_pydict()
-            out: dict[str, list] = {name: [] for name in _STAGE_COLS}
-            for doc_id, media_ref, page_no, png in zip(
-                d["doc_id"], d["media_ref"], d["page_no"], d["image"]
-            ):
-                t0 = time.monotonic()
-                r = process_page(bytes(png), params)
-                r.update(
-                    doc_id=doc_id,
-                    media_ref=media_ref,
-                    page_no=int(page_no),
-                    proc_ms=int((time.monotonic() - t0) * 1000),
-                )
-                for name in _STAGE_COLS:
-                    out[name].append(r[name])
+            rows = _process_rows(
+                process_page,
+                params,
+                zip(d["doc_id"], d["media_ref"], d["page_no"], d["image"]),
+            )
+            out = {name: [r[name] for r in rows] for name in _STAGE_COLS}
             yield pa.RecordBatch.from_pydict(out, schema=aschema)
 
     return pages_with_blobs.select("doc_id", "media_ref", "page_no", "image").mapInArrow(
@@ -332,7 +321,13 @@ def run_pipeline(
         except Exception:
             done = set()
     if len(done) >= n_buckets:
-        return {"docs": 0, "pages": 0, "resumed_buckets": sorted(done), "elapsed_s": 0.0}
+        return {
+            "docs": 0,
+            "pages": 0,
+            "resumed_buckets": sorted(done),
+            "elapsed_s": 0.0,
+            "kernel_ms": 0,
+        }
     if done:
         documents = documents.filter(~F.col("part_bucket").isin(*done))
 

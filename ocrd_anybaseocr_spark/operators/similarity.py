@@ -104,17 +104,16 @@ def _buckets_expr_spark(n_tables: int, n_bits: int) -> str:
     )
 
 
-def _plane_dot_duck(plane: np.ndarray) -> str:
-    arr = "[" + ",".join(str(int(v)) for v in plane) + "]"
-    return f"list_dot_product(se, {arr})"
-
-
-def _bucket_sql(t: int, n_bits: int, plane_dot) -> str:
-    terms = [
-        f"(CASE WHEN {plane_dot(_PLANES[t * n_bits + j])} >= 0 THEN {2 ** j} ELSE 0 END)"
-        for j in range(n_bits)
-    ]
-    return "(" + " + ".join(terms) + ")"
+def _planes_values_duck() -> str:
+    """All precomputed planes as a DuckDB VALUES relation (k, w) — lets the
+    oracle pick planes by computed index instead of splicing per-bits
+    expressions, which is what makes the DYNAMIC bits derivation below
+    expressible in static SQL."""
+    rows = ",\n        ".join(
+        f"({k}, [" + ",".join(str(int(v)) for v in _PLANES[k]) + "])"
+        for k in range(LSH_TABLES * LSH_MAX_BITS)
+    )
+    return f"planes(k, w) AS (VALUES {rows})"
 
 
 def lsh_assignments(
@@ -133,18 +132,36 @@ def lsh_assignments(
     return with_se.select("vec_id", F.posexplode(bks).alias("tbl", "bucket"))
 
 
-def _bk_cte_duck(n_tables: int = LSH_TABLES, n_bits: int = LSH_BITS) -> str:
-    """DuckDB CTE mirroring lsh_assignments exactly (same planes, same
-    integer arithmetic): se0(vec_id, se) and bk(vec_id, tbl, bucket)."""
-    per_table = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {_bucket_sql(t, n_bits, _plane_dot_duck)} AS bucket FROM se0"
-        for t in range(n_tables)
-    )
+def _bk_cte_duck(n_tables: int = LSH_TABLES) -> str:
+    """DuckDB CTE mirroring lsh_assignments exactly — INCLUDING the
+    corpus-size bits derivation, so Spark and oracle agree at EVERY scale
+    factor, not just inside the <=1000-row step (round-3 review finding:
+    a static 6-bit oracle silently diverged from derive_bits above the
+    step). nb.b replicates derive_bits: same n/target double division,
+    same log2/ceil — IEEE doubles give identical results in both engines.
+    Yields se0(vec_id, se, embedding) and bk(vec_id, tbl, bucket); plane
+    index tbl*b + j and the sum-of-2^j bucket assembly match
+    _buckets_expr_spark term for term."""
     return f"""
     se0 AS (
       SELECT vec_id, {_SE_DUCK} AS se, embedding FROM embeddings
-    ), bk AS (
-      {per_table}
+    ), nb AS (
+      SELECT CASE WHEN COUNT(*) <= 1000 THEN {LSH_BITS}
+                  ELSE least({LSH_MAX_BITS}, greatest({LSH_BITS},
+                       CAST(ceil(log2(COUNT(*) / {float(LSH_TARGET_BUCKET)})) AS INTEGER)))
+             END AS b
+      FROM embeddings
+    ), {_planes_values_duck()},
+    bk AS (
+      SELECT e.vec_id, tt.tbl,
+             CAST(SUM(CASE WHEN list_dot_product(e.se, p.w) >= 0
+                           THEN (CAST(1 AS BIGINT) << jj.j) ELSE 0 END) AS INTEGER) AS bucket
+      FROM se0 e
+      CROSS JOIN generate_series(0, {n_tables - 1}) AS tt(tbl)
+      CROSS JOIN nb
+      JOIN generate_series(0, {LSH_MAX_BITS - 1}) AS jj(j) ON jj.j < nb.b
+      JOIN planes p ON p.k = tt.tbl * nb.b + jj.j
+      GROUP BY e.vec_id, tt.tbl
     )"""
 
 
@@ -363,8 +380,12 @@ _EMB_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _emb_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.conf.get("spark.app.id", "?"), sf_dir)
+    app = spark.conf.get("spark.app.id", "?")
+    key = (app, sf_dir)
     if key not in _EMB_PAIRS_CACHE:
+        # drop entries from stopped sessions (see dedup._verified_cached)
+        for k in [k for k in _EMB_PAIRS_CACHE if k[0] != app]:
+            del _EMB_PAIRS_CACHE[k]
         emb = load_table(spark, sf_dir, "embeddings")
         _EMB_PAIRS_CACHE[key] = cosine_verified_pairs(emb).localCheckpoint(eager=True)
     return _EMB_PAIRS_CACHE[key]

@@ -233,13 +233,6 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate mass a cleaning pass would strip.
 BOILER_DF = 2
 
-_SHINGLES_SRC_SPARK = (
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-    " transform(sequence(0, size(split(text, ' ')) - 3),"
-    "   i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
-    " ELSE array() END"
-)
-
 
 def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate mass: shingle occurrences whose per-source
@@ -251,10 +244,10 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes itself (broadcast at sandbox scale, shuffle-hash at corpus
     scale via AQE) — no step is quadratic in documents and no corpus-
     sized relation is forced to broadcast."""
+    from .dedup import shingle_explode
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", F.explode(F.expr(_SHINGLES_SRC_SPARK)).alias("shingle")
-    )
+    sh = shingle_explode(docs, "source")
     dfq = sh.groupBy("source", "shingle").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -284,13 +277,10 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .dedup import shingles_cte_duck as _shingles_cte_duck  # noqa: E402
+
 ORACLE_BOILERPLATE = f"""
-    WITH sh AS (
-      SELECT doc_id, source,
-             unnest(list_transform(
-               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
-      FROM documents
+    WITH sh AS ({_shingles_cte_duck("source")}
     ), dfq AS (
       SELECT source, shingle, COUNT(DISTINCT doc_id) AS df
       FROM sh GROUP BY source, shingle

@@ -949,12 +949,21 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass global rank — same arithmetic, more exchanges; not needed at
     this group cardinality.)"""
     ev = load_table(spark, sf_dir, "events")
-    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wo = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     wn = Window.partitionBy("event_type")
+    # NULL semantics (round-3 review finding; latent — testdata has no
+    # NULLs): percentile/quantile_cont ignore NULL values but COUNT(*)
+    # counts them. NULLs sort LAST so ranks 1..count(value) are exactly
+    # the non-null rows; quantile positions use the non-null count `n`,
+    # the reported row count `n_all` stays COUNT(*) like the oracle's.
     r = ev.select("event_type", "value", "event_id").withColumn(
         "rn", F.row_number().over(wo)
-    ).withColumn("n", F.count(F.lit(1)).over(wn))
-    aggs = [F.max("n").alias("n")]
+    ).withColumn("n", F.count("value").over(wn)).withColumn(
+        "n_all", F.count(F.lit(1)).over(wn)
+    )
+    aggs = [F.max("n").alias("n"), F.max("n_all").alias("n_all")]
     for name, q in (("p50", "0.5"), ("p95", "0.95"), ("p99", "0.99")):
         pos = f"cast({q} as double) * (n - 1)"
         lo = f"cast(floor({pos}) as bigint) + 1"
@@ -977,4 +986,4 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias(name)
         )
-    return g.select(*cols, F.col("n"))
+    return g.select(*cols, F.col("n_all").alias("n"))
