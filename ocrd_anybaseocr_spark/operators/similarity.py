@@ -296,6 +296,152 @@ ORACLE_ANN_LSH = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN (the second scale path besides hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+IVF_K = 16  # centroid count; at corpus scale derive ~sqrt(N) (see docstring)
+IVF_NPROBE = 4  # cells probed per query
+
+
+def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, IVF-Flat style.
+
+    Centroids are the first ``k`` vectors by vec_id — deterministic and
+    engine-portable (a k-means refinement would improve cell balance but
+    makes the DuckDB oracle impossible to keep bit-identical; the IVF
+    *mechanics* — coarse quantize, probe nprobe cells, exact re-rank —
+    are identical either way). Distances are EXACT scaled-int squared L2
+    (diff^2 <= 2^30, x64 dims <= 2^36 — exact in int64 on both engines),
+    ties broken by centroid id. The centroid relation is k rows →
+    broadcast; assignment is a narrow map over the corpus. At 10^12 rows
+    raise k toward sqrt(N) so cells stay ~sqrt(N)-sized and a probe scans
+    nprobe*N/k vectors."""
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.expr(_SE_SPARK).alias("c_se")
+    )
+    v = emb.select("vec_id", F.expr(_SE_SPARK).alias("v_se"))
+    d2 = (
+        "aggregate(zip_with(v_se, c_se, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        v.join(F.broadcast(cent))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: queries probe the IVF_NPROBE nearest cells, exact
+    cosine re-rank of the probed cells' vectors only, top-3 per query.
+    Candidate generation is an equi-join on cell id — per query it scans
+    ~nprobe/k of the corpus instead of all of it, the classic IVF
+    recall/cost dial (nprobe up = recall up)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(emb.select("vec_id", "embedding"))
+    cent = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cell"), F.expr(_SE_SPARK).alias("c_se")
+    )
+    q_emb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.expr(_SE_SPARK).alias("v_se")
+    )
+    d2 = (
+        "aggregate(zip_with(v_se, c_se, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        F.broadcast(q_emb)
+        .join(F.broadcast(cent))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    n = _with_norm(emb)
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(cand.join(F.broadcast(q), "query_id"))
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="q_emb", b="c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+_D2_DUCK = "list_sum(list_transform(list_zip(a.v_se, c.c_se), t -> (t[1] - t[2]) * (t[1] - t[2])))"
+
+ORACLE_ANN_IVF = f"""
+    WITH se AS (
+      SELECT vec_id, {_SE_DUCK} AS v_se FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cell, v_se AS c_se FROM se WHERE vec_id < {IVF_K}
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_D2_DUCK}, c.cell) AS rk
+        FROM se a CROSS JOIN cent c
+      ) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT a.vec_id AS query_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_D2_DUCK}, c.cell) AS rk
+        FROM se a CROSS JOIN cent c
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rk <= {IVF_NPROBE}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+      FROM probes p JOIN assign s ON s.cell = p.cell
+      WHERE s.vec_id <> p.query_id
+    ), n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_dot_product(embedding, embedding)) AS norm
+      FROM embeddings
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(q.embedding, c.embedding) / (q.norm * c.norm) AS cos
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid-free stats: count + mean scaled-int norm (exact)."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -508,6 +508,7 @@ register("dedup_simhash", _dd.ORACLE_SIMHASH)(_dd.q_dedup_simhash)
 register("dedup_jaccard_ngram", _dd.ORACLE_JACCARD)(_dd.q_dedup_jaccard)
 register("ann_brute_force", _sim.ORACLE_ANN_BRUTE)(_sim.q_ann_brute_force)
 register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
+register("ann_ivf_flat", _sim.ORACLE_ANN_IVF)(_sim.q_ann_ivf_flat)
 register("embedding_stats", _sim.ORACLE_EMB_STATS)(_sim.q_embedding_stats)
 register("lang_id", _ts.ORACLE_LANG_ID)(_ts.q_lang_id)
 register("quality_score", _ts.ORACLE_QUALITY)(_ts.q_quality_score)

@@ -142,6 +142,28 @@ def test_lsh_hot_bucket_cap(spark):
     assert LSH_BUCKET_CAP < 300
 
 
+def test_ivf_flat_recall_vs_brute_force(spark, monkeypatch):
+    """IVF-Flat (coarse quantize → probe nprobe cells → exact re-rank)
+    must recover >= 0.8 of the true top-3 neighbors on clustered data —
+    the second ANN scale path besides hyperplane LSH."""
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+
+    vecs = _clustered_vectors()
+    df = _emb_df(spark, vecs)
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: df)
+    got = {}
+    for r in sim.q_ann_ivf_flat(spark, "unused").collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    cos = vecs @ vecs.T
+    hits = total = 0
+    for q in range(sim.N_QUERIES):
+        order = [i for i in (-cos[q]).argsort() if i != q][:3]
+        total += 3
+        hits += len(set(order) & got.get(q, set()))
+    assert hits / total >= 0.8, f"IVF recall {hits}/{total}"
+
+
 def test_minhash_band_cap(spark):
     """200 byte-identical docs share every band key; the band cap excludes
     that degenerate clique (exact dedup's job) while a genuine near-dup
