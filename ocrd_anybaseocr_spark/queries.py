@@ -544,13 +544,32 @@ def _pipeline_corpus() -> str:
     if not _os.path.exists(marker):
         generate_corpus(d, _PIPE_DOCS, seed=42, workers=1)
         open(marker, "w").write("ok")
+    # expected pipeline outputs (oracle parquet) — checked separately from
+    # the corpus marker so pre-existing cached corpora gain them on upgrade
+    if not _os.path.exists(_os.path.join(d, "expected_page_results.parquet")):
+        from .oracle import materialize_expected
+
+        materialize_expected(d, _PIPE_DOCS, seed=42)
     return d
 
 
-@register("pipeline_page_results")
+@register(
+    "pipeline_page_results",
+    oracle=f"""
+    SELECT doc_id, media_ref, page_no, bx1, by1, bx2, by2, perfect, skew,
+           features, labels, n_text_regions, n_image_regions
+    FROM read_parquet('{_os.path.join("%QC%", "expected_page_results.parquet")}')
+    """,
+)
 def q_pipeline_page_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused image stage end-to-end (decode→binarize→deskew→crop→tiseg→
-    classify) over the deterministic synthetic corpus; flat result rows."""
+    classify) over the deterministic synthetic corpus; flat result rows.
+
+    Oracle: the single-process Python kernels' expected rows, materialized
+    as SYNTH_VERSION-keyed parquet at corpus generation
+    (oracle.materialize_expected) and read back by DuckDB — a full
+    rows+schema+hash gate (the Spark analogue of the reference's e2e
+    postcondition tests, reference: tests/test_ocrd.py:24-25,32)."""
     from .operators.pipeline import build_page_results
     from .sources.tables import load_corpus
 
@@ -566,10 +585,20 @@ def q_pipeline_page_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "page_no")
 
 
-@register("pipeline_doc_structure")
+@register(
+    "pipeline_doc_structure",
+    oracle=f"""
+    SELECT doc_id, log_id, log_ref, label, parent_id
+    FROM read_parquet('{_os.path.join("%QC%", "expected_doc_structure.parquet")}')
+    """,
+)
 def q_pipeline_doc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 document fold over classified pages (reference:
-    cli/ocrd_anybaseocr_layout_analysis.py:140-220), flattened div rows."""
+    cli/ocrd_anybaseocr_layout_analysis.py:140-220), flattened div rows.
+
+    Oracle: expected divs from the single-process fold, materialized as
+    parquet beside the corpus (oracle.materialize_expected) — full
+    rows+schema+hash gate (reference: tests/test_ocrd.py:44)."""
     from .operators.fold import fold_structure
     from .operators.pipeline import build_page_results
     from .sources.tables import load_corpus
@@ -653,7 +682,12 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # splice the corpus path and the hex→int arithmetic into the two oracles
 # (IHDR byte k (1-based) sits at hex chars [2k-1, 2k]: width @17-20,
 # height @21-24, bit depth @25)
-for _qname in ("pipeline_extracted_spans", "media_metadata"):
+for _qname in (
+    "pipeline_extracted_spans",
+    "media_metadata",
+    "pipeline_page_results",
+    "pipeline_doc_structure",
+):
     ORACLE[_qname] = ORACLE[_qname].replace("%QC%", _QCORPUS_DIR)
 ORACLE["media_metadata"] = (
     ORACLE["media_metadata"]

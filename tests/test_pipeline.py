@@ -113,6 +113,52 @@ def test_bucket_count_invariance(spark, corpus_dir, pipeline_out, tmp_path_facto
         assert rows(pipeline_out) == rows(out4), table
 
 
+def test_round_like_spark_matches_f_round(spark):
+    """oracle.round_like_spark must be bit-identical to F.round(double, 6):
+    the materialized expected-parquet oracle stores pre-rounded skew, so any
+    divergence (banker's vs HALF_UP, binary vs decimal ties) would flip the
+    driver's hash gate exactly on tie values."""
+    from pyspark.sql import functions as F
+
+    from ocrd_anybaseocr_spark.oracle import round_like_spark
+    from ocrd_anybaseocr_spark.synth import skew_grid
+
+    vals = [float(v) for v in skew_grid()] + [
+        0.0, -0.0, 0.0000005, -0.0000005, 1.2345675, -1.2345675,
+        0.12345645, 2.5e-7, 1.9999995, 0.1 + 0.2,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r[0] for r in df.select(F.round("x", 6)).collect()]
+    want = [round_like_spark(v, 6) for v in vals]
+    assert got == want
+
+
+def test_expected_parquet_matches_spark_queries(spark):
+    """The SYNTH_VERSION-keyed expected parquet (oracle.materialize_expected)
+    must equal the two pipeline-backed queries' Spark output value-for-value
+    — this is the in-repo twin of the driver's rows+schema+hash gate."""
+    import pyarrow.parquet as pq_
+
+    from ocrd_anybaseocr_spark.queries import (
+        _pipeline_corpus,
+        q_pipeline_doc_structure,
+        q_pipeline_page_results,
+    )
+
+    qc = _pipeline_corpus()
+    for qfn, fname in (
+        (q_pipeline_page_results, "expected_page_results.parquet"),
+        (q_pipeline_doc_structure, "expected_doc_structure.parquet"),
+    ):
+        got = qfn(spark, qc).toPandas()
+        want = pq_.read_table(os.path.join(qc, fname)).to_pandas()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), fname
+        g = sorted(map(tuple, got[cols].itertuples(index=False)))
+        w = sorted(map(tuple, want[cols].itertuples(index=False)))
+        assert len(g) > 0 and g == w, fname
+
+
 def test_arrow_transport_equals_pandas_transport(spark, corpus_dir):
     """The mapInArrow stage variant (scaling-attribution knob) must be
     result-identical to the mapInPandas default — same kernels, same
