@@ -355,6 +355,15 @@ def verified_pairs(docs: DataFrame) -> DataFrame:
 _VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_caches() -> None:
+    """Drop the per-session verified-pair memoization. The cache keys on
+    (app.id, sf_dir) and the checkpoint is eager, so a caller that mutates
+    sf_dir contents mid-session would otherwise get stale pairs (ADVICE r3:
+    acceptable for the driver-gate pass pattern, but tests and long-lived
+    REPL sessions need an explicit clear)."""
+    _VERIFIED_CACHE.clear()
+
+
 def _verified_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.conf.get("spark.app.id", "?")
     key = (app, sf_dir)

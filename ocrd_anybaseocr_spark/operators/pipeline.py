@@ -231,11 +231,15 @@ class _CatalogIO:
     against the built-in session catalog (VERDICT round 2 item 8's 'local
     catalog mock'), whose v1 parquet tables accept ``writeTo(...).create()``
     but reject v2 ``overwritePartitions()``/``append()`` — those fall back
-    to the classic dynamic INSERT OVERWRITE / positional insertInto, which
-    have the same per-bucket idempotence as _PathIO. Only
-    AnalysisException (v1-table capability errors) falls back: a real
-    catalog's commit conflicts (runtime exceptions) must surface, not
-    silently double-write."""
+    to the classic dynamic INSERT OVERWRITE / insertInto, which have the
+    same per-bucket idempotence as _PathIO. The fallback is narrowed to
+    exactly the v1-capability AnalysisException ("Cannot write into v1
+    table", class _LEGACY_ERROR_TEMP_1012): any other analysis error — and
+    a real catalog's commit conflicts (runtime exceptions) — must surface,
+    not silently double-write. insertInto is POSITIONAL, so the fallback
+    reorders the frame to the created table's column order first (ADVICE
+    r3 item 2: a reordered select in a caller would otherwise silently
+    scramble columns on this path only)."""
 
     def __init__(self, spark: SparkSession, namespace: str, provider: str = "parquet"):
         self.spark, self.ns, self.provider = spark, namespace, provider
@@ -243,6 +247,16 @@ class _CatalogIO:
 
     def _tbl(self, name: str) -> str:
         return f"{self.ns}.{name}"
+
+    @staticmethod
+    def _is_v1_capability_error(e) -> bool:
+        # getCondition is the 4.x name; older sessions only have getErrorClass
+        get = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        cls = get() if get else None
+        return cls == "_LEGACY_ERROR_TEMP_1012" or "v1 table" in str(e)
+
+    def _aligned(self, df: DataFrame, tbl: str) -> DataFrame:
+        return df.select(*self.spark.table(tbl).columns)
 
     def overwrite_partitioned(self, df: DataFrame, name: str) -> None:
         from pyspark.errors import AnalysisException
@@ -254,8 +268,10 @@ class _CatalogIO:
             return
         try:
             df.writeTo(tbl).overwritePartitions()
-        except AnalysisException:
-            df.write.mode("overwrite").insertInto(tbl)
+        except AnalysisException as e:
+            if not self._is_v1_capability_error(e):
+                raise
+            self._aligned(df, tbl).write.mode("overwrite").insertInto(tbl)
 
     def append(self, df: DataFrame, name: str) -> None:
         from pyspark.errors import AnalysisException
@@ -266,8 +282,10 @@ class _CatalogIO:
             return
         try:
             df.writeTo(tbl).append()
-        except AnalysisException:
-            df.write.mode("append").insertInto(tbl)
+        except AnalysisException as e:
+            if not self._is_v1_capability_error(e):
+                raise
+            self._aligned(df, tbl).write.mode("append").insertInto(tbl)
 
     def read(self, name: str, read_schema=None) -> DataFrame:
         return self.spark.read.table(self._tbl(name))

@@ -333,3 +333,51 @@ def test_winnowing_shared_passage_guarantee(spark):
     assert fps["a"] & fps["b"], "shared passage must share a fingerprint"
     assert not (fps["a"] & fps["c"])
     assert not (fps["b"] & fps["c"])
+
+
+def test_dynamic_bits_and_k_parity_above_step(spark):
+    """Spark vs DuckDB parity ON the dynamic path (ADVICE r3 item 1 +
+    VERDICT r3 item 3): every oracled corpus sits under the 1000-row step,
+    so the derived-bits LSH branch and derived-k IVF branch of the oracle
+    CTEs were never executed against Spark. Build a 1500-row corpus —
+    derive_bits and derive_ivf_k both leave their floors — and assert
+    assignment equality row-for-row in both families."""
+    import duckdb
+    import pyarrow as pa
+
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+
+    n = 1500
+    rng = np.random.default_rng(99)
+    vecs = rng.standard_normal((n, EMB_DIM)).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    assert sim.derive_bits(n) > sim.LSH_BITS
+    k = sim.derive_ivf_k(n)
+    assert k > sim.IVF_K
+
+    # n_bits=None -> lsh_assignments derives bits from the corpus count
+    got_bk = sorted((r.vec_id, r.tbl, r.bucket) for r in lsh_assignments(df).collect())
+    got_asg = sorted((r.vec_id, r.cell) for r in sim.ivf_assignments(df, k).collect())
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    want_bk = sorted(
+        map(tuple, con.execute(
+            f"WITH {sim._bk_cte_duck()} SELECT vec_id, tbl, bucket FROM bk"
+        ).fetchall())
+    )
+    want_asg = sorted(
+        map(tuple, con.execute(
+            f"WITH {sim._IVF_ASSIGN_CTE_DUCK} SELECT vec_id, cell FROM assign"
+        ).fetchall())
+    )
+    assert got_bk == want_bk
+    assert got_asg == want_asg

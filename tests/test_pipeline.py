@@ -224,6 +224,39 @@ def test_catalog_writer_resume(spark, corpus_dir, pipeline_out, tmp_path_factory
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_catalog_fallback_insert_aligns_columns(spark, tmp_path_factory):
+    """The v1 insertInto fallback is POSITIONAL: a caller handing the
+    writer a column-reordered frame must still land values under the
+    right columns (the writer realigns to the table schema), and a
+    non-capability AnalysisException must NOT trigger the fallback
+    (ADVICE r3 item 2)."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from ocrd_anybaseocr_spark.operators.pipeline import _CatalogIO
+
+    db = "graft_align_test"
+    loc = str(tmp_path_factory.mktemp("warehouse_align"))
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    try:
+        io = _CatalogIO(spark, db)
+        df = spark.createDataFrame([(1, "a", 0)], "id int, name string, part_bucket int")
+        io.overwrite_partitioned(df, "t_align")
+        scrambled = spark.createDataFrame(
+            [("b", 1, 2)], "name string, part_bucket int, id int"
+        )
+        io.append(scrambled, "t_align")
+        rows = {(r.id, r.name, r.part_bucket) for r in spark.table(f"{db}.t_align").collect()}
+        assert rows == {(1, "a", 0), (2, "b", 1)}
+        # unrelated analysis error (missing column) surfaces, no silent insert
+        with _pytest.raises(AnalysisException):
+            io.append(spark.createDataFrame([(9,)], "id int"), "t_align")
+        assert spark.table(f"{db}.t_align").count() == 2
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_partial_checkpoint_resume(spark, corpus_dir, tmp_path_factory):
     # simulate a mid-corpus failure: keep only some checkpoint rows, rerun,
     # assert full output with no duplicate doc_id (FIXTURES.md §3.4)

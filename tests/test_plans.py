@@ -126,3 +126,18 @@ def test_dedup_embedding_bucket_cap_is_broadcast(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = explain_str(cosine_verified_pairs(emb), "simple")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_assignment_is_narrow(spark, sf_dir):
+    """VERDICT r3 item 2: cell assignment must be scan → project — the
+    centroid matrix is a plan literal and the argmin a fold expression, so
+    there is NO Exchange between the embeddings scan and the cell column
+    (the old broadcast-join + row_number form shuffled N x k rows)."""
+    from ocrd_anybaseocr_spark.operators.similarity import (
+        derive_ivf_k,
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = ivf_assignments(emb, derive_ivf_k(500))
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
