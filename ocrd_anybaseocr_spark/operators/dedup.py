@@ -62,16 +62,17 @@ def shingle_explode(docs: DataFrame, *extra_cols: str) -> DataFrame:
         )
     )
 
-def shingles_cte_duck(extra_cols: str = "") -> str:
+def shingles_cte_duck(extra_cols: str = "", where: str = "") -> str:
     """DuckDB twin of shingle_explode — the single SQL definition of a
-    word 3-gram, optionally carrying extra columns (e.g. source)."""
+    word 3-gram, optionally carrying extra columns (e.g. source) and a
+    row filter (e.g. the decontamination eval/corpus split)."""
     cols = "doc_id" + (f", {extra_cols}" if extra_cols else "")
     return f"""
       SELECT {cols},
              unnest(list_transform(
                generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
                i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
-      FROM documents
+      FROM documents{f" WHERE {where}" if where else ""}
 """
 
 
@@ -603,4 +604,82 @@ ORACLE_JACCARD = f"""
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (n-gram overlap against a held-out table)
+# ---------------------------------------------------------------------------
+
+DECON_EVAL_MOD = 25  # deterministic eval split: doc_id % MOD == 0
+DECON_MIN_SHARED = 3  # contaminated iff >= this many shared distinct 3-grams
+
+
+def decontamination_overlap(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    min_shared: int = DECON_MIN_SHARED,
+) -> DataFrame:
+    """(doc_id, eval_id, shared): training docs sharing >= ``min_shared``
+    distinct word-3-grams with a held-out eval document — the standard
+    LLM-training eval-decontamination pass (flag and drop training examples
+    that leak eval content).
+
+    Scale shape (100 TB): corpus shingles are DF-capped first — a
+    stop-shingle present in >max_shingle_df training docs carries no
+    contamination evidence but would fan the join out by that DF — with
+    the windowed count sharing the join's shuffle key (one corpus shuffle
+    total, same trick as jaccard_pairs). The eval side is tiny by
+    definition (eval suites are thousands of rows, not billions) →
+    broadcast; the final (doc_id, eval_id) count is a partial-agg
+    shuffle of matched rows only."""
+    sh = shingle_explode(corpus).distinct()
+    w = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_shingle_df)
+        .drop("_df")
+    )
+    ev = (
+        shingle_explode(eval_docs)
+        .distinct()
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+    )
+    return (
+        sh.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination query over the documents table: docs with
+    doc_id % DECON_EVAL_MOD == 0 stand in for the held-out eval table
+    (same shape; deterministic in both engines), the rest are the
+    training corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return decontamination_overlap(corpus, ev).select(
+        "doc_id", "eval_id", F.col("shared").cast("bigint").alias("shared")
+    )
+
+
+ORACLE_DECON = f"""
+    WITH shc0 AS ({shingles_cte_duck(where=f"doc_id % {DECON_EVAL_MOD} <> 0")}
+    ), shc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM (SELECT DISTINCT doc_id, shingle FROM shc0)
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ), she0 AS ({shingles_cte_duck(where=f"doc_id % {DECON_EVAL_MOD} = 0")}
+    ), she AS (
+      SELECT DISTINCT doc_id AS eval_id, shingle FROM she0
+    )
+    SELECT c.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM shc c JOIN she e USING (shingle)
+    GROUP BY c.doc_id, e.eval_id
+    HAVING COUNT(*) >= {DECON_MIN_SHARED}
 """

@@ -381,3 +381,33 @@ def test_dynamic_bits_and_k_parity_above_step(spark):
     )
     assert got_bk == want_bk
     assert got_asg == want_asg
+
+
+def test_decontamination_planted_overlap(spark):
+    """A training doc embedding a verbatim eval passage must be flagged
+    against exactly that eval doc (>= DECON_MIN_SHARED shared 3-grams);
+    an unrelated doc must not be flagged — the planted-guarantee twin of
+    test_winnowing_shared_passage_guarantee."""
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        DECON_MIN_SHARED,
+        decontamination_overlap,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta"  # 7 words -> 5 shingles
+    ev = spark.createDataFrame(
+        [(100, passage), (101, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx yy " + passage + " zz"),
+            (2, "totally different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.eval_id): r.shared
+        for r in decontamination_overlap(corpus, ev).collect()
+    }
+    assert out.get((1, 100), 0) >= DECON_MIN_SHARED
+    assert all(k[0] != 2 for k in out)

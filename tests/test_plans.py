@@ -141,3 +141,13 @@ def test_ivf_assignment_is_narrow(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     df = ivf_assignments(emb, derive_ivf_k(500))
     assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_decontaminate_eval_side_broadcast(spark, sf_dir):
+    """Decontamination joins the corpus shingles against the (tiny) eval
+    shingle set: eval side must broadcast; never a cartesian product."""
+    df = QUERIES["decontaminate_overlap"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
