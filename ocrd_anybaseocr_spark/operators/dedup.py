@@ -683,3 +683,115 @@ ORACLE_DECON = f"""
     GROUP BY c.doc_id, e.eval_id
     HAVING COUNT(*) >= {DECON_MIN_SHARED}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (suffix-array-style longest shared run)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8  # seed k-gram width (words)
+SUBSTR_MIN_RUN = 30  # report pairs sharing an exact run of >= this many words
+MAX_KGRAM_DF = 32  # occurrence cap: hotter k-grams are boilerplate, not copies
+
+
+def _kgram_expr(k: int) -> str:
+    """Positional word k-gram hashes as one array expression over the
+    pre-split `_words` column (same non-CSE rationale as the shingle
+    expression): element i = md5 of words[i..i+k-1]. ONE md5 per k-gram."""
+    return (
+        f"CASE WHEN size(_words) >= {k} THEN"
+        f" transform(sequence(0, size(_words) - {k}),"
+        f"   i -> md5(cast(concat_ws(' ', slice(_words, i + 1, {k})) as binary)))"
+        f" ELSE array() END"
+    )
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    k: int = SUBSTR_K,
+    min_run: int = SUBSTR_MIN_RUN,
+    max_kgram_df: int = MAX_KGRAM_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, run_words): document pairs sharing a VERBATIM word
+    run of >= ``min_run`` words, with run_words the longest such run —
+    the 'deduplicating training data' exact-substring pass (the suffix
+    -array ~50-token rule), re-expressed relationally:
+
+    two docs share an L-word verbatim run iff they share L-k+1
+    CONSECUTIVE positional k-grams on one alignment diagonal
+    (pos_a - pos_b constant). So: positional k-gram hashes (narrow
+    explode, one md5 each) → occurrence-cap hot k-grams (windowed count
+    on the join's own shuffle key, one shuffle — boilerplate k-grams
+    carry no copy evidence but would fan the join quadratically) →
+    equi-join on hash → gaps-and-islands per (pair, diagonal) → max
+    island + k - 1 words.
+
+    All arithmetic is exact integers on md5-equality matches — DuckDB
+    oracle is the same algebra (ORACLE_SUBSTR)."""
+    kg = (
+        docs.withColumn("_words", F.split("text", " "))
+        .select("doc_id", F.posexplode(F.expr(_kgram_expr(k))).alias("pos", "kh"))
+    )
+    w = Window.partitionBy("kh")
+    kg = (
+        kg.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= max_kgram_df)
+        .drop("_n")
+    )
+    a, b = kg.alias("a"), kg.alias("b")
+    m = a.join(
+        b, (F.col("a.kh") == F.col("b.kh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    wr = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(wr))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("run_words"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("run_words").cast("bigint").alias("run_words"))
+        .filter(F.col("run_words") >= min_run)
+    )
+
+
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_pairs(docs)
+
+
+q_dedup_exact_substring.__doc__ = exact_substring_pairs.__doc__
+
+ORACLE_SUBSTR = f"""
+    WITH kg0 AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(string_split(text, ' ')[i:i+{SUBSTR_K - 1}], ' ')) AS kh
+      FROM documents,
+           LATERAL unnest(generate_series(1,
+             greatest(len(string_split(text, ' ')) - {SUBSTR_K - 1}, 0))) AS t(i)
+    ), kg AS (
+      SELECT doc_id, pos, kh FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY kh) AS n FROM kg0
+      ) WHERE n <= {MAX_KGRAM_DF}
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM kg a JOIN kg b ON a.kh = b.kh AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT doc_a, doc_b, diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM m
+    ), runs AS (
+      SELECT doc_a, doc_b, COUNT(*) + {SUBSTR_K - 1} AS run_words
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, CAST(MAX(run_words) AS BIGINT) AS run_words
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING MAX(run_words) >= {SUBSTR_MIN_RUN}
+"""

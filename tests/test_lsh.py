@@ -411,3 +411,30 @@ def test_decontamination_planted_overlap(spark):
     }
     assert out.get((1, 100), 0) >= DECON_MIN_SHARED
     assert all(k[0] != 2 for k in out)
+
+
+def test_exact_substring_planted_run(spark):
+    """Exactness of the diagonal gaps-and-islands algebra: a verbatim
+    35-word passage embedded at DIFFERENT offsets in two docs must yield
+    run_words == 35 exactly (k-gram count + k - 1, no off-by-one, no
+    accidental extension into differing context); a 20-word shared
+    passage stays under SUBSTR_MIN_RUN and must not be reported."""
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        SUBSTR_MIN_RUN,
+        exact_substring_pairs,
+    )
+
+    p35 = " ".join(f"p{i}" for i in range(35))
+    p20 = " ".join(f"q{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "a0 a1 a2 " + p35 + " a3 a4"),
+            (2, "b0 " + p35 + " b1 b2 b3 b4 b5"),
+            (3, "c0 c1 " + p20 + " c2 c3"),
+            (4, "d0 " + p20 + " d1 d2 d3"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.run_words for r in exact_substring_pairs(docs).collect()}
+    assert 20 < SUBSTR_MIN_RUN <= 35
+    assert got == {(1, 2): 35}

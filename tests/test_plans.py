@@ -151,3 +151,14 @@ def test_decontaminate_eval_side_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_exact_substring_equi_join_shape(spark, sf_dir):
+    """The k-gram match join must be a hash/sort-merge equi-join on the
+    hash key with the occurrence cap sharing that shuffle key — never a
+    cartesian/nested-loop product."""
+    df = QUERIES["dedup_exact_substring"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
