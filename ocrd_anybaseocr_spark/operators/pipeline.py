@@ -178,6 +178,15 @@ def build_page_results(
       shuffling the media bytes means re-writing the corpus to shuffle
       storage, this is the right shape; results are identical
       (parallelism-invariance holds for any partitioning).
+
+      Caveat (VERDICT r3): the broadcast page index holds ~3 small columns
+      per page — fine through ~10^8 pages, but at 10^9+ the index itself
+      outgrows a broadcast. The 100 TB form of the same no-byte-shuffle
+      plan is STORAGE-BUCKETED joins: documents and page_blobs both
+      bucketed by media_ref (Iceberg bucket(media_ref, N) partition
+      transform), which turns the join into a zero-exchange bucket-local
+      merge on a real catalog; this sandbox has no Iceberg jar (see
+      COVERAGE.md S4), so that layout is documented rather than exercised.
     """
     pages = page_index(documents)
     if skew_strategy == "scan":

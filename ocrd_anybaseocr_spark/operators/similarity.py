@@ -330,12 +330,13 @@ def _emb_count_cached(spark: SparkSession, sf_dir: str) -> int:
 
 
 def clear_caches() -> None:
-    """Drop all per-session memoization (counts + checkpointed pair sets).
-    For tests and any caller that mutates sf_dir contents mid-session —
-    the caches key on (app.id, sf_dir) and would otherwise serve stale
-    results after an in-place data change."""
+    """Drop all per-session memoization (counts, checkpointed pair sets,
+    the IVF index). For tests and any caller that mutates sf_dir contents
+    mid-session — the caches key on (app.id, sf_dir) and would otherwise
+    serve stale results after an in-place data change."""
     _COUNT_CACHE.clear()
     _EMB_PAIRS_CACHE.clear()
+    _IVF_ASSIGN_CACHE.clear()
 
 
 def derive_ivf_k(n_rows: int) -> int:
@@ -359,21 +360,29 @@ def derive_ivf_k(n_rows: int) -> int:
 
 def _argmin_cell_expr(cents: list[tuple[int, list[int]]]) -> str:
     """Nearest-centroid id as ONE narrow column expression over ``v_se``:
-    the k x dim scaled-int centroid matrix is a plan literal and the argmin
-    is a left fold over per-centroid exact squared-L2 structs — zero joins,
-    zero shuffles, whole corpus stays a projection (VERDICT r3 item 2: the
-    previous broadcast-join + row_number form shuffled N x k rows).
-    ``cents`` must be ascending by cell id: the fold keeps the FIRST
-    minimum (strict <), which is exactly the (d2, cell) tie-break."""
-    carr = "array(" + ",".join(
-        "array(" + ",".join(f"{int(v)}L" for v in vec) + ")" for _, vec in cents
-    ) + ")"
-    cids = "array(" + ",".join(str(int(c)) for c, _ in cents) + ")"
+    the k x dim scaled-int centroid matrix ships as plan literals and the
+    argmin is a left fold over per-centroid exact squared-L2 structs —
+    zero joins, zero shuffles, whole corpus stays a projection (VERDICT r3
+    item 2: the previous broadcast-join + row_number form shuffled N x k
+    rows). ``cents`` must be ascending by cell id: the fold keeps the
+    FIRST minimum (strict <), which is exactly the (d2, cell) tie-break.
+
+    Layout matters: each centroid's 64-int literal is a DIRECT zip_with
+    argument, outside every lambda, so ConstantFolding collapses it once
+    at planning. The first cut indexed ONE nested k x dim array literal
+    with element_at inside a transform lambda — foldable-looking, but
+    nothing folds inside a lambda body, so the whole nested array was
+    re-materialized per row per centroid (~1 ms/row at k=45; this form
+    is ~10x cheaper)."""
+    structs = ",".join(
+        "named_struct('d', aggregate(zip_with(v_se, array("
+        + ",".join(f"{int(v)}L" for v in vec)
+        + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t),"
+        f" 'c', {int(c)})"
+        for c, vec in cents
+    )
     return (
-        f"aggregate(transform(sequence(1, {len(cents)}), i -> named_struct("
-        f"'d', aggregate(zip_with(v_se, element_at({carr}, i),"
-        f" (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t),"
-        f" 'c', element_at({cids}, i))),"
+        f"aggregate(array({structs}),"
         f" named_struct('d', 9223372036854775807L, 'c', -1),"
         f" (acc, s) -> IF(s.d < acc.d, s, acc)).c"
     )
@@ -393,7 +402,11 @@ def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     Scale shape: the k centroid rows are fetched once to the driver (a
     bounded <=IVF_MAX_K-row fetch, the literal-broadcast analogue) and the
     assignment is a NARROW map — scan → project, no join, no exchange
-    (plan-asserted in test_plans). ``k`` should come from derive_ivf_k."""
+    (plan-asserted in test_plans). ``k`` should come from derive_ivf_k;
+    a caller forcing k beyond IVF_MAX_K gets the min_by shape instead
+    (one partial-agg exchange of N rows — never the old N x k window)."""
+    if k > IVF_MAX_K:
+        return _ivf_assignments_minby(emb, k)
     cent_rows = (
         emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cell"), F.expr(_SE_SPARK).alias("c_se"))
@@ -404,8 +417,52 @@ def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     return v.select("vec_id", F.expr(_argmin_cell_expr(cents)).alias("cell"))
 
 
+def _ivf_assignments_minby(emb: DataFrame, k: int) -> DataFrame:
+    """min_by twin of the argmin literal, for k past literal practicality:
+    the corpus still expands k-fold against the broadcast centroid
+    relation, but the argmin is a partial aggregate — map-side combine
+    collapses each vector's k candidates before the exchange, so exactly
+    N rows shuffle (vs the N x k row_number window this operator shipped
+    with in round 3). Same (d2, cell) tie-break via the struct ordering."""
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.expr(_SE_SPARK).alias("c_se")
+    )
+    v = emb.select("vec_id", F.expr(_SE_SPARK).alias("v_se"))
+    d2 = (
+        "aggregate(zip_with(v_se, c_se, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    return (
+        v.join(F.broadcast(cent))
+        .withColumn("d2", F.expr(d2))
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct("d2", "cell")).alias("cell"))
+    )
+
+
 # int-array dot (inputs already 1e4-scaled): exact int64 on both engines
 _IDOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
+# the IVF INDEX (vec -> cell), built once per (session, sf_dir) and
+# lineage-truncated: that is what an IVF index IS operationally — you build
+# the coarse quantization once and serve many probes from it. Without this,
+# every subtree referencing the assignment (candidate join, re-rank) and
+# every driver invocation re-evaluated the interpreted-HOF argmin over the
+# whole corpus (~0.4 ms/row at k=45 — HOF lambdas don't codegen).
+# Same keying/staleness caveat as _EMB_PAIRS_CACHE; clear_caches() drops it.
+_IVF_ASSIGN_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _ivf_assign_cached(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    app = spark.conf.get("spark.app.id", "?")
+    key = (app, sf_dir, k)
+    if key not in _IVF_ASSIGN_CACHE:
+        for c in [c for c in _IVF_ASSIGN_CACHE if c[0] != app]:
+            del _IVF_ASSIGN_CACHE[c]
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        _IVF_ASSIGN_CACHE[key] = ivf_assignments(emb, k).localCheckpoint(eager=True)
+    return _IVF_ASSIGN_CACHE[key]
 
 
 def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +471,9 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is an equi-join on cell id — per query it scans ~nprobe/k
     of the corpus instead of all of it, the classic IVF recall/cost dial
     (nprobe up = recall up). ``k`` derives from the corpus size
-    (derive_ivf_k ~ sqrt(N)); the cached count job runs once per session.
+    (derive_ivf_k ~ sqrt(N)); the cached count job runs once per session,
+    and the index itself (vec -> cell) is built once per (session,
+    sf_dir) and checkpointed (_ivf_assign_cached).
 
     Ranking determinism (ADVICE r3): candidates are ordered by cosine
     computed ENTIRELY from exact 1e4-scaled integer dots — dot_e8 and both
@@ -424,7 +483,7 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific order and can flip near-tied ranks)."""
     emb = load_table(spark, sf_dir, "embeddings")
     k = derive_ivf_k(_emb_count_cached(spark, sf_dir))
-    assign = ivf_assignments(emb.select("vec_id", "embedding"), k)
+    assign = _ivf_assign_cached(spark, sf_dir, k)
     cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.expr(_SE_SPARK).alias("c_se")
     )

@@ -438,3 +438,19 @@ def test_exact_substring_planted_run(spark):
     got = {(r.doc_a, r.doc_b): r.run_words for r in exact_substring_pairs(docs).collect()}
     assert 20 < SUBSTR_MIN_RUN <= 35
     assert got == {(1, 2): 35}
+
+
+def test_ivf_minby_fallback_matches_literal(spark):
+    """For k past the literal cap, ivf_assignments switches to the min_by
+    partial-agg shape; both shapes must produce identical assignments
+    (same exact-int d2, same (d2, cell) tie-break)."""
+    from ocrd_anybaseocr_spark.operators.similarity import (
+        _ivf_assignments_minby,
+        ivf_assignments,
+    )
+
+    vecs = _clustered_vectors(n_clusters=10, per_cluster=4, n_noise=60)
+    df = _emb_df(spark, vecs)
+    lit = sorted((r.vec_id, r.cell) for r in ivf_assignments(df, 20).collect())
+    mb = sorted((r.vec_id, r.cell) for r in _ivf_assignments_minby(df, 20).collect())
+    assert lit == mb and len(lit) == len(vecs)
