@@ -170,12 +170,16 @@ def round_like_spark(x: float, scale: int = 6) -> float:
     .setScale(scale, HALF_UP).toDouble``; Python's ``repr`` emits the same
     shortest round-trip decimal as ``Double.toString``, so quantizing that
     Decimal HALF_UP reproduces the exact double Spark returns — Python's
-    built-in ``round`` (banker's, binary) does NOT.
+    built-in ``round`` (banker's, binary) does NOT. The ``+ 0.0`` folds
+    -0.0 to +0.0: BigDecimal has no signed zero, so Spark returns +0.0
+    for any tiny negative that rounds to zero, while Decimal preserves
+    the sign — and the driver's canon formats them differently ('-0' vs
+    '0'), which would flip the hash gate (round-4 review finding).
     """
     from decimal import ROUND_HALF_UP, Decimal
 
     q = Decimal(1).scaleb(-scale)
-    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
 
 
 def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
@@ -261,11 +265,16 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
             pa.field("parent_id", pa.int32(), False),
         ]
     )
-    pq.write_table(
-        pa.Table.from_pylist(pr_rows, schema=pr_schema),
-        os.path.join(out_dir, "expected_page_results.parquet"),
-    )
-    pq.write_table(
-        pa.Table.from_pylist(ds_rows, schema=ds_schema),
-        os.path.join(out_dir, "expected_doc_structure.parquet"),
-    )
+    # write-to-temp + atomic rename, BOTH files before either final name
+    # exists is not achievable with two renames — so the caller must gate
+    # on the SECOND file (expected_doc_structure.parquet), which this
+    # function renames last: a crash between the renames leaves the gate
+    # file absent and the next run re-materializes both (round-4 review:
+    # gating on the first file could strand a half-written pair forever)
+    for rows, schema, name in (
+        (pr_rows, pr_schema, "expected_page_results.parquet"),
+        (ds_rows, ds_schema, "expected_doc_structure.parquet"),
+    ):
+        tmp = os.path.join(out_dir, f".{name}.tmp.{os.getpid()}")
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, os.path.join(out_dir, name))

@@ -547,8 +547,10 @@ def _pipeline_corpus() -> str:
         generate_corpus(d, _PIPE_DOCS, seed=42, workers=1)
         open(marker, "w").write("ok")
     # expected pipeline outputs (oracle parquet) — checked separately from
-    # the corpus marker so pre-existing cached corpora gain them on upgrade
-    if not _os.path.exists(_os.path.join(d, "expected_page_results.parquet")):
+    # the corpus marker so pre-existing cached corpora gain them on
+    # upgrade. Gate on expected_doc_structure.parquet: materialize_expected
+    # atomically renames it LAST, so its presence implies the full pair
+    if not _os.path.exists(_os.path.join(d, "expected_doc_structure.parquet")):
         from .oracle import materialize_expected
 
         materialize_expected(d, _PIPE_DOCS, seed=42)

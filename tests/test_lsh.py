@@ -151,6 +151,7 @@ def test_ivf_flat_recall_vs_brute_force(spark, monkeypatch):
     vecs = _clustered_vectors()
     df = _emb_df(spark, vecs)
     monkeypatch.setattr(sim, "load_table", lambda s, d, n: df)
+    sim.clear_caches()  # the (app.id, sf_dir) caches must not serve another test's table
     got = {}
     for r in sim.q_ann_ivf_flat(spark, "unused").collect():
         got.setdefault(r.query_id, set()).add(r.neighbor_id)

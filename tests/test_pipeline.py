@@ -125,12 +125,14 @@ def test_round_like_spark_matches_f_round(spark):
 
     vals = [float(v) for v in skew_grid()] + [
         0.0, -0.0, 0.0000005, -0.0000005, 1.2345675, -1.2345675,
-        0.12345645, 2.5e-7, 1.9999995, 0.1 + 0.2,
+        0.12345645, 2.5e-7, -1e-9, -4.9e-7, 1.9999995, 0.1 + 0.2,
     ]
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     got = [r[0] for r in df.select(F.round("x", 6)).collect()]
     want = [round_like_spark(v, 6) for v in vals]
-    assert got == want
+    # repr-compare: float == treats -0.0 == 0.0 as equal, but the driver's
+    # canon formats them differently — sign of zero must match too
+    assert [repr(g) for g in got] == [repr(w) for w in want]
 
 
 def test_expected_parquet_matches_spark_queries(spark):
