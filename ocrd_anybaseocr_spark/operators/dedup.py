@@ -795,3 +795,44 @@ ORACLE_SUBSTR = f"""
     FROM runs GROUP BY doc_a, doc_b
     HAVING MAX(run_words) >= {SUBSTR_MIN_RUN}
 """
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style duplicate n-gram mass)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, total_ngrams, distinct_ngrams, dup_per_million): the
+    Gopher-family intra-document repetition filter — the fraction of a
+    document's word-3-grams that are repeats of earlier ones (cross-doc
+    repetition is boilerplate_ratio's job; this catches looping/spammy
+    text WITHIN one doc). dup_per_million is exact integer arithmetic
+    ((total - distinct) * 1e6 div total) so both engines agree bit-wise
+    without float division. Docs with < 3 words have no 3-grams and are
+    absent in both engines. Scale shape: narrow explode -> one partial-agg
+    shuffle per doc (count + count-distinct), scan speed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_explode(docs)
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.countDistinct("shingle").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "dup_per_million",
+            F.expr("(total_ngrams - distinct_ngrams) * 1000000L div total_ngrams"),
+        )
+    )
+
+
+ORACLE_REPETITION = f"""
+    WITH sh AS ({shingles_cte_duck()}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS distinct_ngrams,
+           CAST(((COUNT(*) - COUNT(DISTINCT shingle)) * 1000000) // COUNT(*)
+                AS BIGINT) AS dup_per_million
+    FROM sh GROUP BY doc_id
+"""

@@ -508,6 +508,7 @@ register("dedup_simhash", _dd.ORACLE_SIMHASH)(_dd.q_dedup_simhash)
 register("dedup_jaccard_ngram", _dd.ORACLE_JACCARD)(_dd.q_dedup_jaccard)
 register("decontaminate_overlap", _dd.ORACLE_DECON)(_dd.q_decontaminate_overlap)
 register("dedup_exact_substring", _dd.ORACLE_SUBSTR)(_dd.q_dedup_exact_substring)
+register("repetition_ratio", _dd.ORACLE_REPETITION)(_dd.q_repetition_ratio)
 register("ann_brute_force", _sim.ORACLE_ANN_BRUTE)(_sim.q_ann_brute_force)
 register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
 register("ann_ivf_flat", _sim.ORACLE_ANN_IVF)(_sim.q_ann_ivf_flat)

@@ -455,3 +455,23 @@ def test_ivf_minby_fallback_matches_literal(spark):
     lit = sorted((r.vec_id, r.cell) for r in ivf_assignments(df, 20).collect())
     mb = sorted((r.vec_id, r.cell) for r in _ivf_assignments_minby(df, 20).collect())
     assert lit == mb and len(lit) == len(vecs)
+
+
+def test_repetition_ratio_planted(spark, monkeypatch):
+    """A doc that is one 4-word phrase looped has almost-all-duplicate
+    3-grams; a doc of all-unique words has zero. Exact integer per-million
+    arithmetic, both pinned."""
+    from ocrd_anybaseocr_spark.operators import dedup as dd
+
+    looped = " ".join(["spam ham eggs bacon"] * 10)  # 40 words, 38 3-grams
+    unique = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, looped), (2, unique)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in dd.q_repetition_ratio(spark, "unused").collect()}
+    r1, r2 = out[1], out[2]
+    # looped: 38 total, only 4 distinct (each rotation of the phrase)
+    assert (r1.total_ngrams, r1.distinct_ngrams) == (38, 4)
+    assert r1.dup_per_million == (38 - 4) * 1_000_000 // 38
+    assert (r2.total_ngrams, r2.distinct_ngrams, r2.dup_per_million) == (18, 18, 0)
