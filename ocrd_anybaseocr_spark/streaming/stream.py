@@ -249,3 +249,63 @@ def stream_fold_structure(
         .start()
     )
     q.awaitTermination()
+
+
+# rows the streaming dedup consumes: arrival time + content
+DEDUP_STREAM = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+def dedup_exact_stream(docs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming form of exact dedup (SO1): the FIRST arrival of each
+    content hash passes through; re-arrivals within ``watermark`` of the
+    original are dropped. ``dropDuplicatesWithinWatermark`` holds ONE
+    state entry per hash and EVICTS it once the watermark passes the
+    entry's event time — the bounded-state contract of §2.9 (a plain
+    ``dropDuplicates`` on an unbounded ingest grows state forever). A
+    duplicate arriving after eviction re-emits; downstream batch dedup
+    (hash-groupBy) remains the exactness backstop — the streaming pass is
+    the cheap high-recall filter at ingest. Hash = md5 of the text bytes,
+    identical to the batch dedup_exact key."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs.withColumn("content_hash", F.md5(F.col("text").cast("binary")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "30 minutes",
+) -> None:
+    """Incremental exact dedup over a growing directory of document
+    parquet drops (DEDUP_STREAM schema) → first-seen docs, append
+    exactly-once. Trigger.AvailableNow; dedup state and the watermark
+    ride the checkpoint across runs, so a duplicate landing in a LATER
+    ingest run (within the watermark) is still dropped."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_dedup_checkpoint")
+    docs = (
+        spark.readStream.schema(DEDUP_STREAM)
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+    q = (
+        dedup_exact_stream(docs, watermark)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "deduped_stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()

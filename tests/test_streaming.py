@@ -145,3 +145,46 @@ def test_watermarked_window_finalize_and_late_drop(spark, tmp_path_factory):
     assert got2[(40, "scan")] == 1  # late 10:05 event did not resurrect anything
     assert got2[(0, "scan")] == 2  # finalized window unchanged
     assert (5, "scan") not in got2
+
+
+def test_streaming_dedup_across_ingest_runs(spark, tmp_path_factory):
+    """Streaming exact dedup across TWO ingest runs: within-batch and
+    cross-RESTART duplicates (inside the watermark) are dropped — the
+    dedup state rides the checkpoint — while distinct content always
+    passes. First-seen rows append exactly once."""
+    import datetime as dt
+
+    from ocrd_anybaseocr_spark.streaming.stream import (
+        DEDUP_STREAM,
+        stream_dedup_exact,
+    )
+
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def doc(did, minutes, text):
+        return (did, T0 + dt.timedelta(minutes=minutes), text)
+
+    in_dir = str(tmp_path_factory.mktemp("dd_in"))
+    out_dir = str(tmp_path_factory.mktemp("dd_out"))
+    out_path = os.path.join(out_dir, "deduped_stream")
+
+    # run 1: A, an in-batch duplicate of A (different doc_id, same text), B
+    drop1 = [doc("a1", 0, "alpha beta"), doc("a2", 1, "alpha beta"),
+             doc("b1", 5, "gamma delta")]
+    spark.createDataFrame(drop1, DEDUP_STREAM).write.parquet(
+        os.path.join(in_dir, "drop1.parquet")
+    )
+    stream_dedup_exact(spark, in_dir, out_dir)
+    got1 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert got1 == ["a1", "b1"]
+
+    # run 2 (query restart): another duplicate of A at 10:20 — state entry
+    # for A's hash is still live (watermark 30 min) and must drop it —
+    # plus genuinely new content C
+    drop2 = [doc("a3", 20, "alpha beta"), doc("c1", 25, "epsilon zeta")]
+    spark.createDataFrame(drop2, DEDUP_STREAM).write.parquet(
+        os.path.join(in_dir, "drop2.parquet")
+    )
+    stream_dedup_exact(spark, in_dir, out_dir)
+    got2 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert got2 == ["a1", "b1", "c1"]
