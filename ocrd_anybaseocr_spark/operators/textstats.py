@@ -324,3 +324,138 @@ ORACLE_FINGERPRINT_WINNOW = f"""
            md5(array_to_string(list_sort(list_distinct(wins)), ',')) AS fp_digest
     FROM wn
 """
+
+
+# ---------------------------------------------------------------------------
+# Composite corpus cleaning filter (C4/Gopher rule stack)
+# ---------------------------------------------------------------------------
+
+# union of every language's marker words — the filter's stopword rule is
+# language-agnostic ("contains function words of ANY supported language"),
+# single source for both engines
+_ALL_MARKERS = list(dict.fromkeys(w for lang in _LANG_ORDER for w in _MARKERS[lang]))
+CLEAN_MIN_TOKENS = 20  # Gopher word-count floor (scaled to this corpus)
+CLEAN_STOP_RATIO_PCT = 5  # >= 5% marker-word mass (C4 'contains stopwords')
+CLEAN_TOK_LEN_LO = 2  # Gopher mean-word-length band
+CLEAN_TOK_LEN_HI = 10
+CLEAN_MAX_DUP_PPM = 100_000  # Gopher duplicate-3-gram mass cap (10%)
+
+
+def q_corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, retained, reasons): the canonical training-data cleaning
+    decision per document — the C4/Gopher rule stack composed from this
+    suite's signals, every comparison in EXACT integer arithmetic (ratio
+    thresholds cross-multiplied) so both engines agree bit-wise:
+
+    - too_short: < CLEAN_MIN_TOKENS whitespace tokens (Gopher floor);
+    - low_stop: marker-word mass < 5% of tokens (C4 stopword rule,
+      language-agnostic union of all marker lists);
+    - bad_tok_len: mean alpha-chars per token outside [2, 10] (Gopher);
+    - repetitive: intra-doc duplicate-3-gram mass > 10% (Gopher, the
+      repetition_ratio signal; docs with < 3 words have no 3-grams and
+      count as 0);
+    - duplicate: not the min-doc_id canonical of its exact content hash
+      (the dedup_exact rule as a filter).
+
+    ``reasons`` lists the failed rules comma-joined in fixed order (empty
+    string when retained). Scale shape: narrow per-doc exprs + one
+    partial-agg shuffle for the 3-gram stats + one hash-groupBy for the
+    canonical id — the same shapes as the underlying operators."""
+    from .dedup import shingle_explode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pat = "|".join(_ALL_MARKERS)
+    base = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("n_tokens"),
+        F.expr("length(regexp_replace(text, '[^a-z]', ''))").cast("bigint").alias("n_alpha"),
+        F.expr(f"regexp_count(concat(' ', text, ' '), ' ({pat}) ')")
+        .cast("bigint")
+        .alias("stop_hits"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    rep = (
+        shingle_explode(docs)
+        .groupBy("doc_id")
+        .agg(
+            (
+                (F.count(F.lit(1)) - F.countDistinct("shingle")) * F.lit(1_000_000)
+            ).alias("dup_num"),
+            F.count(F.lit(1)).alias("dup_den"),
+        )
+        .select("doc_id", F.expr("dup_num div dup_den").alias("dpm"))
+    )
+    canon = base.groupBy("h").agg(F.min("doc_id").alias("canon_id"))
+    j = (
+        base.join(canon, "h")
+        .join(rep, "doc_id", "left")
+        .withColumn("dpm", F.coalesce("dpm", F.lit(0)))
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_tokens") < CLEAN_MIN_TOKENS, F.lit("too_short")),
+        F.when(
+            F.col("stop_hits") * (100 // CLEAN_STOP_RATIO_PCT) < F.col("n_tokens"),
+            F.lit("low_stop"),
+        ),
+        F.when(
+            (F.col("n_alpha") < CLEAN_TOK_LEN_LO * F.col("n_tokens"))
+            | (F.col("n_alpha") > CLEAN_TOK_LEN_HI * F.col("n_tokens")),
+            F.lit("bad_tok_len"),
+        ),
+        F.when(F.col("dpm") > CLEAN_MAX_DUP_PPM, F.lit("repetitive")),
+        F.when(F.col("doc_id") != F.col("canon_id"), F.lit("duplicate")),
+    )
+    return j.select(
+        "doc_id",
+        reasons.alias("reasons"),
+    ).withColumn("retained", F.col("reasons") == "")
+
+
+ORACLE_CLEAN_FILTER = f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(len(regexp_extract_all(' ' || text || ' ',
+                  ' ({'|'.join(_ALL_MARKERS)}) ')) AS BIGINT) AS stop_hits,
+             md5(text) AS h
+      FROM documents
+    ), rep AS (
+      SELECT doc_id,
+             CAST(((COUNT(*) - COUNT(DISTINCT shingle)) * 1000000) // COUNT(*)
+                  AS BIGINT) AS dpm
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+        FROM documents
+      ) GROUP BY doc_id
+    ), canon AS (
+      SELECT h, min(doc_id) AS canon_id FROM b GROUP BY h
+    ), j AS (
+      SELECT b.*, canon.canon_id, coalesce(rep.dpm, 0) AS dpm
+      FROM b JOIN canon USING (h) LEFT JOIN rep ON rep.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           concat_ws(',',
+             CASE WHEN n_tokens < {CLEAN_MIN_TOKENS} THEN 'too_short' END,
+             CASE WHEN stop_hits * {100 // CLEAN_STOP_RATIO_PCT} < n_tokens
+                  THEN 'low_stop' END,
+             CASE WHEN n_alpha < {CLEAN_TOK_LEN_LO} * n_tokens
+                    OR n_alpha > {CLEAN_TOK_LEN_HI} * n_tokens
+                  THEN 'bad_tok_len' END,
+             CASE WHEN dpm > {CLEAN_MAX_DUP_PPM} THEN 'repetitive' END,
+             CASE WHEN doc_id <> canon_id THEN 'duplicate' END) AS reasons,
+           concat_ws(',',
+             CASE WHEN n_tokens < {CLEAN_MIN_TOKENS} THEN 'too_short' END,
+             CASE WHEN stop_hits * {100 // CLEAN_STOP_RATIO_PCT} < n_tokens
+                  THEN 'low_stop' END,
+             CASE WHEN n_alpha < {CLEAN_TOK_LEN_LO} * n_tokens
+                    OR n_alpha > {CLEAN_TOK_LEN_HI} * n_tokens
+                  THEN 'bad_tok_len' END,
+             CASE WHEN dpm > {CLEAN_MAX_DUP_PPM} THEN 'repetitive' END,
+             CASE WHEN doc_id <> canon_id THEN 'duplicate' END) = '' AS retained
+    FROM j
+"""

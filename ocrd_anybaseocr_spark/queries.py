@@ -514,6 +514,7 @@ register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
 register("ann_ivf_flat", _sim.ORACLE_ANN_IVF)(_sim.q_ann_ivf_flat)
 register("embedding_stats", _sim.ORACLE_EMB_STATS)(_sim.q_embedding_stats)
 register("lang_id", _ts.ORACLE_LANG_ID)(_ts.q_lang_id)
+register("corpus_clean_filter", _ts.ORACLE_CLEAN_FILTER)(_ts.q_corpus_clean_filter)
 register("quality_score", _ts.ORACLE_QUALITY)(_ts.q_quality_score)
 register("token_count", _ts.ORACLE_TOKEN_COUNT)(_ts.q_token_count)
 register("fingerprint", _ts.ORACLE_FINGERPRINT)(_ts.q_fingerprint)

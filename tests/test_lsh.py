@@ -475,3 +475,38 @@ def test_repetition_ratio_planted(spark, monkeypatch):
     assert (r1.total_ngrams, r1.distinct_ngrams) == (38, 4)
     assert r1.dup_per_million == (38 - 4) * 1_000_000 // 38
     assert (r2.total_ngrams, r2.distinct_ngrams, r2.dup_per_million) == (18, 18, 0)
+
+
+def test_corpus_clean_filter_planted_rules(spark, monkeypatch):
+    """Every rule of the composite cleaning filter fires on a doc built to
+    violate exactly it (the sf0.01 data only exercises too_short/low_stop,
+    so the other rules need planted cases), and a clean doc passes with an
+    empty reasons string."""
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    stops = ["the", "and", "of", "to"]
+    # stopwords interleaved with unique fillers: high stop mass, zero
+    # repeated 3-grams (a looped stopword prefix would trip `repetitive`)
+    clean = " ".join(
+        w for i in range(20) for w in (stops[i % 4], f"word{i}")
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "tiny doc"),                                  # too_short (+low_stop)
+            (3, " ".join(f"word{i}" for i in range(30))),     # low_stop only
+            # mean alpha/token < 2: stopwords + single-letter fillers
+            (4, "the a b c d and e f g h of i j k l to m n o p"),
+            (5, "the spam and eggs " * 15),                   # repetitive loop
+            (6, clean),                                       # duplicate of 1
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in ts.q_corpus_clean_filter(spark, "unused").collect()}
+    assert out[1].retained and out[1].reasons == ""
+    assert "too_short" in out[2].reasons and not out[2].retained
+    assert out[3].reasons == "low_stop"
+    assert "bad_tok_len" in out[4].reasons
+    assert "repetitive" in out[5].reasons
+    assert out[6].reasons == "duplicate" and not out[6].retained
