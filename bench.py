@@ -298,12 +298,14 @@ ATTR_MARKER = "\n## 8→32 attribution sweep (measured)\n"
 VARIANCE_MARKER = "\n## Measurement-window variance\n"
 
 
-def write_attribution_md(rows: list[dict]) -> None:
+def write_attribution_md(rows: list[dict], note: str = "") -> None:
     """Replace the attribution section of BENCH/BASELINE.md with the
     measured kernel-vs-Spark split of the 8→32 scaling gap. The analysis
     lines are COMPUTED from the rows (a rerun in a different noise window
     must not inherit a stale narrative), and any hand-written
-    VARIANCE_MARKER section after it is preserved."""
+    VARIANCE_MARKER section after it is preserved. ``note`` (one line) is
+    appended to the header — use it to disclose row provenance when rows
+    are merged across sweeps (best-of-N-windows per config)."""
     path = os.path.join(_ROOT, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     base, variance_tail = "# BENCH\n", ""
@@ -355,7 +357,9 @@ def write_attribution_md(rows: list[dict]) -> None:
         f.write(
             base
             + ATTR_MARKER
-            + "\nEach row one fresh-subprocess pipeline run (9600 docs, best-of-2, warmed):\n\n"
+            + "\nEach row one fresh-subprocess pipeline run (9600 docs, best-of-2, warmed):"
+            + (f"\n{note}" if note else "")
+            + "\n\n"
             "| impl/arrow_batch | config | pages/sec | kernel ms/page | kernel_util |\n"
             "|---|---|---|---|---|\n" + tbl + "\n\n" + "\n".join(lines) + "\n"
             + variance_tail
