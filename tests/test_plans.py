@@ -162,3 +162,15 @@ def test_exact_substring_equi_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_clean_filter_and_repetition_partial_aggs(spark, sf_dir):
+    """The cleaning filter and repetition ratio must keep their aggregates
+    partial (map-side combine before each exchange) and never degenerate
+    to a cartesian/nested-loop product."""
+    for name in ("corpus_clean_filter", "repetition_ratio"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "partial" in explain_str(df).lower(), name
