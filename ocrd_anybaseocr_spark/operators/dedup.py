@@ -386,10 +386,11 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_minhash_verified.__doc__ = verified_pairs.__doc__
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash: per-bit majority vote over word hashes, assembled
-    into one bigint. Narrow explode + single groupBy(doc_id)."""
-    docs = load_table(spark, sf_dir, "documents")
+def simhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash — per-bit majority vote over word
+    hashes, assembled into one bigint. Narrow explode + single
+    groupBy(doc_id). Shared by the signature query and the hamming-pair
+    generator."""
     wordhash = _md5_prefix_int_spark("cast(word as binary)", SIMHASH_BITS // 4)
     w = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -411,8 +412,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
-ORACLE_SIMHASH = f"""
-    WITH w AS (
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures_df(load_table(spark, sf_dir, "documents"))
+
+
+q_dedup_simhash.__doc__ = simhash_signatures_df.__doc__
+
+
+_SIMHASH_SIG_CTE = f"""w AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ), h AS (
       SELECT doc_id, {_hexn_to_int_duck("md5(word)", SIMHASH_BITS // 4)} AS h FROM w
@@ -423,13 +430,18 @@ ORACLE_SIMHASH = f"""
                for j in range(SIMHASH_BITS)
              )}
       FROM h GROUP BY doc_id
-    )
-    SELECT doc_id,
-           CAST({' + '.join(
-             f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(SIMHASH_BITS)
-           )}
-             AS BIGINT) AS simhash
-    FROM s
+    ), sig AS (
+      SELECT doc_id,
+             CAST({' + '.join(
+               f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(SIMHASH_BITS)
+             )}
+               AS BIGINT) AS simhash
+      FROM s
+    )"""
+
+ORACLE_SIMHASH = f"""
+    WITH {_SIMHASH_SIG_CTE}
+    SELECT doc_id, simhash FROM sig
 """
 
 # ---------------------------------------------------------------------------
@@ -835,4 +847,107 @@ ORACLE_REPETITION = f"""
            CAST(((COUNT(*) - COUNT(DISTINCT shingle)) * 1000000) // COUNT(*)
                 AS BIGINT) AS dup_per_million
     FROM sh GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-distance pair generation (pigeonhole banding)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4  # 8 bits per band at SIMHASH_BITS=32
+SIMHASH_MAX_HAMMING = 1  # near-dup operating point on this corpus's vocab
+SIMHASH_BAND_CAP = 100  # band groups above this are degenerate hot values
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    band_cap: int = SIMHASH_BAND_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): document pairs whose 32-bit SimHash
+    signatures differ in <= ``max_hamming`` bits — the signature family's
+    own pair generator, completing it to the candidates→verify shape the
+    MinHash and embedding families already have.
+
+    Pigeonhole banding: split the signature into SIMHASH_BANDS byte
+    bands; hamming <= bands-1 guarantees at least one band equal, so the
+    candidate join is an EQUI-join on (band_no, band_val) — never an
+    all-pairs product. Over-cap band groups are dropped first (the
+    windowed count shares the join's shuffle key; a band value carried by
+    half the corpus is vocabulary skew, not duplication evidence — at
+    this corpus's ~30-word vocabulary one band group holds 128 of 500
+    docs). Verification is exact: bit_count(xor) on the carried
+    signatures, no second scan. At 10^9+ docs an 8-bit band value space
+    saturates — widen the signature to 64 bits with 16-bit bands (4
+    bands -> 65536 values) and keep this exact shape."""
+    sig = simhash_signatures_df(docs)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {8 * b}) & 255").cast("int")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_no", "band_val"),
+    )
+    w = Window.partitionBy("band_no", "band_val")
+    bands = (
+        bands.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= band_cap)
+        .drop("_n")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sig_a ^ sig_b)").cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs)
+
+
+q_dedup_simhash_pairs.__doc__ = simhash_pairs.__doc__
+
+ORACLE_SIMHASH_PAIRS = f"""
+    WITH {_SIMHASH_SIG_CTE},
+    bands AS (
+      SELECT doc_id, simhash, t.b AS band_no,
+             CAST((simhash >> (8 * t.b)) & 255 AS INTEGER) AS band_val
+      FROM sig CROSS JOIN generate_series(0, {SIMHASH_BANDS - 1}) AS t(b)
+    ), ok AS (
+      SELECT band_no, band_val FROM bands
+      GROUP BY band_no, band_val HAVING COUNT(*) <= {SIMHASH_BAND_CAP}
+    ), bc AS (
+      SELECT bands.* FROM bands JOIN ok USING (band_no, band_val)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bc a JOIN bc b
+        ON a.band_no = b.band_no AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
 """

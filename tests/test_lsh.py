@@ -510,3 +510,30 @@ def test_corpus_clean_filter_planted_rules(spark, monkeypatch):
     assert "bad_tok_len" in out[4].reasons
     assert "repetitive" in out[5].reasons
     assert out[6].reasons == "duplicate" and not out[6].retained
+
+
+def test_simhash_pairs_planted_and_capped(spark):
+    """Pigeonhole recall: a doc pair whose word multisets differ by one
+    rare word (signature hamming <= SIMHASH_MAX_HAMMING) is found with
+    the exact hamming distance; a 150-strong identical-doc clique shares
+    every band value, blows the band cap, and is excluded (exact dedup's
+    job, same contract as the MinHash band cap)."""
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        SIMHASH_BAND_CAP,
+        simhash_pairs,
+        simhash_signatures_df,
+    )
+
+    toks = [f"tok{i}" for i in range(60)]
+    # doc 2 is doc 1 word-REORDERED: signature hamming 0 (simhash is a
+    # bag-of-words vote) — the near-dup class exact text dedup cannot see
+    rows = [(1, " ".join(toks)), (2, " ".join(reversed(toks)))]
+    rows += [(100 + i, "dup dup dup clone text body") for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures_df(docs).collect()}
+    assert sigs[1] == sigs[2]
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs).collect()}
+    assert got.get((1, 2)) == 0
+    assert 150 > SIMHASH_BAND_CAP
+    assert all(not (a >= 100 and b >= 100) for a, b in got)
