@@ -1,0 +1,70 @@
+"""Cluster entry point: spark-submit job for the corpus-cleaning pass.
+
+    spark-submit --py-files engine.zip jobs/clean_job.py \
+        --input  <dir containing documents.parquet> \
+        --output <output root>
+
+Writes two tables under --output:
+
+- ``clean_decisions``: one row per document — (doc_id, reasons, retained),
+  the full C4/Gopher rule-stack verdict (operators/textstats.py
+  q_corpus_clean_filter), so dropped docs stay auditable;
+- ``documents_clean``: the retained subset of the input table, the corpus
+  a training pipeline feeds downstream (e.g. jobs/extract_job.py).
+
+Composable ahead of extraction: clean first, extract from documents_clean.
+The decision query's joins are partial-agg + hash-join shapes (plan-
+asserted in tests); the retained join is a semi-join on doc_id.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def run(spark, input_dir: str, out_dir: str) -> dict:
+    """One cleaning pass; returns summary counts. Separated from main()
+    so tests drive it in-process."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocrd_anybaseocr_spark.operators.textstats import q_corpus_clean_filter
+
+    decisions = q_corpus_clean_filter(spark, input_dir)
+    decisions.write.mode("overwrite").parquet(os.path.join(out_dir, "clean_decisions"))
+    # read the COMMITTED decisions (decide once — the decision lineage
+    # includes two aggregates; recomputing it for the join would run the
+    # 3-gram stats twice)
+    committed = spark.read.parquet(os.path.join(out_dir, "clean_decisions"))
+    docs = spark.read.parquet(os.path.join(input_dir, "documents.parquet"))
+    retained = docs.join(
+        committed.filter(F.col("retained")).select("doc_id"), "doc_id", "leftsemi"
+    )
+    retained.write.mode("overwrite").parquet(os.path.join(out_dir, "documents_clean"))
+    n_in = docs.count()
+    n_kept = spark.read.parquet(os.path.join(out_dir, "documents_clean")).count()
+    return {"docs_in": n_in, "docs_retained": n_kept, "docs_dropped": n_in - n_kept}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("ocrd_anybaseocr_spark.clean")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    print(json.dumps(run(spark, args.input, args.output)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

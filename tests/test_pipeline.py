@@ -281,3 +281,24 @@ def test_partial_checkpoint_resume(spark, corpus_dir, tmp_path_factory):
     ext = spark.read.parquet(os.path.join(out_dir, "extracted_spans"))
     assert ext.count() == full
     assert ext.select("doc_id").distinct().count() == full
+
+
+def test_clean_job_writes_decisions_and_retained_subset(spark, tmp_path_factory):
+    """jobs/clean_job.run: decisions cover every input doc, documents_clean
+    is exactly the retained subset, and the summary counts reconcile."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import clean_job
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("clean_out"))
+    summary = clean_job.run(spark, sf_dir, out)
+    dec = spark.read.parquet(os.path.join(out, "clean_decisions"))
+    kept = spark.read.parquet(os.path.join(out, "documents_clean"))
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    assert summary["docs_in"] == n_docs == dec.count()
+    assert summary["docs_retained"] == kept.count() == dec.filter("retained").count()
+    assert summary["docs_dropped"] == dec.filter("NOT retained").count()
+    retained_ids = {r.doc_id for r in dec.filter("retained").collect()}
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == retained_ids
