@@ -23,9 +23,16 @@ import argparse
 import json
 
 
-def run(spark, input_dir: str, out_dir: str) -> dict:
+def run(spark, input_dir: str, out_dir: str, near_dedup: bool = False) -> dict:
     """One cleaning pass; returns summary counts. Separated from main()
-    so tests drive it in-process."""
+    so tests drive it in-process.
+
+    ``near_dedup`` adds the MinHash-LSH near-duplicate stage: of each
+    verified near-dup cluster (operators/dedup.py q_dedup_clusters —
+    LSH candidates → exact-Jaccard verify → connected components) only
+    the canonical doc (cluster_id == doc_id, the min id) survives. Rule
+    verdicts stay per-doc in clean_decisions; the near-dup drop is
+    recorded as its own count since it is a cross-doc decision."""
     import os
 
     from pyspark.sql import functions as F
@@ -42,16 +49,35 @@ def run(spark, input_dir: str, out_dir: str) -> dict:
     retained = docs.join(
         committed.filter(F.col("retained")).select("doc_id"), "doc_id", "leftsemi"
     )
+    n_rule_kept = None
+    if near_dedup:
+        from ocrd_anybaseocr_spark.operators.dedup import q_dedup_clusters
+
+        n_rule_kept = retained.count()
+        canonical = (
+            q_dedup_clusters(spark, input_dir)
+            .filter(F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id")
+        )
+        retained = retained.join(canonical, "doc_id", "leftsemi")
     retained.write.mode("overwrite").parquet(os.path.join(out_dir, "documents_clean"))
     n_in = docs.count()
     n_kept = spark.read.parquet(os.path.join(out_dir, "documents_clean")).count()
-    return {"docs_in": n_in, "docs_retained": n_kept, "docs_dropped": n_in - n_kept}
+    out = {"docs_in": n_in, "docs_retained": n_kept, "docs_dropped": n_in - n_kept}
+    if near_dedup:
+        out["docs_dropped_near_dup"] = n_rule_kept - n_kept
+    return out
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument(
+        "--near-dedup", action="store_true",
+        help="also drop MinHash-verified near-duplicates (keep each "
+             "cluster's min-doc_id canonical)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,7 +88,7 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    print(json.dumps(run(spark, args.input, args.output)))
+    print(json.dumps(run(spark, args.input, args.output, near_dedup=args.near_dedup)))
     spark.stop()
 
 

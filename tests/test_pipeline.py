@@ -302,3 +302,15 @@ def test_clean_job_writes_decisions_and_retained_subset(spark, tmp_path_factory)
     assert summary["docs_dropped"] == dec.filter("NOT retained").count()
     retained_ids = {r.doc_id for r in dec.filter("retained").collect()}
     assert {r.doc_id for r in kept.select("doc_id").collect()} == retained_ids
+
+    # near-dedup stage: retained set shrinks only by near-dup non-canonicals
+    out2 = str(tmp_path_factory.mktemp("clean_out_nd"))
+    s2 = clean_job.run(spark, sf_dir, out2, near_dedup=True)
+    kept2 = {r.doc_id for r in spark.read.parquet(
+        os.path.join(out2, "documents_clean")).select("doc_id").collect()}
+    assert kept2 <= retained_ids
+    assert s2["docs_retained"] + s2["docs_dropped_near_dup"] == summary["docs_retained"]
+    from ocrd_anybaseocr_spark.operators.dedup import q_dedup_clusters
+    canon = {r.doc_id for r in q_dedup_clusters(spark, sf_dir)
+             .filter("doc_id = cluster_id").collect()}
+    assert kept2 == retained_ids & canon
