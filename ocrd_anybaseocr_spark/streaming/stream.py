@@ -262,9 +262,13 @@ DEDUP_STREAM = T.StructType(
 
 
 def dedup_exact_stream(docs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
-    """Streaming form of exact dedup (SO1): the FIRST arrival of each
+    """Streaming form of exact dedup (SO1): ONE representative of each
     content hash passes through; re-arrivals within ``watermark`` of the
-    original are dropped. ``dropDuplicatesWithinWatermark`` holds ONE
+    original are dropped. Within a single micro-batch the representative
+    choice among simultaneous duplicates is ARBITRARY (Spark keeps one
+    row per key, partition-order dependent) — the contract is one-per-
+    hash, not which doc_id carries it; across batches the survivor is
+    the earlier batch's row (its state entry drops later arrivals). ``dropDuplicatesWithinWatermark`` holds ONE
     state entry per hash and EVICTS it once the watermark passes the
     entry's event time — the bounded-state contract of §2.9 (a plain
     ``dropDuplicates`` on an unbounded ingest grows state forever). A

@@ -168,23 +168,28 @@ def test_streaming_dedup_across_ingest_runs(spark, tmp_path_factory):
     out_dir = str(tmp_path_factory.mktemp("dd_out"))
     out_path = os.path.join(out_dir, "deduped_stream")
 
-    # run 1: A, an in-batch duplicate of A (different doc_id, same text), B
+    # run 1: A, an in-batch duplicate of A (different doc_id, same text), B.
+    # Which of a1/a2 represents the hash is ARBITRARY within one batch
+    # (partition-order dependent) — the contract is ONE row per hash.
     drop1 = [doc("a1", 0, "alpha beta"), doc("a2", 1, "alpha beta"),
              doc("b1", 5, "gamma delta")]
     spark.createDataFrame(drop1, DEDUP_STREAM).write.parquet(
         os.path.join(in_dir, "drop1.parquet")
     )
     stream_dedup_exact(spark, in_dir, out_dir)
-    got1 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
-    assert got1 == ["a1", "b1"]
+    got1 = {r.doc_id: r.text for r in spark.read.parquet(out_path).collect()}
+    assert sorted(got1.values()) == ["alpha beta", "gamma delta"]
+    assert set(got1) <= {"a1", "a2", "b1"} and "b1" in got1
 
-    # run 2 (query restart): another duplicate of A at 10:20 — state entry
-    # for A's hash is still live (watermark 30 min) and must drop it —
-    # plus genuinely new content C
+    # run 2 (query restart): another duplicate of A at 10:20 — the hash's
+    # state entry is still live (watermark 30 min) and must drop a3 even
+    # across the restart — plus genuinely new content C
     drop2 = [doc("a3", 20, "alpha beta"), doc("c1", 25, "epsilon zeta")]
     spark.createDataFrame(drop2, DEDUP_STREAM).write.parquet(
         os.path.join(in_dir, "drop2.parquet")
     )
     stream_dedup_exact(spark, in_dir, out_dir)
-    got2 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
-    assert got2 == ["a1", "b1", "c1"]
+    got2 = {r.doc_id: r.text for r in spark.read.parquet(out_path).collect()}
+    assert sorted(got2.values()) == ["alpha beta", "epsilon zeta", "gamma delta"]
+    assert "a3" not in got2 and "c1" in got2
+    assert set(got1) <= set(got2)
