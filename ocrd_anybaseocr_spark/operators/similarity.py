@@ -219,12 +219,17 @@ ORACLE_ANN_BRUTE = f"""
 
 
 def ann_lsh_candidates(
-    emb: DataFrame, query_ids_below: int = N_QUERIES, n_bits: int | None = None
+    emb: DataFrame, query_ids_below: int = N_QUERIES, n_bits: int | None = None,
+    bk: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (query_id, neighbor_id) pairs colliding in >= 1 LSH table.
     Query side is tiny (broadcast); the big side's shuffle key is
-    (tbl, bucket) whose cardinality scales with 2^LSH_BITS."""
-    bk = lsh_assignments(emb, n_bits=n_bits)
+    (tbl, bucket) whose cardinality scales with 2^LSH_BITS. ``bk``
+    injects a prebuilt (ideally checkpointed) assignment relation — this
+    function SELF-JOINS it, so an un-truncated lineage evaluates the
+    bucket expression twice."""
+    if bk is None:
+        bk = lsh_assignments(emb, n_bits=n_bits)
     qb = bk.filter(F.col("vec_id") < query_ids_below).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
@@ -244,8 +249,9 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the cached per-session corpus count (VERDICT r3 'What's wrong'
     #2: a fresh count job per invocation cost ~0.6 s/pass)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bits = derive_bits(_emb_count_cached(spark, sf_dir))
-    cand = ann_lsh_candidates(emb.select("vec_id", "embedding"), n_bits=bits)
+    cand = ann_lsh_candidates(
+        emb.select("vec_id", "embedding"), bk=_lsh_assign_cached(spark, sf_dir)
+    )
     n = _with_norm(emb)
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -331,12 +337,39 @@ def _emb_count_cached(spark: SparkSession, sf_dir: str) -> int:
 
 def clear_caches() -> None:
     """Drop all per-session memoization (counts, checkpointed pair sets,
-    the IVF index). For tests and any caller that mutates sf_dir contents
-    mid-session — the caches key on (app.id, sf_dir) and would otherwise
-    serve stale results after an in-place data change."""
+    the IVF and LSH indexes). For tests and any caller that mutates
+    sf_dir contents mid-session — the caches key on (app.id, sf_dir) and
+    would otherwise serve stale results after an in-place data change."""
     _COUNT_CACHE.clear()
     _EMB_PAIRS_CACHE.clear()
     _IVF_ASSIGN_CACHE.clear()
+    _LSH_ASSIGN_CACHE.clear()
+
+
+# the LSH INDEX (vec, tbl) -> bucket, checkpointed per (session, sf_dir,
+# tables, bits): every consumer SELF-JOINS the assignment relation (query
+# side vs corpus side, pair side A vs side B), and an un-truncated lineage
+# evaluates the interpreted-HOF bucket expression once PER SIDE (~0.9 s/pass
+# at sf0.1) — same rationale as _IVF_ASSIGN_CACHE. clear_caches() drops it.
+_LSH_ASSIGN_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def _lsh_assign_cached(
+    spark: SparkSession, sf_dir: str, n_tables: int = LSH_TABLES,
+    n_bits: int | None = None,
+) -> DataFrame:
+    if n_bits is None:
+        n_bits = derive_bits(_emb_count_cached(spark, sf_dir))
+    app = spark.conf.get("spark.app.id", "?")
+    key = (app, sf_dir, n_tables, n_bits)
+    if key not in _LSH_ASSIGN_CACHE:
+        for c in [c for c in _LSH_ASSIGN_CACHE if c[0] != app]:
+            del _LSH_ASSIGN_CACHE[c]
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        _LSH_ASSIGN_CACHE[key] = lsh_assignments(emb, n_tables, n_bits).localCheckpoint(
+            eager=True
+        )
+    return _LSH_ASSIGN_CACHE[key]
 
 
 def derive_ivf_k(n_rows: int) -> int:
@@ -628,11 +661,14 @@ def embedding_lsh_pairs(
     n_tables: int = LSH_TABLES,
     n_bits: int | None = None,
     bucket_cap: int = LSH_BUCKET_CAP,
+    bk: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (vec_a < vec_b) colliding in >= 1 LSH table,
     with over-cap buckets dropped before the self-join (see module doc).
-    The bucket-size relation is tiny (<= tables * 2^bits rows) → broadcast."""
-    bk = lsh_assignments(emb, n_tables, n_bits)
+    The bucket-size relation is tiny (<= tables * 2^bits rows) → broadcast.
+    ``bk`` injects a prebuilt assignment relation (see ann_lsh_candidates)."""
+    if bk is None:
+        bk = lsh_assignments(emb, n_tables, n_bits)
     ok = (
         bk.groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -650,12 +686,16 @@ def embedding_lsh_pairs(
     )
 
 
-def cosine_verified_pairs(emb: DataFrame, n_bits: int | None = None) -> DataFrame:
+def cosine_verified_pairs(
+    emb: DataFrame, n_bits: int | None = None, bk: DataFrame | None = None
+) -> DataFrame:
     """Embedding near-dup detection: hyperplane-LSH candidate pairs, then an
     EXACT 1e4-scaled integer dot product threshold — order-independent and
     bit-identical across engines (float dot products differ in the last
     ulps between engines)."""
-    pairs = embedding_lsh_pairs(emb.select("vec_id", "embedding"), n_bits=n_bits)
+    pairs = embedding_lsh_pairs(
+        emb.select("vec_id", "embedding"), n_bits=n_bits, bk=bk
+    )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
     return (
@@ -682,10 +722,9 @@ def _emb_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in [k for k in _EMB_PAIRS_CACHE if k[0] != app]:
             del _EMB_PAIRS_CACHE[k]
         emb = load_table(spark, sf_dir, "embeddings")
-        bits = derive_bits(_emb_count_cached(spark, sf_dir))
-        _EMB_PAIRS_CACHE[key] = cosine_verified_pairs(emb, n_bits=bits).localCheckpoint(
-            eager=True
-        )
+        _EMB_PAIRS_CACHE[key] = cosine_verified_pairs(
+            emb, bk=_lsh_assign_cached(spark, sf_dir)
+        ).localCheckpoint(eager=True)
     return _EMB_PAIRS_CACHE[key]
 
 
