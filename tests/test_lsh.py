@@ -537,3 +537,24 @@ def test_simhash_pairs_planted_and_capped(spark):
     assert got.get((1, 2)) == 0
     assert 150 > SIMHASH_BAND_CAP
     assert all(not (a >= 100 and b >= 100) for a, b in got)
+
+
+def test_exact_substring_partitioning_invariance(spark):
+    """The diagonal gaps-and-islands algebra must be partitioning-
+    invariant: identical pairs and run lengths at different shuffle
+    widths and input layouts (row_number within (pair, diag) orders by a
+    unique pos — no ties for the shuffle to resolve arbitrarily)."""
+    from ocrd_anybaseocr_spark.operators.dedup import exact_substring_pairs
+
+    passage = " ".join(f"p{i}" for i in range(40))
+    rows = [(i, f"x{i} " * 3 + passage + f" y{i}") for i in range(1, 9)]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for parts, slices in ((2, 1), (16, 8)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(slices)
+            outs.append(sorted(tuple(r) for r in exact_substring_pairs(docs).collect()))
+        assert outs[0] == outs[1] and len(outs[0]) == 8 * 7 // 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

