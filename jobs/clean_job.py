@@ -30,7 +30,10 @@ def run(spark, input_dir: str, out_dir: str, near_dedup: bool = False) -> dict:
     ``near_dedup`` adds the MinHash-LSH near-duplicate stage: of each
     verified near-dup cluster (operators/dedup.py q_dedup_clusters —
     LSH candidates → exact-Jaccard verify → connected components) only
-    the canonical doc (cluster_id == doc_id, the min id) survives. Rule
+    ONE RETAINED representative survives — the min doc_id among the
+    cluster's rule-retained members, not the global cluster canonical: a
+    cluster whose global canonical was rule-dropped must still keep one
+    member, and content that failed the rules must not resurrect. Rule
     verdicts stay per-doc in clean_decisions; the near-dup drop is
     recorded as its own count since it is a cross-doc decision."""
     import os
@@ -54,12 +57,14 @@ def run(spark, input_dir: str, out_dir: str, near_dedup: bool = False) -> dict:
         from ocrd_anybaseocr_spark.operators.dedup import q_dedup_clusters
 
         n_rule_kept = retained.count()
-        canonical = (
-            q_dedup_clusters(spark, input_dir)
-            .filter(F.col("doc_id") == F.col("cluster_id"))
+        clusters = q_dedup_clusters(spark, input_dir)
+        representative = (
+            clusters.join(retained.select("doc_id"), "doc_id", "leftsemi")
+            .groupBy("cluster_id")
+            .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
         )
-        retained = retained.join(canonical, "doc_id", "leftsemi")
+        retained = retained.join(representative, "doc_id", "leftsemi")
     retained.write.mode("overwrite").parquet(os.path.join(out_dir, "documents_clean"))
     n_in = docs.count()
     n_kept = spark.read.parquet(os.path.join(out_dir, "documents_clean")).count()

@@ -311,9 +311,14 @@ def test_clean_job_writes_decisions_and_retained_subset(spark, tmp_path_factory)
     assert kept2 <= retained_ids
     assert s2["docs_retained"] + s2["docs_dropped_near_dup"] == summary["docs_retained"]
     from ocrd_anybaseocr_spark.operators.dedup import q_dedup_clusters
-    canon = {r.doc_id for r in q_dedup_clusters(spark, sf_dir)
-             .filter("doc_id = cluster_id").collect()}
-    assert kept2 == retained_ids & canon
+    cl = {r.doc_id: r.cluster_id for r in q_dedup_clusters(spark, sf_dir).collect()}
+    # expected: min RETAINED doc_id per cluster (a cluster whose global
+    # canonical was rule-dropped still keeps one member)
+    best = {}
+    for d in retained_ids:
+        c = cl[d]
+        best[c] = min(best.get(c, d), d)
+    assert kept2 == set(best.values())
 
 
 def test_round_like_spark_adversarial_corpus(spark):
