@@ -814,17 +814,18 @@ ORACLE_SUBSTR = f"""
 # ---------------------------------------------------------------------------
 
 
-def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def repetition_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, total_ngrams, distinct_ngrams, dup_per_million): the
-    Gopher-family intra-document repetition filter — the fraction of a
+    Gopher-family intra-document repetition signal — the fraction of a
     document's word-3-grams that are repeats of earlier ones (cross-doc
     repetition is boilerplate_ratio's job; this catches looping/spammy
     text WITHIN one doc). dup_per_million is exact integer arithmetic
     ((total - distinct) * 1e6 div total) so both engines agree bit-wise
     without float division. Docs with < 3 words have no 3-grams and are
     absent in both engines. Scale shape: narrow explode -> one partial-agg
-    shuffle per doc (count + count-distinct), scan speed."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shuffle per doc (count + count-distinct), scan speed. SINGLE
+    definition — the standalone query and the composite cleaning filter
+    (textstats.q_corpus_clean_filter) both consume this builder."""
     sh = shingle_explode(docs)
     return (
         sh.groupBy("doc_id")
@@ -839,14 +840,29 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+q_repetition_ratio.__doc__ = repetition_stats.__doc__
+
+
+def repetition_cte_duck() -> str:
+    """DuckDB twin of repetition_stats as a CTE body (shingles via the
+    shared shingles_cte_duck definition) yielding rep(doc_id,
+    total_ngrams, distinct_ngrams, dup_per_million)."""
+    return f"""rep AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+             CAST(COUNT(DISTINCT shingle) AS BIGINT) AS distinct_ngrams,
+             CAST(((COUNT(*) - COUNT(DISTINCT shingle)) * 1000000) // COUNT(*)
+                  AS BIGINT) AS dup_per_million
+      FROM ({shingles_cte_duck()}) GROUP BY doc_id
+    )"""
+
+
 ORACLE_REPETITION = f"""
-    WITH sh AS ({shingles_cte_duck()}
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
-           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS distinct_ngrams,
-           CAST(((COUNT(*) - COUNT(DISTINCT shingle)) * 1000000) // COUNT(*)
-                AS BIGINT) AS dup_per_million
-    FROM sh GROUP BY doc_id
+    WITH {repetition_cte_duck()}
+    SELECT doc_id, total_ngrams, distinct_ngrams, dup_per_million FROM rep
 """
 
 
@@ -880,6 +896,13 @@ def simhash_pairs(
     signatures, no second scan. At 10^9+ docs an 8-bit band value space
     saturates — widen the signature to 64 bits with 16-bit bands (4
     bands -> 65536 values) and keep this exact shape."""
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole bound of "
+            f"{SIMHASH_BANDS}-band banding ({SIMHASH_BANDS - 1}): pairs at "
+            "that distance can share no band and would be silently missed — "
+            "widen the signature/bands instead"
+        )
     sig = simhash_signatures_df(docs)
     bands = sig.select(
         "doc_id",

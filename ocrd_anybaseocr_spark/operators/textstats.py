@@ -340,6 +340,20 @@ CLEAN_TOK_LEN_LO = 2  # Gopher mean-word-length band
 CLEAN_TOK_LEN_HI = 10
 CLEAN_MAX_DUP_PPM = 100_000  # Gopher duplicate-3-gram mass cap (10%)
 
+# marker-word COUNT by filtering the token list — NOT the ' (pat) '
+# regex convention _hits_expr uses: that regex consumes the trailing
+# space, so adjacent markers ("of the") count once — harmless for
+# lang-ID *ranking*, but this count is load-bearing for per-doc
+# retention (round-4 review). RE2 (DuckDB) has no lookahead, so the
+# cross-engine fix is token-list filtering, exact in both engines.
+_MARKER_LIST_SQL = ", ".join(f"'{w}'" for w in _ALL_MARKERS)
+_STOP_HITS_SPARK = (
+    f"size(filter(split(text, ' '), w -> w IN ({_MARKER_LIST_SQL})))"
+)
+_STOP_HITS_DUCK = (
+    f"len(list_filter(string_split(text, ' '), w -> w IN ({_MARKER_LIST_SQL})))"
+)
+
 
 def q_corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, retained, reasons): the canonical training-data cleaning
@@ -349,11 +363,12 @@ def q_corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - too_short: < CLEAN_MIN_TOKENS whitespace tokens (Gopher floor);
     - low_stop: marker-word mass < 5% of tokens (C4 stopword rule,
-      language-agnostic union of all marker lists);
+      language-agnostic union of all marker lists, counted by token-list
+      filtering so adjacent markers each count);
     - bad_tok_len: mean alpha-chars per token outside [2, 10] (Gopher);
-    - repetitive: intra-doc duplicate-3-gram mass > 10% (Gopher, the
-      repetition_ratio signal; docs with < 3 words have no 3-grams and
-      count as 0);
+    - repetitive: intra-doc duplicate-3-gram mass > 10% (Gopher — the
+      SAME dedup.repetition_stats builder the repetition_ratio query
+      runs; docs with < 3 words have no 3-grams and count as 0);
     - duplicate: not the min-doc_id canonical of its exact content hash
       (the dedup_exact rule as a filter).
 
@@ -361,30 +376,17 @@ def q_corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     string when retained). Scale shape: narrow per-doc exprs + one
     partial-agg shuffle for the 3-gram stats + one hash-groupBy for the
     canonical id — the same shapes as the underlying operators."""
-    from .dedup import shingle_explode
+    from .dedup import repetition_stats
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pat = "|".join(_ALL_MARKERS)
     base = docs.select(
         "doc_id",
         F.expr("size(split(text, ' '))").cast("bigint").alias("n_tokens"),
         F.expr("length(regexp_replace(text, '[^a-z]', ''))").cast("bigint").alias("n_alpha"),
-        F.expr(f"regexp_count(concat(' ', text, ' '), ' ({pat}) ')")
-        .cast("bigint")
-        .alias("stop_hits"),
+        F.expr(_STOP_HITS_SPARK).cast("bigint").alias("stop_hits"),
         F.md5(F.col("text").cast("binary")).alias("h"),
     )
-    rep = (
-        shingle_explode(docs)
-        .groupBy("doc_id")
-        .agg(
-            (
-                (F.count(F.lit(1)) - F.countDistinct("shingle")) * F.lit(1_000_000)
-            ).alias("dup_num"),
-            F.count(F.lit(1)).alias("dup_den"),
-        )
-        .select("doc_id", F.expr("dup_num div dup_den").alias("dpm"))
-    )
+    rep = repetition_stats(docs).select("doc_id", F.col("dup_per_million").alias("dpm"))
     canon = base.groupBy("h").agg(F.min("doc_id").alias("canon_id"))
     j = (
         base.join(canon, "h")
@@ -412,50 +414,39 @@ def q_corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("retained", F.col("reasons") == "")
 
 
-ORACLE_CLEAN_FILTER = f"""
+def _oracle_clean_filter() -> str:
+    """The reasons expression appears ONCE (in the verdict CTE); retained
+    derives from it exactly as the Spark side does — no second copy of
+    the rule block to drift (round-4 review)."""
+    from .dedup import repetition_cte_duck
+
+    reasons = f"""concat_ws(',',
+             CASE WHEN n_tokens < {CLEAN_MIN_TOKENS} THEN 'too_short' END,
+             CASE WHEN stop_hits * {100 // CLEAN_STOP_RATIO_PCT} < n_tokens
+                  THEN 'low_stop' END,
+             CASE WHEN n_alpha < {CLEAN_TOK_LEN_LO} * n_tokens
+                    OR n_alpha > {CLEAN_TOK_LEN_HI} * n_tokens
+                  THEN 'bad_tok_len' END,
+             CASE WHEN dpm > {CLEAN_MAX_DUP_PPM} THEN 'repetitive' END,
+             CASE WHEN doc_id <> canon_id THEN 'duplicate' END)"""
+    return f"""
     WITH b AS (
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
-             CAST(len(regexp_extract_all(' ' || text || ' ',
-                  ' ({'|'.join(_ALL_MARKERS)}) ')) AS BIGINT) AS stop_hits,
+             CAST({_STOP_HITS_DUCK} AS BIGINT) AS stop_hits,
              md5(text) AS h
       FROM documents
-    ), rep AS (
-      SELECT doc_id,
-             CAST(((COUNT(*) - COUNT(DISTINCT shingle)) * 1000000) // COUNT(*)
-                  AS BIGINT) AS dpm
-      FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
-        FROM documents
-      ) GROUP BY doc_id
-    ), canon AS (
+    ), {repetition_cte_duck()}, canon AS (
       SELECT h, min(doc_id) AS canon_id FROM b GROUP BY h
     ), j AS (
-      SELECT b.*, canon.canon_id, coalesce(rep.dpm, 0) AS dpm
+      SELECT b.*, canon.canon_id, coalesce(rep.dup_per_million, 0) AS dpm
       FROM b JOIN canon USING (h) LEFT JOIN rep ON rep.doc_id = b.doc_id
+    ), verdict AS (
+      SELECT doc_id, {reasons} AS reasons FROM j
     )
-    SELECT doc_id,
-           concat_ws(',',
-             CASE WHEN n_tokens < {CLEAN_MIN_TOKENS} THEN 'too_short' END,
-             CASE WHEN stop_hits * {100 // CLEAN_STOP_RATIO_PCT} < n_tokens
-                  THEN 'low_stop' END,
-             CASE WHEN n_alpha < {CLEAN_TOK_LEN_LO} * n_tokens
-                    OR n_alpha > {CLEAN_TOK_LEN_HI} * n_tokens
-                  THEN 'bad_tok_len' END,
-             CASE WHEN dpm > {CLEAN_MAX_DUP_PPM} THEN 'repetitive' END,
-             CASE WHEN doc_id <> canon_id THEN 'duplicate' END) AS reasons,
-           concat_ws(',',
-             CASE WHEN n_tokens < {CLEAN_MIN_TOKENS} THEN 'too_short' END,
-             CASE WHEN stop_hits * {100 // CLEAN_STOP_RATIO_PCT} < n_tokens
-                  THEN 'low_stop' END,
-             CASE WHEN n_alpha < {CLEAN_TOK_LEN_LO} * n_tokens
-                    OR n_alpha > {CLEAN_TOK_LEN_HI} * n_tokens
-                  THEN 'bad_tok_len' END,
-             CASE WHEN dpm > {CLEAN_MAX_DUP_PPM} THEN 'repetitive' END,
-             CASE WHEN doc_id <> canon_id THEN 'duplicate' END) = '' AS retained
-    FROM j
+    SELECT doc_id, reasons, reasons = '' AS retained FROM verdict
 """
+
+
+ORACLE_CLEAN_FILTER = _oracle_clean_filter()

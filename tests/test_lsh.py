@@ -499,11 +499,17 @@ def test_corpus_clean_filter_planted_rules(spark, monkeypatch):
             (4, "the a b c d and e f g h of i j k l to m n o p"),
             (5, "the spam and eggs " * 15),                   # repetitive loop
             (6, clean),                                       # duplicate of 1
+            # ADJACENT markers at the exact 5% boundary: 40 tokens, the
+            # only markers the adjacent pair "of the" — token-list
+            # counting gives 2 (2*20 = 40, retained); the old ' (pat) '
+            # regex consumed the shared space and counted 1 (dropped)
+            (7, "of the " + " ".join(f"word{i}" for i in range(38))),
         ],
         "doc_id long, text string",
     )
     monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
     out = {r.doc_id: r for r in ts.q_corpus_clean_filter(spark, "unused").collect()}
+    assert out[7].retained and out[7].reasons == ""
     assert out[1].retained and out[1].reasons == ""
     assert "too_short" in out[2].reasons and not out[2].retained
     assert out[3].reasons == "low_stop"
