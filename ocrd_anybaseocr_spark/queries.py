@@ -686,6 +686,78 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(blobs).orderBy("media_ref")
 
 
+@register(
+    "media_audio_energy",
+    oracle=f"""
+    WITH hx AS (
+      SELECT media_ref, lower(hex(image)) AS hx, octet_length(image) AS nb
+      FROM read_parquet('{_os.path.join("%QC%", "page_blobs.parquet")}')
+    ), lim AS (
+      SELECT media_ref, hx, nb // 2 AS n_samp,
+             least(%MAXW%, ((nb // 2) + %W% - 1) // %W%) AS n_win
+      FROM hx
+    ), samp AS (
+      SELECT media_ref, t.k // %W% AS win_no,
+             CASE WHEN %B1% >= 128 THEN (%B0% + 256 * %B1%) - 65536
+                  ELSE %B0% + 256 * %B1% END AS s
+      FROM lim, LATERAL unnest(generate_series(0, n_win * %W% - 1)) AS t(k)
+      WHERE t.k < n_samp
+    )
+    SELECT media_ref, CAST(win_no AS INTEGER) AS win_no,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM samp GROUP BY media_ref, win_no
+    """,
+)
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio tier of the multimodal contract: windowed int16-PCM
+    sum-of-squares energies via Arrow-batched mapInPandas (np.frombuffer
+    decode — the blobs stand in as deterministic PCM; see
+    operators/media.py audio_energy_windows). DuckDB oracle re-derives
+    every sample from the blob hex (little-endian pairs, two's
+    complement) — full rows+schema+hash gate on exact int64 energies."""
+    from .operators.media import audio_energy_windows
+    from .sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, _pipeline_corpus())
+    return audio_energy_windows(blobs)
+
+
+@register(
+    "media_frame_sample",
+    oracle=f"""
+    WITH hx AS (
+      SELECT media_ref, lower(hex(image)) AS hx, octet_length(image) AS nb
+      FROM read_parquet('{_os.path.join("%QC%", "page_blobs.parquet")}')
+    ), fr AS (
+      SELECT media_ref, hx, nb // %FB% AS n_frames FROM hx
+    ), sel AS (
+      SELECT media_ref, hx, t.i * %STRIDE% AS frame_no
+      FROM fr, LATERAL unnest(generate_series(0, %FMAX% - 1)) AS t(i)
+      WHERE t.i * %STRIDE% < n_frames
+    ), byv AS (
+      SELECT media_ref, frame_no, %BYTE% AS bv
+      FROM sel, LATERAL unnest(generate_series(0, %FB% - 1)) AS u(j)
+    )
+    SELECT media_ref, CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(COUNT(*) AS INTEGER) AS n_bytes,
+           CAST(SUM(bv) AS BIGINT) AS byte_sum
+    FROM byv GROUP BY media_ref, frame_no
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video tier: every stride-th fixed-size raw frame with its exact
+    byte sum, via mapInPandas over the binary column (container codecs
+    raise NotImplementedError — operators/media.py decode_video_frames;
+    the blobs stand in as raw fixed-size-frame video). DuckDB oracle
+    re-sums each sampled frame's bytes from the blob hex."""
+    from .operators.media import frame_sample
+    from .sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, _pipeline_corpus())
+    return frame_sample(blobs)
+
+
 # splice the corpus path and the hex→int arithmetic into the two oracles
 # (IHDR byte k (1-based) sits at hex chars [2k-1, 2k]: width @17-20,
 # height @21-24, bit depth @25)
@@ -694,8 +766,33 @@ for _qname in (
     "media_metadata",
     "pipeline_page_results",
     "pipeline_doc_structure",
+    "media_audio_energy",
+    "media_frame_sample",
 ):
     ORACLE[_qname] = ORACLE[_qname].replace("%QC%", _QCORPUS_DIR)
+
+from .operators import media as _media  # noqa: E402
+
+# audio: little-endian int16 at sample k = byte(2k) + 256*byte(2k+1);
+# 0-based byte j sits at hex chars [2j+1, 2j+2]
+ORACLE["media_audio_energy"] = (
+    ORACLE["media_audio_energy"]
+    .replace("%B0%", _hexn_to_int_duck_local("substring(hx, 4 * t.k + 1, 2)", 2))
+    .replace("%B1%", _hexn_to_int_duck_local("substring(hx, 4 * t.k + 3, 2)", 2))
+    .replace("%W%", str(_media.AUDIO_WINDOW))
+    .replace("%MAXW%", str(_media.AUDIO_MAX_WINDOWS))
+)
+# video: byte j of sampled frame f sits at global byte f*FB + j
+ORACLE["media_frame_sample"] = (
+    ORACLE["media_frame_sample"]
+    .replace(
+        "%BYTE%",
+        _hexn_to_int_duck_local("substring(hx, 2 * (frame_no * %FB% + u.j) + 1, 2)", 2),
+    )
+    .replace("%FB%", str(_media.FRAME_BYTES))
+    .replace("%STRIDE%", str(_media.FRAME_STRIDE))
+    .replace("%FMAX%", str(_media.FRAME_MAX))
+)
 ORACLE["media_metadata"] = (
     ORACLE["media_metadata"]
     .replace("%W%", _hexn_to_int_duck_local("substring(hx, 33, 8)", 8))

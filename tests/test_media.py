@@ -29,3 +29,60 @@ def test_metadata_plan_has_no_python(spark, corpus_dir):
     _, blobs = load_corpus(spark, corpus_dir)
     plan = explain_str(media_metadata(blobs), "simple")
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_audio_energy_windows_exact(spark):
+    """Windowed PCM energies: known int16 samples → exact int64 energies,
+    trailing partial window analyzed as-is, window cap respected."""
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.operators.media import (
+        AUDIO_MAX_WINDOWS,
+        audio_energy_windows,
+    )
+
+    x = np.arange(-300, 340, dtype="<i2")  # 640 samples -> windows 256,256,128
+    blob = x.tobytes() + b"\x07"  # trailing odd byte must be ignored
+    df = spark.createDataFrame([("m1", bytearray(blob))], "media_ref string, image binary")
+    got = {r.win_no: (r.n_samples, r.energy) for r in audio_energy_windows(df).collect()}
+    xs = x.astype(np.int64)
+    want = {
+        0: (256, int((xs[:256] ** 2).sum())),
+        1: (256, int((xs[256:512] ** 2).sum())),
+        2: (128, int((xs[512:] ** 2).sum())),
+    }
+    assert got == want and len(want) <= AUDIO_MAX_WINDOWS
+
+
+def test_frame_sample_stride_and_codec_gate(spark):
+    """Raw frame sampling picks frames 0, stride, 2*stride with exact byte
+    sums and drops the trailing partial frame; container codecs raise
+    NotImplementedError (explicit stub, not a wrong answer)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ocrd_anybaseocr_spark.operators.media import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        decode_video_frames,
+        frame_sample,
+    )
+
+    rng = np.random.RandomState(5)
+    n_frames = 2 * FRAME_STRIDE + 1  # frames 0..8 -> sampled 0, 4, 8
+    data = rng.randint(0, 256, size=n_frames * FRAME_BYTES + 100, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("v1", bytearray(data.tobytes()))], "media_ref string, image binary"
+    )
+    got = {r.frame_no: (r.n_bytes, r.byte_sum) for r in frame_sample(df).collect()}
+    want = {
+        f * FRAME_STRIDE: (
+            FRAME_BYTES,
+            int(data[f * FRAME_STRIDE * FRAME_BYTES:(f * FRAME_STRIDE + 1) * FRAME_BYTES]
+                .astype(np.int64).sum()),
+        )
+        for f in range(3)
+    }
+    assert got == want
+    with _pytest.raises(NotImplementedError):
+        list(decode_video_frames(b"\x00" * FRAME_BYTES, codec="h264"))
