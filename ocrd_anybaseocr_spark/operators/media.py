@@ -94,7 +94,7 @@ def audio_energy_windows(
             for ref, blob in zip(pdf["media_ref"], pdf["image"]):
                 b = bytes(blob)
                 x = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").astype(np.int64)
-                n_win = min(max_windows, -(-len(x) // window)) if len(x) else 0
+                n_win = min(max_windows, -(-len(x) // window))
                 for w in range(n_win):
                     seg = x[w * window : (w + 1) * window]
                     refs.append(ref)
@@ -155,8 +155,16 @@ def frame_sample(
         for pdf in batches:
             refs, fnos, nbs, sums = [], [], [], []
             for ref, blob in zip(pdf["media_ref"], pdf["image"]):
-                frames = list(decode_video_frames(bytes(blob), frame_bytes, codec))
-                for i, f in enumerate(frames[::stride][:max_frames]):
+                # islice the frame iterator: only the sampled frames are
+                # ever sliced out of the blob (a 1 MB row would otherwise
+                # materialize ~256 frame copies to keep 4)
+                from itertools import islice
+
+                sampled = islice(
+                    decode_video_frames(bytes(blob), frame_bytes, codec),
+                    0, (max_frames - 1) * stride + 1, stride,
+                )
+                for i, f in enumerate(sampled):
                     refs.append(ref)
                     fnos.append(i * stride)
                     nbs.append(len(f))
