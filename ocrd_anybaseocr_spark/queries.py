@@ -547,8 +547,22 @@ def _pipeline_corpus() -> str:
     )
     marker = _os.path.join(d, ".complete")
     if not _os.path.exists(marker):
-        generate_corpus(d, _PIPE_DOCS, seed=42, workers=1)
-        open(marker, "w").write("ok")
+        # generate into a private tmp dir and PUBLISH with one rename:
+        # every process importing this module (driver gate, bench, pytest)
+        # runs this path, and two concurrent imports writing the same final
+        # files could tear them. The rename loser just discards its copy
+        # (contents are byte-identical by the determinism contract).
+        import shutil as _shutil
+
+        tmp = f"{d}.tmp.{_os.getpid()}"
+        generate_corpus(tmp, _PIPE_DOCS, seed=42, workers=1)
+        open(_os.path.join(tmp, ".complete"), "w").write("ok")
+        if _os.path.isdir(d) and not _os.path.exists(marker):
+            _shutil.rmtree(d, ignore_errors=True)  # stale partial from a crash
+        try:
+            _os.rename(tmp, d)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
     # expected pipeline outputs (oracle parquet) — checked separately from
     # the corpus marker so pre-existing cached corpora gain them on
     # upgrade. Gate on expected_doc_structure.parquet: materialize_expected
