@@ -174,3 +174,56 @@ def frame_sample(
             )
 
     return blobs.select("media_ref", "image").mapInPandas(stage, schema=schema)
+
+
+def resize_images(blobs: DataFrame, zoom: float, method: str = "nearest") -> DataFrame:
+    """(media_ref, width, height, image): the resize tier of the
+    multimodal contract — decode (in-repo PNG codec) → resample
+    (kernels/transform: ``nearest`` = the pipeline's exactly-invertible
+    working-resolution mapping, ``cubic`` = the anti-aliased inference
+    path) → re-encode, one Arrow-batched ``mapInPandas`` hop (bytes cross
+    once; no per-row Python). Deterministic end-to-end: the in-repo
+    encoder is canonical (fixed zlib level, fixed filtering), so the
+    output BYTES are reproducible across runs and parallelism levels —
+    pytest asserts the decoded result equals the kernel applied
+    single-process, pixel for pixel."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if method not in ("nearest", "cubic"):
+        raise ValueError(f"unknown resize method {method!r}")
+
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("image", T.BinaryType(), False),
+        ]
+    )
+
+    def stage(batches):
+        import numpy as np
+
+        from ..kernels.transform import resize_cubic, resize_nearest
+        from ..png import decode_gray, encode_gray
+
+        for pdf in batches:
+            refs, ws, hs, outs = [], [], [], []
+            for ref, blob in zip(pdf["media_ref"], pdf["image"]):
+                img, dpi = decode_gray(bytes(blob))
+                if method == "nearest":
+                    out = resize_nearest(img, zoom)
+                else:
+                    out_h = max(1, int(np.ceil(img.shape[0] * zoom)))
+                    out_w = max(1, int(np.ceil(img.shape[1] * zoom)))
+                    out = resize_cubic(img, out_h, out_w)
+                refs.append(ref)
+                hs.append(int(out.shape[0]))
+                ws.append(int(out.shape[1]))
+                outs.append(encode_gray(out, dpi=dpi))
+            yield pd.DataFrame(
+                {"media_ref": refs, "width": ws, "height": hs, "image": outs}
+            )
+
+    return blobs.select("media_ref", "image").mapInPandas(stage, schema=schema)

@@ -86,3 +86,29 @@ def test_frame_sample_stride_and_codec_gate(spark):
     assert got == want
     with _pytest.raises(NotImplementedError):
         list(decode_video_frames(b"\x00" * FRAME_BYTES, codec="h264"))
+
+
+def test_resize_images_matches_kernel_and_is_deterministic(spark, corpus_dir):
+    """The resize tier must equal the single-process kernel pixel for
+    pixel after a decode round-trip, report the resized dimensions, and
+    produce byte-identical PNG output across runs (canonical encoder)."""
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.kernels.transform import resize_nearest
+    from ocrd_anybaseocr_spark.operators.media import resize_images
+    from ocrd_anybaseocr_spark.png import decode_gray
+    from ocrd_anybaseocr_spark.sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, corpus_dir)
+    some = blobs.limit(6)
+    out1 = {r.media_ref: r for r in resize_images(some, 0.5).collect()}
+    out2 = {r.media_ref: bytes(r.image) for r in resize_images(some, 0.5).collect()}
+    src = {r.media_ref: bytes(r.image) for r in some.collect()}
+    assert len(out1) == 6
+    for ref, r in out1.items():
+        img, _ = decode_gray(src[ref])
+        want = resize_nearest(img, 0.5)
+        got, _ = decode_gray(bytes(r.image))
+        assert (r.height, r.width) == want.shape == got.shape
+        assert np.array_equal(got, want), ref
+        assert bytes(r.image) == out2[ref]  # byte-determinism across runs
