@@ -27,11 +27,17 @@ def resize_nearest(img: np.ndarray, zoom: float) -> np.ndarray:
     (cropping.py:148-151); nearest keeps the binarized structure and makes
     the detect→unzoom path exactly invertible, which cubic cannot."""
     h, w = img.shape
-    oh = max(1, int(np.ceil(h * zoom)))
-    ow = max(1, int(np.ceil(w * zoom)))
+    oh, ow = zoom_dims(h, w, zoom)
     ys = np.minimum((np.arange(oh) / zoom).astype(np.int64), h - 1)
     xs = np.minimum((np.arange(ow) / zoom).astype(np.int64), w - 1)
     return img[ys][:, xs]
+
+
+def zoom_dims(h: int, w: int, zoom: float) -> tuple[int, int]:
+    """The single output-dimension rule shared by every resample consumer
+    (resize_nearest, the media resize tier's cubic path): a policy change
+    here changes all of them together instead of silently diverging."""
+    return max(1, int(np.ceil(h * zoom))), max(1, int(np.ceil(w * zoom)))
 
 
 def resize_box(img: np.ndarray, factor: int) -> np.ndarray:

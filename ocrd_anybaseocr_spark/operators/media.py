@@ -178,20 +178,24 @@ def frame_sample(
 
 def resize_images(blobs: DataFrame, zoom: float, method: str = "nearest") -> DataFrame:
     """(media_ref, width, height, image): the resize tier of the
-    multimodal contract — decode (in-repo PNG codec) → resample
+    multimodal contract — decode (in-repo PNG codec, gray AND RGB; alpha
+    modes are rejected explicitly) → resample per channel
     (kernels/transform: ``nearest`` = the pipeline's exactly-invertible
     working-resolution mapping, ``cubic`` = the anti-aliased inference
-    path) → re-encode, one Arrow-batched ``mapInPandas`` hop (bytes cross
-    once; no per-row Python). Deterministic end-to-end: the in-repo
-    encoder is canonical (fixed zlib level, fixed filtering), so the
-    output BYTES are reproducible across runs and parallelism levels —
-    pytest asserts the decoded result equals the kernel applied
-    single-process, pixel for pixel."""
+    path; output dims from the shared kernels.transform.zoom_dims rule) →
+    re-encode in the SOURCE mode, one Arrow-batched ``mapInPandas`` hop.
+    The embedded pHYs resolution is scaled by ``zoom`` so downstream
+    dpi-derived zoom factors (oracle.process_page) stay correct on
+    resized output. Deterministic end-to-end: the in-repo encoder is
+    canonical, so output bytes are reproducible across runs and
+    parallelism levels."""
     import pandas as pd
     from pyspark.sql import types as T
 
     if method not in ("nearest", "cubic"):
         raise ValueError(f"unknown resize method {method!r}")
+    if not zoom > 0:
+        raise ValueError(f"zoom must be > 0, got {zoom!r}")
 
     schema = T.StructType(
         [
@@ -205,23 +209,35 @@ def resize_images(blobs: DataFrame, zoom: float, method: str = "nearest") -> Dat
     def stage(batches):
         import numpy as np
 
-        from ..kernels.transform import resize_cubic, resize_nearest
-        from ..png import decode_gray, encode_gray
+        from ..kernels.transform import resize_cubic, resize_nearest, zoom_dims
+        from ..png import decode_image, encode_gray, encode_rgb
+
+        def resample(ch):
+            if method == "nearest":
+                return resize_nearest(ch, zoom)
+            return resize_cubic(ch, *zoom_dims(ch.shape[0], ch.shape[1], zoom))
 
         for pdf in batches:
             refs, ws, hs, outs = [], [], [], []
             for ref, blob in zip(pdf["media_ref"], pdf["image"]):
-                img, dpi = decode_gray(bytes(blob))
-                if method == "nearest":
-                    out = resize_nearest(img, zoom)
+                img, mode, dpi = decode_image(bytes(blob))
+                out_dpi = None if dpi is None else max(1, int(round(dpi * zoom)))
+                if mode == "L":
+                    out = resample(img)
+                    png = encode_gray(out, dpi=out_dpi)
+                elif mode == "RGB":
+                    out = np.stack([resample(img[:, :, c]) for c in range(3)], axis=-1)
+                    png = encode_rgb(out, dpi=out_dpi)
                 else:
-                    out_h = max(1, int(np.ceil(img.shape[0] * zoom)))
-                    out_w = max(1, int(np.ceil(img.shape[1] * zoom)))
-                    out = resize_cubic(img, out_h, out_w)
+                    raise ValueError(
+                        f"mode {mode!r} not supported by the resize tier "
+                        "(alpha would need compositing policy; decode is fine "
+                        "— png.decode_image handles LA/RGBA)"
+                    )
                 refs.append(ref)
                 hs.append(int(out.shape[0]))
                 ws.append(int(out.shape[1]))
-                outs.append(encode_gray(out, dpi=dpi))
+                outs.append(png)
             yield pd.DataFrame(
                 {"media_ref": refs, "width": ws, "height": hs, "image": outs}
             )

@@ -182,6 +182,41 @@ def round_like_spark(x: float, scale: int = 6) -> float:
     return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
 
 
+MEDIA_RESIZE_ZOOM = 0.5  # the fixed zoom the media_resize query is gated at
+
+
+def _expected_resize_row(media_ref: str, png_bytes: bytes) -> dict:
+    """Single-process twin of operators/media.resize_images at the gated
+    zoom: decode → per-channel nearest resample → canonical re-encode in
+    the source mode → md5 of the output bytes. Shares the exact kernels
+    and codec with the distributed operator."""
+    import hashlib
+
+    import numpy as np
+
+    from .kernels.transform import resize_nearest
+    from .png import decode_image, encode_gray, encode_rgb
+
+    img, mode, dpi = decode_image(png_bytes)
+    out_dpi = None if dpi is None else max(1, int(round(dpi * MEDIA_RESIZE_ZOOM)))
+    if mode == "L":
+        out = resize_nearest(img, MEDIA_RESIZE_ZOOM)
+        png = encode_gray(out, dpi=out_dpi)
+    elif mode == "RGB":
+        out = np.stack(
+            [resize_nearest(img[:, :, c], MEDIA_RESIZE_ZOOM) for c in range(3)], axis=-1
+        )
+        png = encode_rgb(out, dpi=out_dpi)
+    else:  # pragma: no cover — the synth corpus emits L/RGB only
+        raise ValueError(f"unexpected corpus blob mode {mode!r}")
+    return {
+        "media_ref": media_ref,
+        "width": int(out.shape[1]),
+        "height": int(out.shape[0]),
+        "img_md5": hashlib.md5(png).hexdigest(),
+    }
+
+
 def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
                          params: PipelineParams = DEFAULT_PARAMS) -> None:
     """Write the oracle's expected pipeline outputs as parquet next to the
@@ -206,9 +241,12 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
 
     pr_rows: list[dict] = []
     ds_rows: list[dict] = []
+    rz_rows: list[dict] = []
     for i in range(n_docs):
         doc, blobs = generate_doc(seed, i)
         blob_map = {b["media_ref"]: b["image"] for b in blobs}
+        for ref in sorted(blob_map):
+            rz_rows.append(_expected_resize_row(ref, blob_map[ref]))
         _, page_results, structure = process_document(doc, blob_map, params)
         for r in page_results:
             pr_rows.append(
@@ -265,15 +303,23 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
             pa.field("parent_id", pa.int32(), False),
         ]
     )
-    # write-to-temp + atomic rename, BOTH files before either final name
-    # exists is not achievable with two renames — so the caller must gate
-    # on the SECOND file (expected_doc_structure.parquet), which this
-    # function renames last: a crash between the renames leaves the gate
-    # file absent and the next run re-materializes both (round-4 review:
-    # gating on the first file could strand a half-written pair forever)
+    rz_schema = pa.schema(
+        [
+            pa.field("media_ref", pa.string(), False),
+            pa.field("width", pa.int32(), False),
+            pa.field("height", pa.int32(), False),
+            pa.field("img_md5", pa.string(), False),
+        ]
+    )
+    # write-to-temp + atomic rename per file; the caller gates on the file
+    # renamed LAST (expected_resize.parquet): a crash between renames
+    # leaves the gate file absent and the next run re-materializes all
+    # (round-4 review: gating on an earlier file could strand a
+    # half-written set forever)
     for rows, schema, name in (
         (pr_rows, pr_schema, "expected_page_results.parquet"),
         (ds_rows, ds_schema, "expected_doc_structure.parquet"),
+        (rz_rows, rz_schema, "expected_resize.parquet"),
     ):
         tmp = os.path.join(out_dir, f".{name}.tmp.{os.getpid()}")
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)

@@ -550,24 +550,47 @@ def _pipeline_corpus() -> str:
         # generate into a private tmp dir and PUBLISH with one rename:
         # every process importing this module (driver gate, bench, pytest)
         # runs this path, and two concurrent imports writing the same final
-        # files could tear them. The rename loser just discards its copy
-        # (contents are byte-identical by the determinism contract).
+        # files could tear them. Publish protocol (round-4 review closed a
+        # TOCTOU here — never check-then-delete d, which can destroy a
+        # corpus a racing process just completed):
+        #   1. try rename(tmp, d); success = published;
+        #   2. on failure, if the marker exists a complete corpus won the
+        #      race — discard our byte-identical copy;
+        #   3. else a stale markerless dir blocks the target: atomically
+        #      CLAIM it aside by rename (worst case we move a corpus that
+        #      completed inside the race window — then step 1 publishes our
+        #      identical one, still complete) and retry.
         import shutil as _shutil
 
         tmp = f"{d}.tmp.{_os.getpid()}"
         generate_corpus(tmp, _PIPE_DOCS, seed=42, workers=1)
         open(_os.path.join(tmp, ".complete"), "w").write("ok")
-        if _os.path.isdir(d) and not _os.path.exists(marker):
-            _shutil.rmtree(d, ignore_errors=True)  # stale partial from a crash
-        try:
-            _os.rename(tmp, d)
-        except OSError:
-            _shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+        for attempt in range(4):
+            try:
+                _os.rename(tmp, d)
+                break
+            except OSError:
+                if _os.path.exists(marker):
+                    _shutil.rmtree(tmp, ignore_errors=True)
+                    break
+                aside = f"{d}.stale.{_os.getpid()}.{attempt}"
+                try:
+                    _os.rename(d, aside)
+                except OSError:
+                    pass  # another process claimed/moved it; just retry
+                else:
+                    _shutil.rmtree(aside, ignore_errors=True)
+        else:
+            _shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"could not publish query corpus at {d}: target neither "
+                "accepts the rename nor carries a completion marker"
+            )
     # expected pipeline outputs (oracle parquet) — checked separately from
     # the corpus marker so pre-existing cached corpora gain them on
-    # upgrade. Gate on expected_doc_structure.parquet: materialize_expected
-    # atomically renames it LAST, so its presence implies the full pair
-    if not _os.path.exists(_os.path.join(d, "expected_doc_structure.parquet")):
+    # upgrade. Gate on expected_resize.parquet: materialize_expected
+    # atomically renames it LAST, so its presence implies the full set
+    if not _os.path.exists(_os.path.join(d, "expected_resize.parquet")):
         from .oracle import materialize_expected
 
         materialize_expected(d, _PIPE_DOCS, seed=42)
@@ -772,6 +795,30 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(blobs)
 
 
+@register(
+    "media_resize",
+    oracle=f"""
+    SELECT media_ref, width, height, img_md5
+    FROM read_parquet('{_os.path.join("%QC%", "expected_resize.parquet")}')
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize tier as a hash-gated query: decode → nearest resample at the
+    fixed gate zoom → canonical re-encode, reported as dims + output-PNG
+    md5 (operators/media.resize_images). Oracle: the single-process twin's
+    expected rows (oracle._expected_resize_row), materialized as
+    SYNTH_VERSION-keyed parquet at corpus generation — byte-determinism of
+    the whole decode→kernel→encode chain is what the hash pins."""
+    from .operators.media import resize_images
+    from .oracle import MEDIA_RESIZE_ZOOM
+    from .sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, _pipeline_corpus())
+    return resize_images(blobs, MEDIA_RESIZE_ZOOM).select(
+        "media_ref", "width", "height", F.md5("image").alias("img_md5")
+    )
+
+
 # splice the corpus path and the hex→int arithmetic into the two oracles
 # (IHDR byte k (1-based) sits at hex chars [2k-1, 2k]: width @17-20,
 # height @21-24, bit depth @25)
@@ -782,6 +829,7 @@ for _qname in (
     "pipeline_doc_structure",
     "media_audio_energy",
     "media_frame_sample",
+    "media_resize",
 ):
     ORACLE[_qname] = ORACLE[_qname].replace("%QC%", _QCORPUS_DIR)
 

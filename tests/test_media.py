@@ -105,10 +105,24 @@ def test_resize_images_matches_kernel_and_is_deterministic(spark, corpus_dir):
     out2 = {r.media_ref: bytes(r.image) for r in resize_images(some, 0.5).collect()}
     src = {r.media_ref: bytes(r.image) for r in some.collect()}
     assert len(out1) == 6
+    from ocrd_anybaseocr_spark.png import decode_image
+
+    modes = set()
     for ref, r in out1.items():
         img, _ = decode_gray(src[ref])
         want = resize_nearest(img, 0.5)
+        # luminance commutes with nearest sampling, so this holds for BOTH
+        # gray and RGB pages — and the output must keep the SOURCE mode
         got, _ = decode_gray(bytes(r.image))
+        assert decode_image(bytes(r.image))[1] == decode_image(src[ref])[1], ref
+        modes.add(decode_image(src[ref])[1])
         assert (r.height, r.width) == want.shape == got.shape
         assert np.array_equal(got, want), ref
         assert bytes(r.image) == out2[ref]  # byte-determinism across runs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_images(some, 0.0)
+    with _pytest.raises(ValueError):
+        resize_images(some, -2.0)
