@@ -150,16 +150,17 @@ def frame_sample(
     )
 
     def stage(batches):
+        from itertools import islice
+
         import numpy as np
 
         for pdf in batches:
             refs, fnos, nbs, sums = [], [], [], []
             for ref, blob in zip(pdf["media_ref"], pdf["image"]):
-                # islice the frame iterator: only the sampled frames are
-                # ever sliced out of the blob (a 1 MB row would otherwise
-                # materialize ~256 frame copies to keep 4)
-                from itertools import islice
-
+                # islice stops the frame iterator after the LAST sampled
+                # index ((max_frames-1)*stride + 1 frames advanced, the
+                # skipped ones still sliced) instead of materializing the
+                # whole blob's frame list before sampling
                 sampled = islice(
                     decode_video_frames(bytes(blob), frame_bytes, codec),
                     0, (max_frames - 1) * stride + 1, stride,
@@ -176,19 +177,56 @@ def frame_sample(
     return blobs.select("media_ref", "image").mapInPandas(stage, schema=schema)
 
 
+def resize_image_bytes(
+    png_bytes: bytes, zoom: float, method: str = "nearest"
+) -> tuple[bytes, int, int]:
+    """(out_png, height, width): ONE image through the resize composition —
+    decode (gray AND RGB; alpha rejected explicitly) → per-channel
+    resample (``nearest`` = the pipeline's exactly-invertible mapping,
+    ``cubic`` = the anti-aliased inference path; dims from the shared
+    kernels.transform.zoom_dims rule) → canonical re-encode in the SOURCE
+    mode with the pHYs resolution scaled by ``zoom``. This is THE single
+    definition: the distributed operator (resize_images) and the oracle
+    expectation (oracle._expected_resize_row) both call it, so the two
+    can never drift (round-4 review)."""
+    import numpy as np
+
+    from ..kernels.transform import resize_cubic, resize_nearest, zoom_dims
+    from ..png import decode_image, encode_gray, encode_rgb
+
+    if method not in ("nearest", "cubic"):
+        raise ValueError(f"unknown resize method {method!r}")
+    if not zoom > 0:
+        raise ValueError(f"zoom must be > 0, got {zoom!r}")
+
+    def resample(ch):
+        if method == "nearest":
+            return resize_nearest(ch, zoom)
+        return resize_cubic(ch, *zoom_dims(ch.shape[0], ch.shape[1], zoom))
+
+    img, mode, dpi = decode_image(png_bytes)
+    out_dpi = None if dpi is None else max(1, int(round(dpi * zoom)))
+    if mode == "L":
+        out = resample(img)
+        png = encode_gray(out, dpi=out_dpi)
+    elif mode == "RGB":
+        out = np.stack([resample(img[:, :, c]) for c in range(3)], axis=-1)
+        png = encode_rgb(out, dpi=out_dpi)
+    else:
+        raise ValueError(
+            f"mode {mode!r} not supported by the resize tier (alpha would "
+            "need compositing policy; decode is fine — png.decode_image "
+            "handles LA/RGBA)"
+        )
+    return png, int(out.shape[0]), int(out.shape[1])
+
+
 def resize_images(blobs: DataFrame, zoom: float, method: str = "nearest") -> DataFrame:
     """(media_ref, width, height, image): the resize tier of the
-    multimodal contract — decode (in-repo PNG codec, gray AND RGB; alpha
-    modes are rejected explicitly) → resample per channel
-    (kernels/transform: ``nearest`` = the pipeline's exactly-invertible
-    working-resolution mapping, ``cubic`` = the anti-aliased inference
-    path; output dims from the shared kernels.transform.zoom_dims rule) →
-    re-encode in the SOURCE mode, one Arrow-batched ``mapInPandas`` hop.
-    The embedded pHYs resolution is scaled by ``zoom`` so downstream
-    dpi-derived zoom factors (oracle.process_page) stay correct on
-    resized output. Deterministic end-to-end: the in-repo encoder is
-    canonical, so output bytes are reproducible across runs and
-    parallelism levels."""
+    multimodal contract as one Arrow-batched ``mapInPandas`` hop over
+    resize_image_bytes (see its docstring for the full composition).
+    Deterministic end-to-end: the in-repo encoder is canonical, so output
+    bytes are reproducible across runs and parallelism levels."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -207,36 +245,13 @@ def resize_images(blobs: DataFrame, zoom: float, method: str = "nearest") -> Dat
     )
 
     def stage(batches):
-        import numpy as np
-
-        from ..kernels.transform import resize_cubic, resize_nearest, zoom_dims
-        from ..png import decode_image, encode_gray, encode_rgb
-
-        def resample(ch):
-            if method == "nearest":
-                return resize_nearest(ch, zoom)
-            return resize_cubic(ch, *zoom_dims(ch.shape[0], ch.shape[1], zoom))
-
         for pdf in batches:
             refs, ws, hs, outs = [], [], [], []
             for ref, blob in zip(pdf["media_ref"], pdf["image"]):
-                img, mode, dpi = decode_image(bytes(blob))
-                out_dpi = None if dpi is None else max(1, int(round(dpi * zoom)))
-                if mode == "L":
-                    out = resample(img)
-                    png = encode_gray(out, dpi=out_dpi)
-                elif mode == "RGB":
-                    out = np.stack([resample(img[:, :, c]) for c in range(3)], axis=-1)
-                    png = encode_rgb(out, dpi=out_dpi)
-                else:
-                    raise ValueError(
-                        f"mode {mode!r} not supported by the resize tier "
-                        "(alpha would need compositing policy; decode is fine "
-                        "— png.decode_image handles LA/RGBA)"
-                    )
+                png, h, w = resize_image_bytes(bytes(blob), zoom, method)
                 refs.append(ref)
-                hs.append(int(out.shape[0]))
-                ws.append(int(out.shape[1]))
+                hs.append(h)
+                ws.append(w)
                 outs.append(png)
             yield pd.DataFrame(
                 {"media_ref": refs, "width": ws, "height": hs, "image": outs}

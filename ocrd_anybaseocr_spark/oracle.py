@@ -184,35 +184,36 @@ def round_like_spark(x: float, scale: int = 6) -> float:
 
 MEDIA_RESIZE_ZOOM = 0.5  # the fixed zoom the media_resize query is gated at
 
+# bump when the CONTENT of the expected_*.parquet files changes for the
+# same corpus bytes — kernel behavior feeding process_page/fold, the
+# flat-row shaping in materialize_expected, round_like_spark,
+# MEDIA_RESIZE_ZOOM or the resize composition. The query-corpus cache dir
+# is keyed by SYNTH_VERSION (corpus BYTES); this version keys the derived
+# expectations INSIDE it — without it, a stale cached expectation would
+# fail the driver gate on correct code with no pointer to the cache
+# (round-4 review).
+EXPECTED_VERSION = 1
+
+
+def expected_marker_name() -> str:
+    """Completion marker written LAST by materialize_expected; its absence
+    (missing or version-bumped) triggers re-materialization."""
+    return f".expected_complete_v{EXPECTED_VERSION}"
+
 
 def _expected_resize_row(media_ref: str, png_bytes: bytes) -> dict:
-    """Single-process twin of operators/media.resize_images at the gated
-    zoom: decode → per-channel nearest resample → canonical re-encode in
-    the source mode → md5 of the output bytes. Shares the exact kernels
-    and codec with the distributed operator."""
+    """Oracle expectation for one blob: the SAME resize composition the
+    distributed operator runs (operators/media.resize_image_bytes — single
+    definition, nothing to hand-synchronize), hashed."""
     import hashlib
 
-    import numpy as np
+    from .operators.media import resize_image_bytes
 
-    from .kernels.transform import resize_nearest
-    from .png import decode_image, encode_gray, encode_rgb
-
-    img, mode, dpi = decode_image(png_bytes)
-    out_dpi = None if dpi is None else max(1, int(round(dpi * MEDIA_RESIZE_ZOOM)))
-    if mode == "L":
-        out = resize_nearest(img, MEDIA_RESIZE_ZOOM)
-        png = encode_gray(out, dpi=out_dpi)
-    elif mode == "RGB":
-        out = np.stack(
-            [resize_nearest(img[:, :, c], MEDIA_RESIZE_ZOOM) for c in range(3)], axis=-1
-        )
-        png = encode_rgb(out, dpi=out_dpi)
-    else:  # pragma: no cover — the synth corpus emits L/RGB only
-        raise ValueError(f"unexpected corpus blob mode {mode!r}")
+    png, h, w = resize_image_bytes(png_bytes, MEDIA_RESIZE_ZOOM)
     return {
         "media_ref": media_ref,
-        "width": int(out.shape[1]),
-        "height": int(out.shape[0]),
+        "width": w,
+        "height": h,
         "img_md5": hashlib.md5(png).hexdigest(),
     }
 
@@ -311,11 +312,11 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
             pa.field("img_md5", pa.string(), False),
         ]
     )
-    # write-to-temp + atomic rename per file; the caller gates on the file
-    # renamed LAST (expected_resize.parquet): a crash between renames
-    # leaves the gate file absent and the next run re-materializes all
-    # (round-4 review: gating on an earlier file could strand a
-    # half-written set forever)
+    # write-to-temp + atomic rename per file; the version-stamped marker
+    # below is written AFTER all of them, and callers gate on the marker:
+    # a crash mid-set leaves it absent and the next run re-materializes
+    # everything (round-4 review: gating on an earlier artifact could
+    # strand a half-written set forever)
     for rows, schema, name in (
         (pr_rows, pr_schema, "expected_page_results.parquet"),
         (ds_rows, ds_schema, "expected_doc_structure.parquet"),
@@ -324,3 +325,5 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
         tmp = os.path.join(out_dir, f".{name}.tmp.{os.getpid()}")
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
         os.replace(tmp, os.path.join(out_dir, name))
+    # version-stamped completion marker, written after every data file
+    open(os.path.join(out_dir, expected_marker_name()), "w").write("ok")

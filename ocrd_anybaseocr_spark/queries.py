@@ -562,8 +562,15 @@ def _pipeline_corpus() -> str:
         #      identical one, still complete) and retry.
         import shutil as _shutil
 
+        from .oracle import materialize_expected
+
         tmp = f"{d}.tmp.{_os.getpid()}"
         generate_corpus(tmp, _PIPE_DOCS, seed=42, workers=1)
+        # expectations are part of the published unit: any dir reachable
+        # under the final name is COMPLETE (corpus + oracle parquet), so
+        # no reader can ever observe a corpus whose expected files are
+        # still being written (round-4 review)
+        materialize_expected(tmp, _PIPE_DOCS, seed=42)
         open(_os.path.join(tmp, ".complete"), "w").write("ok")
         for attempt in range(4):
             try:
@@ -586,13 +593,14 @@ def _pipeline_corpus() -> str:
                 f"could not publish query corpus at {d}: target neither "
                 "accepts the rename nor carries a completion marker"
             )
-    # expected pipeline outputs (oracle parquet) — checked separately from
-    # the corpus marker so pre-existing cached corpora gain them on
-    # upgrade. Gate on expected_resize.parquet: materialize_expected
-    # atomically renames it LAST, so its presence implies the full set
-    if not _os.path.exists(_os.path.join(d, "expected_resize.parquet")):
-        from .oracle import materialize_expected
+    # upgrade path for corpora published before the current
+    # EXPECTED_VERSION (or before expectations were part of the publish
+    # unit): the marker is version-stamped and written after every data
+    # file, so a kernel/shaping/zoom change that bumps EXPECTED_VERSION
+    # re-materializes stale expectations instead of serving them
+    from .oracle import expected_marker_name, materialize_expected
 
+    if not _os.path.exists(_os.path.join(d, expected_marker_name())):
         materialize_expected(d, _PIPE_DOCS, seed=42)
     return d
 
