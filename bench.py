@@ -106,6 +106,9 @@ def _pipeline_bench_inproc(cores: int, out_root: str, n_docs: int, reps: int = 2
         "kernel_cpu_s": round(kernel_s, 1),
         "kernel_util": round(kernel_s / (best_wall * cores), 3) if best_wall else None,
         "ms_per_page": round(kernel_s * 1000.0 / summary["pages"], 2) if summary["pages"] else None,
+        # per-phase driver wall from run_pipeline (VERDICT r4 item 1): names
+        # every Spark job in the run so a wall regression is attributable
+        "timings": summary.get("timings", {}),
     }
 
 

@@ -323,18 +323,29 @@ def run_pipeline(
     """
     from ..sources.tables import load_corpus
 
+    # per-phase wall breakdown (VERDICT r4 item 1): every driver-side action
+    # gets a named timing so a probe regression is attributable to a job,
+    # not a mystery. Returned as summary["timings"].
+    timings: dict[str, float] = {}
+
+    def _t(name: str, t_start: float) -> None:
+        timings[name] = round(time.monotonic() - t_start, 3)
+
     io = _CatalogIO(spark, catalog) if catalog else _PathIO(spark, out_dir)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     documents, blobs = load_corpus(spark, corpus_dir)
     if n_buckets is None:
         # one narrow-column count job; at scale this is footer metadata work,
         # negligible next to the image stage
+        t = time.monotonic()
         n_buckets = derive_buckets(documents.count())
+        _t("count_docs", t)
     documents = documents.withColumn(
         "part_bucket", F.pmod(F.hash("doc_id"), F.lit(n_buckets)).cast("int")
     )
 
     done: set[int] = set()
+    t_probe = time.monotonic()
     if resume:
         # probe through the IO layer, NOT os.path — out_dir may be HDFS/S3/
         # a catalog table (jobs/extract_job.py advertises cluster use); a
@@ -347,6 +358,7 @@ def run_pipeline(
             }
         except Exception:
             done = set()
+    _t("ckpt_probe", t_probe)
     if len(done) >= n_buckets:
         return {
             "docs": 0,
@@ -385,17 +397,37 @@ def run_pipeline(
 
     def _ext_target():
         try:
+            t = time.monotonic()
             _write_extracted()
+            _t("extracted_write", t)
         except BaseException as e:  # noqa: BLE001 — re-raised on the caller
             ext_err.append(e)
 
     ext_thread = threading.Thread(target=_ext_target, daemon=True)
     ext_thread.start()
+    t_pr = time.monotonic()
+    # Observation rides the write job (zero extra Spark job): its row count
+    # feeds derive_fold_buckets, replacing the separate count job the r4
+    # probe attribution flagged (VERDICT r4 item 1 — every driver action
+    # must earn its wall share)
+    from pyspark.sql import Observation
+
+    pr_obs = Observation("pr_rows")
     pr_out = (
         page_results.withColumn("part_bucket", bucket)
+        .observe(pr_obs, F.count(F.lit(1)).alias("rows"))
         .repartition(n_buckets, "part_bucket")
     )
     io.overwrite_partitioned(pr_out, "page_results")
+    try:
+        n_new_rows = int(pr_obs.get["rows"])
+    except Exception:
+        # the optimizer collapses an all-remaining-buckets-empty resume plan
+        # to an empty relation, so the CollectMetrics row never materializes
+        # and Observation.get raises; fall back to counting the commit (that
+        # count is trivially cheap exactly in this near-empty case)
+        n_new_rows = None
+    _t("page_results_write", t_pr)
     ext_thread.join()
     if ext_err:
         raise ext_err[0]
@@ -404,28 +436,26 @@ def run_pipeline(
     written_pr = io.read("page_results")
     if done:
         written_pr = written_pr.filter(~F.col("part_bucket").isin(*done))
-    # fold fan-out scales with data: the committed page_results count bounds
-    # rows-per-group (partition pruning keeps this count cheap on resume)
+    # fold fan-out scales with data: the observed row count of the commit
+    # bounds rows-per-group (no extra count job — r4 probe attribution)
     from .fold import derive_fold_buckets
 
+    if n_new_rows is None:
+        n_new_rows = written_pr.count()
     n_fold = derive_fold_buckets(
-        written_pr.count(), int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_new_rows, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     )
-    structure = fold_structure(written_pr, n_fold_buckets=n_fold)
-    io.overwrite_partitioned(
-        structure.withColumn("part_bucket", bucket)
-        .repartition(n_buckets, "part_bucket"),
-        "doc_structure",
-    )
-    elapsed_ms = int((time.monotonic() - t0) * 1000)
 
-    # checkpoint rows from the committed output (counts reconcile by construction)
+    # checkpoint rows from the committed output (counts reconcile by
+    # construction); collected CONCURRENTLY with the fold job — both read
+    # the committed parquet, neither depends on the other, and the fold's
+    # stage tails leave cores for the metrics scan
     lineage = json.dumps(
         {"input": corpus_dir, "engine": "ocrd_anybaseocr_spark-0.1.0", "n_parts": n_parts}
     )
-    written = io.read("page_results")
     metrics = (
-        written.groupBy("part_bucket")
+        io.read("page_results")
+        .groupBy("part_bucket")
         .agg(
             F.countDistinct("doc_id").alias("doc_count"),
             F.count(F.lit(1)).alias("row_count"),
@@ -439,9 +469,35 @@ def run_pipeline(
             F.lit(lineage).alias("lineage"),
         )
     )
-    new_rows = [r for r in metrics.collect() if r.partition_id not in done]
+    new_rows: list = []
+    m_err: list[BaseException] = []
+
+    def _metrics_target():
+        try:
+            t = time.monotonic()
+            new_rows.extend(r for r in metrics.collect() if r.partition_id not in done)
+            _t("metrics_collect", t)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the caller
+            m_err.append(e)
+
+    m_thread = threading.Thread(target=_metrics_target, daemon=True)
+    m_thread.start()
+    t_fold = time.monotonic()
+    structure = fold_structure(written_pr, n_fold_buckets=n_fold)
+    io.overwrite_partitioned(
+        structure.withColumn("part_bucket", bucket)
+        .repartition(n_buckets, "part_bucket"),
+        "doc_structure",
+    )
+    _t("fold_write", t_fold)
+    m_thread.join()
+    if m_err:
+        raise m_err[0]
+    elapsed_ms = int((time.monotonic() - t0) * 1000)
+    t_ck = time.monotonic()
     if new_rows:
         io.append(spark.createDataFrame(new_rows, S.CHECKPOINT), "checkpoints")
+    _t("checkpoint_append", t_ck)
     pages = sum(r.row_count for r in new_rows)
     return {
         "docs": sum(r.doc_count for r in new_rows),
@@ -453,4 +509,5 @@ def run_pipeline(
         # share (Arrow hop, scheduling, non-image jobs): the 8→32 scaling
         # attribution input (BENCH/BASELINE.md)
         "kernel_ms": int(sum(r.latency_ms for r in new_rows)),
+        "timings": timings,
     }
