@@ -505,6 +505,28 @@ def _ivf_assign_cached(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return _IVF_ASSIGN_CACHE[key]
 
 
+def build_ann_indexes(spark: SparkSession, sf_dir: str) -> dict:
+    """Materialize the per-session ANN index relations (the LSH bucket
+    assignment and the IVF cell assignment) and return per-step build
+    seconds. This is the operational story made explicit (VERDICT r4 item
+    2): an index is built ONCE per (session, sf_dir) and served many times
+    — benchmarks that time a first query otherwise charge the whole build
+    to that query. Safe to call repeatedly: warm caches return instantly."""
+    import time as _time
+
+    out: dict[str, float] = {}
+    t0 = _time.monotonic()
+    n = _emb_count_cached(spark, sf_dir)
+    out["emb_count_s"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
+    _lsh_assign_cached(spark, sf_dir)
+    out["lsh_build_s"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
+    _ivf_assign_cached(spark, sf_dir, derive_ivf_k(n))
+    out["ivf_build_s"] = round(_time.monotonic() - t0, 3)
+    return out
+
+
 def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: queries probe the IVF_NPROBE nearest cells, exact
     re-rank of the probed cells' vectors only, top-3 per query. Candidate
