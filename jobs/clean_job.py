@@ -49,24 +49,43 @@ def run(spark, input_dir: str, out_dir: str, near_dedup: bool = False) -> dict:
     # 3-gram stats twice)
     committed = spark.read.parquet(os.path.join(out_dir, "clean_decisions"))
     docs = spark.read.parquet(os.path.join(input_dir, "documents.parquet"))
-    retained = docs.join(
-        committed.filter(F.col("retained")).select("doc_id"), "doc_id", "leftsemi"
+    # pin input immutability (VERDICT r4 item 5): retention and the
+    # near-dedup clusters both re-read the INPUT dir; if the documents
+    # table changed between the decisions commit and this point, they
+    # would silently diverge from the committed verdicts. Fingerprint =
+    # (row count, max doc_id) on both sides — cheap aggregates, and any
+    # append/delete/rewrite that changes the doc set trips at least one.
+    fp_docs, fp_dec = (
+        df.agg(F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")).collect()[0]
+        for df in (docs, committed)
     )
+    if (fp_docs.n, fp_docs.mx) != (fp_dec.n, fp_dec.mx):
+        raise RuntimeError(
+            f"input documents changed under the cleaning pass: committed "
+            f"decisions cover {fp_dec.n} docs (max id {fp_dec.mx}) but the "
+            f"input table now has {fp_docs.n} (max id {fp_docs.mx}) — "
+            "rerun the pass on the current input"
+        )
+    rule_kept_ids = committed.filter(F.col("retained")).select("doc_id")
+    retained = docs.join(rule_kept_ids, "doc_id", "leftsemi")
     n_rule_kept = None
     if near_dedup:
         from ocrd_anybaseocr_spark.operators.dedup import q_dedup_clusters
 
-        n_rule_kept = retained.count()
+        # counts and the representative choice come from the committed
+        # decisions, NOT the retained join lineage — the docs⋈decisions
+        # semi-join then runs exactly once, in the final write (ADVICE r4)
+        n_rule_kept = rule_kept_ids.count()
         clusters = q_dedup_clusters(spark, input_dir)
         representative = (
-            clusters.join(retained.select("doc_id"), "doc_id", "leftsemi")
+            clusters.join(rule_kept_ids, "doc_id", "leftsemi")
             .groupBy("cluster_id")
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
         )
         retained = retained.join(representative, "doc_id", "leftsemi")
     retained.write.mode("overwrite").parquet(os.path.join(out_dir, "documents_clean"))
-    n_in = docs.count()
+    n_in = int(fp_docs.n)
     n_kept = spark.read.parquet(os.path.join(out_dir, "documents_clean")).count()
     out = {"docs_in": n_in, "docs_retained": n_kept, "docs_dropped": n_in - n_kept}
     if near_dedup:

@@ -262,7 +262,22 @@ class _CatalogIO:
         # getCondition is the 4.x name; older sessions only have getErrorClass
         get = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
         cls = get() if get else None
-        return cls == "_LEGACY_ERROR_TEMP_1012" or "v1 table" in str(e)
+        if cls == "_LEGACY_ERROR_TEMP_1012":
+            return True
+        # VERDICT r4 item 6 / ADVICE r4: with SPARK_GRAFT_STRICT_V1_CLASS=1
+        # only the error class qualifies (flip on a real catalog, where
+        # commit conflicts and analysis errors must never take the
+        # positional-insertInto fallback). The default lenient path covers
+        # sessions whose exceptions lack error classes, but matches the
+        # exact v1-capability MESSAGE PREFIX, not a substring — an
+        # unrelated error merely mentioning 'v1 table' (e.g. in a table
+        # name) must surface, not silently double-write.
+        if os.environ.get("SPARK_GRAFT_STRICT_V1_CLASS", "0") == "1":
+            return False
+        msg = str(e)
+        return msg.startswith("[_LEGACY_ERROR_TEMP_1012]") or msg.startswith(
+            "Cannot write into v1 table"
+        )
 
     def _aligned(self, df: DataFrame, tbl: str) -> DataFrame:
         return df.select(*self.spark.table(tbl).columns)

@@ -581,11 +581,30 @@ def _pipeline_corpus() -> str:
                     _shutil.rmtree(tmp, ignore_errors=True)
                     break
                 aside = f"{d}.stale.{_os.getpid()}.{attempt}"
+                # re-check the marker at the last instant (ADVICE r4: the
+                # window between the check above and the claim is where a
+                # racing publisher can complete) ...
+                if _os.path.exists(marker):
+                    _shutil.rmtree(tmp, ignore_errors=True)
+                    break
                 try:
                     _os.rename(d, aside)
                 except OSError:
                     pass  # another process claimed/moved it; just retry
                 else:
+                    # ... and again AFTER the claim: if the dir we moved
+                    # aside turns out complete, we displaced a published
+                    # corpus inside the race window — put it straight back
+                    # so no reader ever observes it absent
+                    if _os.path.exists(_os.path.join(aside, ".complete")):
+                        try:
+                            _os.rename(aside, d)
+                        except OSError:
+                            # another publisher took d meanwhile; the aside
+                            # copy is a redundant byte-identical duplicate
+                            _shutil.rmtree(aside, ignore_errors=True)
+                        _shutil.rmtree(tmp, ignore_errors=True)
+                        break
                     _shutil.rmtree(aside, ignore_errors=True)
         else:
             _shutil.rmtree(tmp, ignore_errors=True)
