@@ -285,6 +285,150 @@ def dedup_exact_stream(docs: DataFrame, watermark: str = "30 minutes") -> DataFr
     )
 
 
+def minhash_bands_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts, band_no, band_key): STATELESS per-row MinHash banding,
+    value-identical to the batch ``lsh_pairs`` banding (same shingles, same
+    wrapping affine family, same md5 band keys — pytest-asserted parity).
+
+    The batch path computes signatures with explode + groupBy(doc_id); a
+    stream cannot afford a pre-aggregation before its stateful dedup, so
+    here the whole signature is ONE row-local expression: the shingle
+    array and its 24-bit hashes materialize as array columns (non-cheap
+    aliases — CollapseProject keeps them, the md5 runs once per shingle),
+    and each of the 16 minima is an array_min over integer ops. No
+    shuffle, no state — the scan parallelism is the throughput.
+
+    Docs with fewer than 3 words have no shingles and emit no band rows,
+    exactly like the batch signature aggregation."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        _MH_A,
+        _MH_B,
+        _MH_HEX,
+        _MH_P,
+        _SHINGLES_FROM_WORDS,
+        N_BANDS,
+        N_MINHASH,
+        ROWS_PER_BAND,
+    )
+
+    d = (
+        docs.withColumn("_words", F.split("text", " "))
+        .filter(F.size("_words") >= 3)
+        .withColumn("_sh", F.expr(_SHINGLES_FROM_WORDS))
+        .withColumn(
+            "_h",
+            F.expr(
+                "transform(_sh, s -> cast(conv(substring(md5(cast(s as binary)),"
+                f" 1, {_MH_HEX}), 16, 10) as bigint))"
+            ),
+        )
+    )
+    for j in range(N_MINHASH):
+        d = d.withColumn(
+            f"h{j}",
+            F.expr(
+                f"array_min(transform(_h, x -> ({_MH_A[j]}L * x + {_MH_B[j]}L)"
+                f" % {_MH_P}L))"
+            ),
+        )
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"h{ROWS_PER_BAND * b + k}").cast("string")
+                        for k in range(ROWS_PER_BAND)
+                    ],
+                ).cast("binary")
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return d.select("doc_id", "ts", F.posexplode(bands).alias("band_no", "band_key"))
+
+
+def dedup_near_stream(docs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming near-dup CANDIDATE pass (VERDICT r4 item 7) — the MinHash
+    twin of ``dedup_exact_stream``, completing batch↔streaming parity for
+    the dedup family: band the stream statelessly (minhash_bands_stream),
+    then ``dropDuplicatesWithinWatermark`` on (band_no, band_key) holds ONE
+    state entry per live band value and EVICTS it when the watermark
+    passes — bounded state on an unbounded ingest.
+
+    Output rows are FIRST-SEEN BAND CLAIMS: a novel document owns all
+    N_BANDS of its bands; a document that collides with an earlier one
+    (within the watermark) on >=1 band emits fewer — `near_dup_candidates`
+    derives the candidate set from the claims table. Matching the batch
+    contract, band collision is CANDIDATE evidence only; exact Jaccard
+    verification (operators/dedup.verified_pairs) remains the batch
+    backstop, same division of labor as exact streaming dedup."""
+    bands = minhash_bands_stream(docs)
+    return bands.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["band_no", "band_key"]
+    )
+
+
+def near_dup_candidates(claims: DataFrame, docs: DataFrame) -> DataFrame:
+    """Batch post-pass over the streamed band-claims table: (doc_id,
+    n_owned) for documents owning fewer than N_BANDS first-seen bands —
+    each lost a band to an earlier (or same-batch) document and is a
+    near-dup candidate for exact verification. ``docs`` (the ingested
+    documents, DEDUP_STREAM shape) anchors the join: an EXACT duplicate
+    loses all its bands and appears in no claim row at all, so candidates
+    cannot be derived from the claims table alone. Docs too short to
+    shingle (<3 words) emit no bands by construction and are excluded —
+    they carry no near-dup evidence either way."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import N_BANDS
+
+    owned = claims.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    eligible = (
+        docs.filter(F.size(F.split("text", " ")) >= 3).select("doc_id").distinct()
+    )
+    return (
+        eligible.join(owned, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_n"), F.lit(0)).alias("n_owned"))
+        .filter(F.col("n_owned") < N_BANDS)
+    )
+
+
+def stream_dedup_near(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "30 minutes",
+) -> dict:
+    """Incremental near-dup band-claim pass over a growing directory of
+    document parquet drops (DEDUP_STREAM schema) → first-seen band claims,
+    append exactly-once; state and watermark ride the checkpoint across
+    runs. Returns the final state-operator metrics ({"state_rows": N}) so
+    callers/tests can assert the bounded-state contract directly."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_near_checkpoint")
+    docs = (
+        spark.readStream.schema(DEDUP_STREAM)
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+    q = (
+        dedup_near_stream(docs, watermark)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "band_claims_stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    prog = q.lastProgress or {}
+    ops = prog.get("stateOperators") or []
+    return {"state_rows": ops[0].get("numRowsTotal") if ops else None}
+
+
 def stream_dedup_exact(
     spark: SparkSession,
     docs_dir: str,
