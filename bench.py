@@ -131,6 +131,44 @@ def run_pipeline_bench(
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def degraded_kernel_bench(n_docs: int = 60) -> dict:
+    """Kernel cost on the adversarial-realism degraded tier (VERDICT r4
+    item 3) vs the clean tier, single-process ms/page over the same drawn
+    pages — isolates the degradation's kernel cost from Spark and from
+    host parallel contention. The degraded corpus is cached keyed by
+    (SYNTH_VERSION, DEGRADE_VERSION)."""
+    import pyarrow.parquet as pq
+
+    from ocrd_anybaseocr_spark.oracle import process_page
+    from ocrd_anybaseocr_spark.synth import DEGRADE_VERSION, SYNTH_VERSION, generate_corpus
+
+    out = {}
+    for tier, degraded in (("clean", False), ("degraded", True)):
+        tag = f"corpus_{tier}_{n_docs}_s{SYNTH_VERSION}" + (
+            f"_d{DEGRADE_VERSION}" if degraded else ""
+        )
+        d = os.path.join(_ROOT, ".bench", tag)
+        marker = os.path.join(d, ".complete")
+        if not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+            generate_corpus(d, n_docs, seed=42, degraded=degraded)
+            open(marker, "w").write("ok")
+        pages = [
+            b["image"]
+            for b in pq.read_table(
+                os.path.join(d, "page_blobs.parquet"), columns=["image"]
+            ).to_pylist()
+        ]
+        t0 = time.monotonic()
+        for p in pages:
+            process_page(p)
+        out[f"{tier}_ms_per_page"] = round(
+            (time.monotonic() - t0) * 1000.0 / len(pages), 2
+        )
+        out[f"{tier}_pages"] = len(pages)
+    return out
+
+
 def run_queries(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, float]]:
     from ocrd_anybaseocr_spark.operators.similarity import build_ann_indexes
     from ocrd_anybaseocr_spark.queries import QUERIES
@@ -405,6 +443,9 @@ def main() -> None:
         # ANN index construction (build-once-serve-many), timed apart from
         # the ann_* query rows, which serve the warm index
         "ann_index_build": ann_builds,
+        # kernel ms/page on the adversarial degraded tier vs clean
+        # (single-process, same drawn pages)
+        "degraded_tier": degraded_kernel_bench(),
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
         "pipeline": pipe,
         "docs_per_sec": pipe["docs_per_sec"],

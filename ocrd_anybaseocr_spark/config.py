@@ -53,6 +53,16 @@ class BinarizeParams:
                                      # (ref feature vocabulary, cropping.py:118-120)
     norm_lo_pct: float = 5.0         # ocropus-nlbin percentile pair
     norm_hi_pct: float = 90.0
+    close_gap: int = 1               # run-space horizontal closing: heal white
+                                     # gaps <= this many px inside ink runs
+                                     # (single-pixel scanner dropouts / pepper
+                                     # holes). The run analogue of the
+                                     # reference's small morph close before
+                                     # detection. 1, not 2: at 150 dpi the
+                                     # drawn frame-to-text padding can shrink
+                                     # to a 2 px white gap — gap=2 welds the
+                                     # frame line to every text row and the
+                                     # stroke chain disintegrates.
 
 
 @dataclass(frozen=True)

@@ -50,6 +50,17 @@ def normalize_gray(
     lo, hi = pctl(lo_pct), pctl(hi_pct)
     if hi - lo < 1.0:
         return img
+    # ink-anchor gate (degraded-tier hardening, round 5): on a low-ink page
+    # under scanner shading, p_lo lands INSIDE the spread paper band (e.g.
+    # p5=219 on a vignetted title page whose ink is only ~4% of pixels) and
+    # the stretch would blow paper shading across the full range — Otsu then
+    # marks a quarter of the page as ink. A stretch is only meaningful when
+    # the band straddles an ink/paper separation; if the low anchor is more
+    # than half the high anchor it is paper, not ink — pass through and let
+    # Otsu work on the raw (bimodal, wide-margin) histogram. Exact no-op on
+    # clean pages: their p_lo is either true ink (<= 60) or equals p_hi.
+    if lo > 0.5 * hi:
+        return img
     lut = np.clip(
         np.round((np.arange(256, dtype=np.float64) - lo) * (255.0 / (hi - lo))),
         0,

@@ -57,13 +57,23 @@ def test_grayscale_normalized_stage_emitted_and_matchable(corpus_dir):
     r2 = process_page(png, off)
     assert "grayscale_normalized" not in r2["features"]
 
-    # the stretch really normalizes: a low-contrast page (values compressed
-    # into [100, 160]) maps its percentile band to full range
+    # the stretch really normalizes: a low-contrast page with a real ink
+    # anchor (10% ink ~35, paper ~150-160) maps its percentile band to
+    # full range
     rng = np.random.default_rng(3)
-    flat = rng.integers(100, 160, size=(120, 90), dtype=np.uint8)
+    flat = rng.integers(150, 160, size=(120, 90), dtype=np.uint8)
+    ink = rng.random(flat.shape) < 0.10
+    flat[ink] = rng.integers(30, 40, size=int(ink.sum()), dtype=np.uint8)
     out = normalize_gray(flat)
     assert out.min() == 0 and out.max() == 255
     assert normalize_gray(np.full((50, 50), 128, np.uint8)).max() == 128  # flat no-op
+    # ink-anchor gate (round 5): a band that sits entirely inside spread
+    # PAPER (low-ink page under scanner shading — p_lo > p_hi/2) must NOT
+    # be stretched; blowing shading across the range made Otsu mark a
+    # quarter of a vignetted title page as ink (test_degraded.py holds the
+    # end-to-end consequence)
+    paper_only = rng.integers(190, 235, size=(120, 90), dtype=np.uint8)
+    assert np.array_equal(normalize_gray(paper_only), paper_only)
 
 
 def test_feature_selector_and_filter(spark):
