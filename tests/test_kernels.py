@@ -165,3 +165,34 @@ def test_synth_truth_recovered():
         assert r["border"] == list(t["truth_border"])
         assert r["skew"] == pytest.approx(t["truth_skew"])
         assert r["labels"] == list(t["truth_labels"])
+
+
+def test_close_runs_heals_gaps_and_preserves_structure():
+    """close_runs merges same-row runs separated by <= gap white px (pepper
+    holes), leaves wider gaps (real layout separations) and other rows
+    untouched, and is an exact no-op at gap=0."""
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.kernels.components import close_runs
+
+    # row 0: [0,10) gap1 [11,20)  -> heals at gap>=1
+    # row 0: [20..) none
+    # row 1: [5,8) gap3 [11,15)   -> stays split at gap<=2
+    # row 2: single run untouched
+    rr = np.array([0, 0, 1, 1, 2])
+    ss = np.array([0, 11, 5, 11, 7])
+    ee = np.array([10, 20, 8, 15, 30])
+    r2, s2, e2 = close_runs((rr, ss, ee), 1)
+    got = sorted(zip(r2.tolist(), s2.tolist(), e2.tolist()))
+    assert got == [(0, 0, 20), (1, 5, 8), (1, 11, 15), (2, 7, 30)]
+    r0, s0, e0 = close_runs((rr, ss, ee), 0)
+    assert sorted(zip(r0.tolist(), s0.tolist(), e0.tolist())) == sorted(
+        zip(rr.tolist(), ss.tolist(), ee.tolist())
+    )
+    # chained healing: three fragments, each 1 apart, become one run
+    rr3 = np.array([4, 4, 4]); ss3 = np.array([0, 4, 8]); ee3 = np.array([3, 7, 12])
+    r3, s3, e3 = close_runs((rr3, ss3, ee3), 1)
+    assert (r3.tolist(), s3.tolist(), e3.tolist()) == ([4], [0], [12])
+    # empty input passes through
+    z = np.zeros(0, dtype=np.int64)
+    assert all(len(a) == 0 for a in close_runs((z, z, z), 2))
