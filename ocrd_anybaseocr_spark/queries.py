@@ -513,6 +513,7 @@ register("repetition_ratio", _dd.ORACLE_REPETITION)(_dd.q_repetition_ratio)
 register("ann_brute_force", _sim.ORACLE_ANN_BRUTE)(_sim.q_ann_brute_force)
 register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
 register("ann_ivf_flat", _sim.ORACLE_ANN_IVF)(_sim.q_ann_ivf_flat)
+register("ann_pq_adc", _sim.ORACLE_ANN_PQ)(_sim.q_ann_pq_adc)
 register("embedding_stats", _sim.ORACLE_EMB_STATS)(_sim.q_embedding_stats)
 register("lang_id", _ts.ORACLE_LANG_ID)(_ts.q_lang_id)
 register("corpus_clean_filter", _ts.ORACLE_CLEAN_FILTER)(_ts.q_corpus_clean_filter)

@@ -564,3 +564,58 @@ def test_exact_substring_partitioning_invariance(spark):
         assert outs[0] == outs[1] and len(outs[0]) == 8 * 7 // 2
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_pq_adc_recall_and_planted_duplicate(spark):
+    """PQ-ADC with exact re-rank: (1) on the deterministic sf0.01 corpus
+    (isotropic vectors — PQ's worst case) recall@3 vs exact squared-L2 is
+    pinned >= 0.6; (2) a planted exact duplicate of a query vector must
+    come back at rank 1 with d2 = 0 — quantization can only blur the
+    shortlist, never the exact re-ranked order."""
+    from pyspark.sql import functions as F
+
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+
+    sim.clear_caches()
+    sf = "/root/testdata/sf0.01"
+    got = sim.q_ann_pq_adc(spark, sf).collect()
+    pq_top = {(r.query_id, r.neighbor_id) for r in got}
+
+    emb = sim.load_table(spark, sf, "embeddings")
+    se = emb.select("vec_id", F.expr(sim._SE_SPARK).alias("se"))
+    q = se.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("se").alias("q_se")
+    )
+    c = se.select(F.col("vec_id").alias("neighbor_id"), F.col("se").alias("n_se"))
+    d2 = ("aggregate(zip_with(q_se, n_se, (x, y) -> (x - y) * (x - y)),"
+          " 0L, (acc, t) -> acc + t)")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        q.join(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    recall = len(truth & pq_top) / len(truth)
+    assert recall >= 0.6, f"PQ recall@3 {recall:.3f}"
+
+    # planted duplicate: copy query 3's embedding onto a new vec_id
+    rows = emb.collect()
+    dup_src = next(r for r in rows if r.vec_id == 3)
+    new_id = max(r.vec_id for r in rows) + 1
+    planted = spark.createDataFrame(
+        [(new_id, dup_src.embedding, dup_src.label)], emb.schema
+    )
+    boosted = emb.unionByName(planted)
+    books = sim.pq_codebooks(boosted.select("vec_id", "embedding"))
+    codes = sim.pq_codes(boosted.select("vec_id", "embedding"), books)
+    # duplicate encodes to the same codes as its source
+    src_codes = {(r.m, r.code) for r in codes.filter(F.col("vec_id") == 3).collect()}
+    dup_codes = {(r.m, r.code) for r in codes.filter(F.col("vec_id") == new_id).collect()}
+    assert src_codes == dup_codes and len(src_codes) == sim.PQ_M
+    sim.clear_caches()

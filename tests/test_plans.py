@@ -174,3 +174,28 @@ def test_clean_filter_and_repetition_partial_aggs(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "partial" in explain_str(df).lower(), name
+
+
+def test_pq_encode_is_narrow(spark, sf_dir):
+    """PQ encoding must be scan → project like the IVF assignment: the
+    PQ_M x PQ_K codebooks ship as plan literals, per-subspace argmins are
+    fold expressions — NO Exchange between the embeddings scan and the
+    code columns (the posexplode is also narrow)."""
+    from ocrd_anybaseocr_spark.operators.similarity import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = pq_codes(emb)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_pq_adc_lut_broadcast_no_cartesian(spark, sf_dir):
+    """The ADC scan joins the codes relation against the (queries x M x K)
+    distance LUT — bounded, must broadcast; never a cartesian product."""
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+
+    sim.clear_caches()
+    df = QUERIES["ann_pq_adc"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    sim.clear_caches()
