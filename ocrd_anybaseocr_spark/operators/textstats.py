@@ -450,3 +450,83 @@ def _oracle_clean_filter() -> str:
 
 
 ORACLE_CLEAN_FILTER = _oracle_clean_filter()
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM cross-entropy (Gopher-style LM quality proxy)
+# ---------------------------------------------------------------------------
+
+LM_SUP_SCALE = 1_000_000  # per-token surprisal in micro-bits (exact int)
+
+
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram model —
+    the cheap in-engine proxy for the LM perplexity filters of
+    Gopher/CCNet (a doc whose tokens are improbable under the corpus
+    distribution reads as noise; one whose tokens are too probable reads
+    as boilerplate; filters cut both tails).
+
+    Two-pass shape: (1) vocab = one partial-agg shuffle on word (the model
+    — at web scale this is the classic count-based LM estimation job);
+    (2) token stream equi-joins the vocab (AQE broadcasts it while it
+    fits) and partial-aggs per doc_id. No UDF, no driver-side loop.
+
+    Cross-engine determinism: per-token surprisal -log2(c/total) is
+    rounded HALF-UP to exact MICRO-bit integers before summing —
+    measured Spark-vs-DuckDB log2 disagreement is ~1 ulp (1e-16
+    relative), while a 1e6-scale rounding boundary is ~1e-9 wide at
+    these magnitudes, so the scaled ints are identical and their sums
+    order-independent. The final bits-per-token is ONE exact-int IEEE
+    division chain, rounded to 6 dp identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("tot"))
+    sup = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.expr(
+            f"cast(floor(-log2(cast(c as double) / cast(tot as double))"
+            f" * {LM_SUP_SCALE} + 0.5) as bigint)"
+        ).alias("sup_e6"),
+    )
+    return (
+        w.join(sup, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("sup_e6").alias("h_sum_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "h_sum_e6",
+            F.round(
+                F.col("h_sum_e6").cast("double")
+                / F.col("n_tokens")
+                / float(LM_SUP_SCALE),
+                6,
+            ).alias("ce_bits"),
+        )
+    )
+
+
+ORACLE_LM_CE = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), v AS (
+      SELECT word, COUNT(*) AS c FROM w GROUP BY word
+    ), t AS (
+      SELECT SUM(c) AS tot FROM v
+    ), s AS (
+      SELECT word,
+             CAST(floor(-log2(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                  * {LM_SUP_SCALE} + 0.5) AS BIGINT) AS sup_e6
+      FROM v, t
+    )
+    SELECT w.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(s.sup_e6) AS BIGINT) AS h_sum_e6,
+           round(CAST(SUM(s.sup_e6) AS DOUBLE) / COUNT(*) / {float(LM_SUP_SCALE)}, 6)
+             AS ce_bits
+    FROM w JOIN s USING (word)
+    GROUP BY w.doc_id
+"""

@@ -619,3 +619,26 @@ def test_pq_adc_recall_and_planted_duplicate(spark):
     dup_codes = {(r.m, r.code) for r in codes.filter(F.col("vec_id") == new_id).collect()}
     assert src_codes == dup_codes and len(src_codes) == sim.PQ_M
     sim.clear_caches()
+
+
+def test_lm_cross_entropy_orders_rare_above_common(spark, monkeypatch):
+    """Unigram-LM cross-entropy: a doc of corpus-rare tokens must score
+    strictly higher bits/token than a doc of the corpus's most common
+    tokens, and h_sum_e6 must equal the exact sum of its tokens'
+    scaled surprisals (ints — order-independent)."""
+    import math
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    common = ("the quick fox " * 30).strip()          # dominates the corpus
+    rare = "zyx qwv jkl"                               # three singletons
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, rare)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in ts.q_lm_cross_entropy(spark, "unused").collect()}
+    assert out[3].ce_bits > out[1].ce_bits
+    # exact per-token accounting for the rare doc: each word count 1
+    tot = 90 * 2 + 3
+    sup = math.floor(-math.log2(1.0 / tot) * ts.LM_SUP_SCALE + 0.5)
+    assert out[3].n_tokens == 3 and out[3].h_sum_e6 == 3 * sup
