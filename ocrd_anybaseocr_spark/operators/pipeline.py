@@ -157,6 +157,42 @@ def salted_repartition(df: DataFrame, cost_col: str, n_parts: int) -> DataFrame:
     return bucketed.repartition(n_parts, "_size_bucket", "_salt").drop("_size_bucket", "_salt")
 
 
+_SCAN_SPLIT_MIN = 64 * 1024  # floor; real granularity is the row group
+
+
+def _tune_scan_split(blobs: DataFrame, n_parts: int) -> None:
+    """Size the parquet split for the shuffle-free 'scan' strategy: with
+    the default 128 MB maxPartitionBytes a small blob table yields a
+    handful of input splits and the whole image stage runs ~3-wide on a
+    32-core box (measured 14.3 s vs 3.5 s for the salted path on the
+    1200-doc probe — a silent 4x parallelism collapse). Derive the split
+    from the table's actual byte size so the scan opens ~n_parts splits.
+    ENCODED bytes under-represent decode work ~20x (PNG runs compress
+    again inside parquet: the 1200-doc blob table is 12 MB encoded, 2.6 GB
+    decoded), so the floor is small and the effective granularity becomes
+    the ROW GROUP — which is why synth writes ~2 MB groups (64 rows).
+    At real scale the table dwarfs n_parts*128 MB and this leaves the
+    default alone. Uses the Hadoop FileSystem API via the JVM gateway, so
+    HDFS/S3 paths size correctly, not just local ones; sizing failures
+    leave the session untouched."""
+    spark = blobs.sparkSession
+    try:
+        total = 0
+        for f in blobs.inputFiles():
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            total += fs.getFileStatus(p).getLen()
+        if not total:
+            return
+        current = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b"))
+        target = max(_SCAN_SPLIT_MIN, -(-total // max(n_parts, 1)))
+        if target < current:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    except Exception:
+        return  # sizing is best-effort; the strategy still works untuned
+
+
 def build_page_results(
     documents: DataFrame,
     blobs: DataFrame,
@@ -190,6 +226,7 @@ def build_page_results(
     """
     pages = page_index(documents)
     if skew_strategy == "scan":
+        _tune_scan_split(blobs, n_parts)
         joined = blobs.select("media_ref", "image").join(F.broadcast(pages), "media_ref")
         return process_pages(
             joined.select("doc_id", "media_ref", "page_no", "image"), params

@@ -421,3 +421,35 @@ def test_round_like_spark_adversarial_corpus(spark):
     want = [round_like_spark(v, 6) for v in vals]
     bad = [(v, g, w) for v, g, w in zip(vals, got, want) if repr(g) != repr(w)]
     assert not bad, bad[:5]
+
+
+def test_scan_strategy_split_tuning(spark, corpus_dir):
+    """The shuffle-free 'scan' strategy must derive maxPartitionBytes from
+    the blob table's real size (encoded PNG bytes under-represent decode
+    work ~20x; the default 128 MB split ran the whole image stage 3-wide).
+    After tuning, the split target is ceil(total/n_parts) floored at 64 KB,
+    and a fresh scan opens at least min(n_parts, row_groups) partitions."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    from ocrd_anybaseocr_spark.operators.pipeline import (
+        _SCAN_SPLIT_MIN,
+        _tune_scan_split,
+    )
+
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+        docs, blobs = load_corpus(spark, corpus_dir)
+        n_parts = 64
+        _tune_scan_split(blobs, n_parts)
+        path = os.path.join(corpus_dir, "page_blobs.parquet")
+        total = os.path.getsize(path)
+        want = max(_SCAN_SPLIT_MIN, math.ceil(total / n_parts))
+        assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == want
+        groups = pq_.ParquetFile(path).metadata.num_row_groups
+        _, fresh = load_corpus(spark, corpus_dir)
+        assert fresh.rdd.getNumPartitions() >= min(n_parts, groups)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
