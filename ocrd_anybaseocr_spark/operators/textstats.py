@@ -530,3 +530,67 @@ ORACLE_LM_CE = f"""
     FROM w JOIN s USING (word)
     GROUP BY w.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing pass)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the subset where Java regex (Spark) and RE2
+# (DuckDB) agree exactly: explicit character classes, greedy quantifiers,
+# no lookaround/backrefs. Order matters and is identical in both engines:
+# emails first (an address contains dot-runs a later rule could chew),
+# then IPv4, then phone-like runs.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    ("phone", "[+][0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII pass: count each category on the ORIGINAL text
+    (counts are independent of rule order), then redact sequentially with
+    typed placeholders; emits the counts and an md5 of the scrubbed text
+    (byte-identical scrubbing is the contract — the hash keeps the compare
+    light while pinning every byte). Pure column expressions: regexes run
+    JVM-side at scan speed, no UDF, no shuffle — embarrassingly parallel
+    at any corpus size. On the pristine synthetic corpus all counts are 0
+    and scrubbing is the identity; the planted-PII cross-engine parity
+    lives in tests/test_lsh.py::test_pii_scrub_planted_parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        "text",
+        *[
+            F.expr(f"regexp_count(text, '{pat}')").cast("bigint").alias(f"n_{name}")
+            for name, pat, _ in PII_RULES
+        ],
+    )
+    scrubbed = F.col("text")
+    for _, pat, repl in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in PII_RULES],
+        F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
+    )
+
+
+def _oracle_pii() -> str:
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    scrub = "text"
+    for _, pat, repl in PII_RULES:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           md5({scrub}) AS scrub_md5
+    FROM documents
+"""
+
+
+ORACLE_PII = _oracle_pii()

@@ -523,6 +523,7 @@ register("fingerprint", _ts.ORACLE_FINGERPRINT)(_ts.q_fingerprint)
 register("fingerprint_winnow", _ts.ORACLE_FINGERPRINT_WINNOW)(_ts.q_fingerprint_winnow)
 register("boilerplate_ratio", _ts.ORACLE_BOILERPLATE)(_ts.q_boilerplate_ratio)
 register("lm_cross_entropy", _ts.ORACLE_LM_CE)(_ts.q_lm_cross_entropy)
+register("pii_scrub", _ts.ORACLE_PII)(_ts.q_pii_scrub)
 
 
 # ---------------------------------------------------------------------------
