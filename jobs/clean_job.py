@@ -23,7 +23,10 @@ import argparse
 import json
 
 
-def run(spark, input_dir: str, out_dir: str, near_dedup: bool = False) -> dict:
+def run(
+    spark, input_dir: str, out_dir: str, near_dedup: bool = False,
+    pii_scrub: bool = False,
+) -> dict:
     """One cleaning pass; returns summary counts. Separated from main()
     so tests drive it in-process.
 
@@ -84,6 +87,17 @@ def run(spark, input_dir: str, out_dir: str, near_dedup: bool = False) -> dict:
             .select("doc_id")
         )
         retained = retained.join(representative, "doc_id", "leftsemi")
+    if pii_scrub:
+        # redact in the SAME pass as the final write (column expressions —
+        # no extra job); counts stay auditable in the decisions-style
+        # summary. Rule order is the PII_RULES order, identical to the
+        # standalone pii_scrub query.
+        from ocrd_anybaseocr_spark.operators.textstats import PII_RULES
+
+        scrubbed = F.col("text")
+        for _, pat, repl in PII_RULES:
+            scrubbed = F.regexp_replace(scrubbed, pat, repl)
+        retained = retained.withColumn("text", scrubbed)
     retained.write.mode("overwrite").parquet(os.path.join(out_dir, "documents_clean"))
     n_in = int(fp_docs.n)
     n_kept = spark.read.parquet(os.path.join(out_dir, "documents_clean")).count()
@@ -102,6 +116,11 @@ def main() -> None:
         help="also drop MinHash-verified near-duplicates (keep each "
              "cluster's min-doc_id canonical)",
     )
+    p.add_argument(
+        "--pii-scrub", action="store_true",
+        help="redact emails/IPv4/phone runs in documents_clean "
+             "(operators/textstats.py PII_RULES order)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -112,7 +131,8 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    print(json.dumps(run(spark, args.input, args.output, near_dedup=args.near_dedup)))
+    print(json.dumps(run(spark, args.input, args.output, near_dedup=args.near_dedup,
+                     pii_scrub=args.pii_scrub)))
     spark.stop()
 
 

@@ -453,3 +453,36 @@ def test_scan_strategy_split_tuning(spark, corpus_dir):
         assert fresh.rdd.getNumPartitions() >= min(n_parts, groups)
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+
+
+def test_clean_job_pii_scrub_flag(spark, tmp_path_factory):
+    """clean_job --pii-scrub: documents_clean carries the redacted text
+    (same PII_RULES pass as the pii_scrub query), identical doc set."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import clean_job
+
+    from ocrd_anybaseocr_spark.operators.textstats import PII_RULES
+
+    src = str(tmp_path_factory.mktemp("pii_src"))
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant PII into a couple of docs so the scrub is observable
+    from pyspark.sql import functions as F
+
+    planted = base.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" reach me at spam@example.com or 10.1.2.3")),
+    )
+    planted.write.mode("overwrite").parquet(os.path.join(src, "documents.parquet"))
+    out = str(tmp_path_factory.mktemp("pii_out"))
+    clean_job.run(spark, src, out, pii_scrub=True)
+    kept = spark.read.parquet(os.path.join(out, "documents_clean"))
+    assert kept.filter(F.col("text").contains("spam@example.com")).count() == 0
+    assert kept.filter(F.col("text").contains("<EMAIL>")).count() > 0
+    assert kept.filter(F.col("text").contains("<IP>")).count() > 0
+    # without the flag, text is untouched
+    out2 = str(tmp_path_factory.mktemp("pii_out2"))
+    clean_job.run(spark, src, out2)
+    kept2 = spark.read.parquet(os.path.join(out2, "documents_clean"))
+    assert kept2.filter(F.col("text").contains("spam@example.com")).count() > 0
