@@ -1128,3 +1128,107 @@ ORACLE_DEDUP_EMB_CLUSTERS = f"""
     SELECT node AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
     FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means clustering (topic/domain bucketing for curation)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def kmeans_centroids(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Full-dimension Lloyd k-means with the engine-portable determinism
+    recipe of pq_codebooks: seeds = the first ``k`` corpus rows' scaled-int
+    embeddings; each iteration assigns by exact int argmin (ties to lower
+    cluster id) in a NARROW literal-fold pass, then recomputes non-empty
+    centroids as floor(sum/count + 0.5) coordinate means (exact int sums,
+    one IEEE division — identical in Spark, DuckDB and Python). Empty
+    clusters drop on both sides. Per iteration: one scan + one
+    (cluster, j) partial-agg shuffle; the k x dim centroid fetch is
+    bounded driver traffic, exactly like the IVF centroid fetch."""
+    import math
+
+    cent_rows = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", F.expr(_SE_SPARK).alias("se"))
+        .collect()
+    )
+    cents = sorted((int(r["vec_id"]), list(map(int, r["se"]))) for r in cent_rows)
+    dim = len(cents[0][1])
+    v = emb.select(F.expr(_SE_SPARK).alias("v_se"))
+    for _ in range(iters):
+        assigned = v.select(
+            F.expr(_argmin_cell_expr(cents)).alias("cluster"), "v_se"
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v_se").alias("j", "val"))
+            .groupBy("cluster", "j")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, int]] = {}
+        for r in sums:
+            acc.setdefault(int(r["cluster"]), {})[int(r["j"])] = int(
+                math.floor(int(r["s"]) * 1.0 / int(r["n"]) + 0.5)
+            )
+        cents = sorted(
+            (cid, [cells[j] for j in range(dim)]) for cid, cells in acc.items()
+        )
+    return cents
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster): corpus bucketing by embedding — the curation
+    pass that stratifies training data by topic/domain before sampling or
+    per-bucket quality rules. Final assignment is one narrow scan→project
+    over the refined centroid literals (plan-asserted)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb)
+    v = emb.select("vec_id", F.expr(_SE_SPARK).alias("v_se"))
+    return v.select(
+        "vec_id", F.expr(_argmin_cell_expr(cents)).alias("cluster")
+    )
+
+
+def _kmeans_iter_ctes(k: int, iters: int, dim: int) -> str:
+    """Chained Lloyd-iteration CTEs ending in cbN(cid, c) — the DuckDB
+    mirror of kmeans_centroids, term for term."""
+    d2 = ("list_sum(list_transform(list_zip(s.v_se, c.c),"
+          " t -> (t[1] - t[2]) * (t[1] - t[2])))")
+    sql = f"""cb0 AS (
+      SELECT vec_id AS cid, v_se AS c FROM se WHERE vec_id < {k}
+    )"""
+    prev = "cb0"
+    for i in range(1, iters + 1):
+        sql += f""", a{i} AS (
+      SELECT vec_id, cid, v_se FROM (
+        SELECT s.vec_id, c.cid, s.v_se,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY {d2}, c.cid) AS rk
+        FROM se s CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    ), co{i} AS (
+      SELECT cid, j.j AS j, SUM(v_se[j.j]) AS sm, COUNT(*) AS n
+      FROM a{i} CROSS JOIN generate_series(1, {dim}) AS j(j)
+      GROUP BY cid, j.j
+    ), cb{i} AS (
+      SELECT cid, list(CAST(floor(sm * 1.0 / n + 0.5) AS BIGINT) ORDER BY j) AS c
+      FROM co{i} GROUP BY cid
+    )"""
+        prev = f"cb{i}"
+    return sql
+
+
+ORACLE_KMEANS = f"""
+    WITH se AS (
+      SELECT vec_id, {_SE_DUCK} AS v_se FROM embeddings
+    ), {_kmeans_iter_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)}
+    SELECT vec_id, cluster FROM (
+      SELECT s.vec_id, c.cid AS cluster,
+             row_number() OVER (PARTITION BY s.vec_id ORDER BY
+               list_sum(list_transform(list_zip(s.v_se, c.c),
+                        t -> (t[1] - t[2]) * (t[1] - t[2]))), c.cid) AS rk
+      FROM se s CROSS JOIN cb{KMEANS_ITERS} c
+    ) WHERE rk = 1
+"""

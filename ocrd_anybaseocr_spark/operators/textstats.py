@@ -594,3 +594,78 @@ def _oracle_pii() -> str:
 
 
 ORACLE_PII = _oracle_pii()
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling + normalized-key exact dedup (curation passes)
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_STRATUM = 5
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum quota sample (corpus REBALANCING — the
+    counterpart of the global deterministic_sample): within each language
+    stratum keep the SAMPLE_PER_STRATUM docs ranked by md5(doc_id) — a
+    seeded-uniform, engine-portable order (hash, tie to doc_id), so the
+    same sample comes back on any cluster, any partitioning, any engine.
+    One window over the stratum key = one shuffle; at scale the quota can
+    instead ride a per-stratum rank filter pushed into the shuffle
+    (row_number short-circuits after the quota under WholeStageCodegen)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+ORACLE_STRATIFIED = f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= {SAMPLE_PER_STRATUM}
+"""
+
+
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after TEXT NORMALIZATION (lowercase, strip everything
+    outside [a-z0-9 ], collapse space runs, trim): catches the
+    case/punctuation/whitespace variants plain exact dedup misses while
+    staying a pure hash-groupBy — the cheap tier between exact and
+    MinHash dedup in a cleaning stack. One partial-agg shuffle on the
+    md5 of the normalized text; canonical = min doc_id (the convention of
+    the whole dedup family). Regexes live in the Java∩RE2 subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), "  *", " "
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(norm.cast("binary")).alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+ORACLE_DEDUP_NORM = """
+    WITH k AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), '  *', ' ', 'g'))) AS norm_md5
+      FROM documents
+    )
+    SELECT norm_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+    FROM k GROUP BY norm_md5
+"""

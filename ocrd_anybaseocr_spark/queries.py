@@ -514,6 +514,7 @@ register("ann_brute_force", _sim.ORACLE_ANN_BRUTE)(_sim.q_ann_brute_force)
 register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
 register("ann_ivf_flat", _sim.ORACLE_ANN_IVF)(_sim.q_ann_ivf_flat)
 register("ann_pq_adc", _sim.ORACLE_ANN_PQ)(_sim.q_ann_pq_adc)
+register("kmeans_clusters", _sim.ORACLE_KMEANS)(_sim.q_kmeans_clusters)
 register("embedding_stats", _sim.ORACLE_EMB_STATS)(_sim.q_embedding_stats)
 register("lang_id", _ts.ORACLE_LANG_ID)(_ts.q_lang_id)
 register("corpus_clean_filter", _ts.ORACLE_CLEAN_FILTER)(_ts.q_corpus_clean_filter)
@@ -524,6 +525,8 @@ register("fingerprint_winnow", _ts.ORACLE_FINGERPRINT_WINNOW)(_ts.q_fingerprint_
 register("boilerplate_ratio", _ts.ORACLE_BOILERPLATE)(_ts.q_boilerplate_ratio)
 register("lm_cross_entropy", _ts.ORACLE_LM_CE)(_ts.q_lm_cross_entropy)
 register("pii_scrub", _ts.ORACLE_PII)(_ts.q_pii_scrub)
+register("stratified_sample", _ts.ORACLE_STRATIFIED)(_ts.q_stratified_sample)
+register("dedup_exact_normalized", _ts.ORACLE_DEDUP_NORM)(_ts.q_dedup_exact_normalized)
 
 
 # ---------------------------------------------------------------------------

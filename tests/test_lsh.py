@@ -680,3 +680,35 @@ def test_pii_scrub_planted_parity(spark, monkeypatch):
     assert got[1]["n_email"] == 2 and got[2]["n_ipv4"] == 2
     assert got[3]["n_phone"] == 2 and got[5]["n_email"] == 0
     assert got[6]["n_email"] == 0  # single-letter TLD not matched
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """kmeans_centroids/q_kmeans_clusters vs an independent numpy Lloyd
+    with the same seeds, scaling, rounding and tie-breaks — exact
+    assignment equality on the sf0.001 embeddings."""
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = sim.load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    ids = np.array([i for i, _ in rows])
+    X = np.floor(np.array([v for _, v in rows], dtype=np.float64) * 10000 + 0.5).astype(np.int64)
+    cents = X[ids < sim.KMEANS_K].copy()
+    cids = np.array(sorted(ids[ids < sim.KMEANS_K]))
+    for _ in range(sim.KMEANS_ITERS):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = cids[np.argmin(d2, axis=1)]  # argmin keeps first min = lowest cid
+        new_c, new_ids = [], []
+        for cid in cids:
+            m = assign == cid
+            if m.any():
+                s = X[m].sum(axis=0)
+                new_c.append(np.floor(s * 1.0 / m.sum() + 0.5).astype(np.int64))
+                new_ids.append(cid)
+        cents, cids = np.array(new_c), np.array(new_ids)
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = dict(zip(ids.tolist(), cids[np.argmin(d2, axis=1)].tolist()))
+    got = {r.vec_id: r.cluster for r in sim.q_kmeans_clusters(spark, sf).collect()}
+    assert got == want

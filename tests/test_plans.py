@@ -199,3 +199,19 @@ def test_pq_adc_lut_broadcast_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     sim.clear_caches()
+
+
+def test_kmeans_assignment_is_narrow(spark, sf_dir):
+    """The final k-means assignment must be scan → project over centroid
+    literals (same contract as IVF/PQ) — no Exchange."""
+    from ocrd_anybaseocr_spark.operators.similarity import (
+        _argmin_cell_expr,
+        kmeans_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_centroids(emb)
+    df = emb.select("vec_id", F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))").alias("v_se")) \
+            .select("vec_id", F.expr(_argmin_cell_expr(cents)).alias("cluster"))
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
