@@ -52,14 +52,18 @@ def normalize_gray(
         return img
     # ink-anchor gate (degraded-tier hardening, round 5): on a low-ink page
     # under scanner shading, p_lo lands INSIDE the spread paper band (e.g.
-    # p5=219 on a vignetted title page whose ink is only ~4% of pixels) and
-    # the stretch would blow paper shading across the full range — Otsu then
-    # marks a quarter of the page as ink. A stretch is only meaningful when
-    # the band straddles an ink/paper separation; if the low anchor is more
-    # than half the high anchor it is paper, not ink — pass through and let
-    # Otsu work on the raw (bimodal, wide-margin) histogram. Exact no-op on
-    # clean pages: their p_lo is either true ink (<= 60) or equals p_hi.
-    if lo > 0.5 * hi:
+    # p5=219, p90=234 on a vignetted title page whose ink is only ~4% of
+    # pixels) and the stretch would blow paper shading across the full
+    # range — Otsu then marks a quarter of the page as ink. The gate is the
+    # RELATIVE band width: a [p_lo, p_hi] band narrower than a quarter of
+    # p_hi is intra-paper shading, not an ink/paper separation — pass
+    # through and let Otsu work on the raw (bimodal, wide-margin)
+    # histogram. A genuinely FADED page still stretches (ink 120 / paper
+    # 200 → width 40% of p_hi — the class the ocropus-nlbin stage exists
+    # for; the first cut's lo > hi/2 test wrongly skipped it, review r5).
+    # Exact no-op on clean pages: p_lo is either true ink (band ~90% of
+    # p_hi) or equals p_hi.
+    if hi - lo < 0.25 * hi:
         return img
     lut = np.clip(
         np.round((np.arange(256, dtype=np.float64) - lo) * (255.0 / (hi - lo))),

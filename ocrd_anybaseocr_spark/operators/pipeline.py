@@ -158,6 +158,7 @@ def salted_repartition(df: DataFrame, cost_col: str, n_parts: int) -> DataFrame:
 
 
 _SCAN_SPLIT_MIN = 64 * 1024  # floor; real granularity is the row group
+_SCAN_SPLIT_DEFAULT = 128 * 1024 * 1024  # Spark default, also the cap
 
 
 def _tune_scan_split(blobs: DataFrame, n_parts: int) -> None:
@@ -172,10 +173,21 @@ def _tune_scan_split(blobs: DataFrame, n_parts: int) -> None:
     decoded), so the floor is small and the effective granularity becomes
     the ROW GROUP — which is why synth writes ~2 MB groups (64 rows).
     At real scale the table dwarfs n_parts*128 MB and this leaves the
-    default alone. Uses the Hadoop FileSystem API via the JVM gateway, so
-    HDFS/S3 paths size correctly, not just local ones; sizing failures
-    leave the session untouched."""
+    default in effect (the target is capped AT the default). Uses the
+    Hadoop FileSystem API via the JVM gateway, so HDFS/S3 paths size
+    correctly, not just local ones; sizing failures leave the session
+    untouched.
+
+    Session hygiene: the conf is session-global and split planning happens
+    at ACTION time, so it cannot be set-and-restored here. Instead every
+    call re-derives the value for ITS table, capped at the 128 MB default
+    — no downward ratchet survives into a later large-table scan (review
+    r5: the first cut only ever shrank it, so one small probe corpus
+    permanently fragmented every later scan in the session). Returns the
+    previous setting; run_pipeline restores it after its actions complete
+    so unrelated queries in the same session keep their split size."""
     spark = blobs.sparkSession
+    prev = str(spark.conf.get("spark.sql.files.maxPartitionBytes", str(_SCAN_SPLIT_DEFAULT)))
     try:
         total = 0
         for f in blobs.inputFiles():
@@ -184,13 +196,14 @@ def _tune_scan_split(blobs: DataFrame, n_parts: int) -> None:
             fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
             total += fs.getFileStatus(p).getLen()
         if not total:
-            return
-        current = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b"))
+            return prev
         target = max(_SCAN_SPLIT_MIN, -(-total // max(n_parts, 1)))
-        if target < current:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(min(_SCAN_SPLIT_DEFAULT, target))
+        )
+        return prev
     except Exception:
-        return  # sizing is best-effort; the strategy still works untuned
+        return prev  # sizing is best-effort; the strategy still works untuned
 
 
 def build_page_results(
@@ -226,7 +239,7 @@ def build_page_results(
     """
     pages = page_index(documents)
     if skew_strategy == "scan":
-        _tune_scan_split(blobs, n_parts)
+        _tune_scan_split(blobs, n_parts)  # see docstring for session hygiene
         joined = blobs.select("media_ref", "image").join(F.broadcast(pages), "media_ref")
         return process_pages(
             joined.select("doc_id", "media_ref", "page_no", "image"), params
@@ -418,12 +431,20 @@ def run_pipeline(
             "resumed_buckets": sorted(done),
             "elapsed_s": 0.0,
             "kernel_ms": 0,
+            "timings": timings,
         }
     if done:
         documents = documents.filter(~F.col("part_bucket").isin(*done))
 
     t0 = time.monotonic()
 
+    # capture the split conf before the scan strategy may retune it; the
+    # normal return restores it once every action has planned and run
+    prev_split = (
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", str(_SCAN_SPLIT_DEFAULT)))
+        if skew_strategy == "scan"
+        else None
+    )
     extracted = extract_spans(documents.select("doc_id", "spans"))
     page_results = build_page_results(documents, blobs, n_parts, skew_strategy=skew_strategy)
 
@@ -550,6 +571,8 @@ def run_pipeline(
     if new_rows:
         io.append(spark.createDataFrame(new_rows, S.CHECKPOINT), "checkpoints")
     _t("checkpoint_append", t_ck)
+    if prev_split is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     pages = sum(r.row_count for r in new_rows)
     return {
         "docs": sum(r.doc_count for r in new_rows),

@@ -68,12 +68,19 @@ def test_grayscale_normalized_stage_emitted_and_matchable(corpus_dir):
     assert out.min() == 0 and out.max() == 255
     assert normalize_gray(np.full((50, 50), 128, np.uint8)).max() == 128  # flat no-op
     # ink-anchor gate (round 5): a band that sits entirely inside spread
-    # PAPER (low-ink page under scanner shading — p_lo > p_hi/2) must NOT
-    # be stretched; blowing shading across the range made Otsu mark a
-    # quarter of a vignetted title page as ink (test_degraded.py holds the
-    # end-to-end consequence)
+    # PAPER (low-ink page under scanner shading — narrow relative band)
+    # must NOT be stretched; blowing shading across the range made Otsu
+    # mark a quarter of a vignetted title page as ink (test_degraded.py
+    # holds the end-to-end consequence)
     paper_only = rng.integers(190, 235, size=(120, 90), dtype=np.uint8)
     assert np.array_equal(normalize_gray(paper_only), paper_only)
+    # ...but a genuinely FADED page (ink 115-125, paper 195-205 — wide
+    # relative band, real separation) must still stretch to full range
+    faded = rng.integers(195, 205, size=(120, 90), dtype=np.uint8)
+    fink = rng.random(faded.shape) < 0.10
+    faded[fink] = rng.integers(115, 125, size=int(fink.sum()), dtype=np.uint8)
+    fout = normalize_gray(faded)
+    assert fout.min() == 0 and fout.max() == 255
 
 
 def test_feature_selector_and_filter(spark):

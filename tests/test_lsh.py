@@ -618,6 +618,24 @@ def test_pq_adc_recall_and_planted_duplicate(spark):
     src_codes = {(r.m, r.code) for r in codes.filter(F.col("vec_id") == 3).collect()}
     dup_codes = {(r.m, r.code) for r in codes.filter(F.col("vec_id") == new_id).collect()}
     assert src_codes == dup_codes and len(src_codes) == sim.PQ_M
+    # ...and the FULL query over the boosted corpus returns it at rank 1
+    # with exact d2 = 0 (the re-rank guarantee the docstring states —
+    # quantization may blur the shortlist, never the final order)
+    sim.clear_caches()
+    try:
+        import types
+
+        orig_load = sim.load_table
+        sim.load_table = (
+            lambda s_, d, n: boosted if d == "boosted://" else orig_load(s_, d, n)
+        )
+        full = sim.q_ann_pq_adc(spark, "boosted://").collect()
+    finally:
+        sim.load_table = orig_load
+        sim.clear_caches()
+    q3 = [r for r in full if r.query_id == 3]
+    assert q3 and q3[0].rank == 1
+    assert q3[0].neighbor_id == new_id and q3[0].d2 == 0
     sim.clear_caches()
 
 
