@@ -25,7 +25,7 @@ import json
 
 def run(
     spark, input_dir: str, out_dir: str, near_dedup: bool = False,
-    pii_scrub: bool = False,
+    pii_scrub: bool = False, lm_max_bits: float | None = None,
 ) -> dict:
     """One cleaning pass; returns summary counts. Separated from main()
     so tests drive it in-process.
@@ -70,6 +70,24 @@ def run(
             "rerun the pass on the current input"
         )
     rule_kept_ids = committed.filter(F.col("retained")).select("doc_id")
+    n_lm_dropped = None
+    if lm_max_bits is not None:
+        # unigram-LM tail cut (Gopher/CCNet shape): the model is estimated
+        # on the FULL input corpus (rule-dropped docs still inform the
+        # distribution — dropping them first would bias probabilities
+        # toward the survivors), then rule-retained docs above the
+        # bits/token ceiling drop. Runs BEFORE near-dedup so cluster
+        # representatives are chosen among LM survivors.
+        from ocrd_anybaseocr_spark.operators.textstats import q_lm_cross_entropy
+
+        lm_ok = (
+            q_lm_cross_entropy(spark, input_dir)
+            .filter(F.col("ce_bits") <= lm_max_bits)
+            .select("doc_id")
+        )
+        before = rule_kept_ids.count()
+        rule_kept_ids = rule_kept_ids.join(lm_ok, "doc_id", "leftsemi")
+        n_lm_dropped = before - rule_kept_ids.count()
     retained = docs.join(rule_kept_ids, "doc_id", "leftsemi")
     n_rule_kept = None
     if near_dedup:
@@ -104,6 +122,8 @@ def run(
     out = {"docs_in": n_in, "docs_retained": n_kept, "docs_dropped": n_in - n_kept}
     if near_dedup:
         out["docs_dropped_near_dup"] = n_rule_kept - n_kept
+    if n_lm_dropped is not None:
+        out["docs_dropped_lm"] = n_lm_dropped
     return out
 
 
@@ -115,6 +135,11 @@ def main() -> None:
         "--near-dedup", action="store_true",
         help="also drop MinHash-verified near-duplicates (keep each "
              "cluster's min-doc_id canonical)",
+    )
+    p.add_argument(
+        "--lm-max-bits", type=float, default=None,
+        help="drop rule-retained docs whose unigram-LM cross-entropy "
+             "exceeds this many bits/token (lm_cross_entropy operator)",
     )
     p.add_argument(
         "--pii-scrub", action="store_true",
@@ -132,7 +157,7 @@ def main() -> None:
         .getOrCreate()
     )
     print(json.dumps(run(spark, args.input, args.output, near_dedup=args.near_dedup,
-                     pii_scrub=args.pii_scrub)))
+                     pii_scrub=args.pii_scrub, lm_max_bits=args.lm_max_bits)))
     spark.stop()
 
 

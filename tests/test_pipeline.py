@@ -486,3 +486,40 @@ def test_clean_job_pii_scrub_flag(spark, tmp_path_factory):
     clean_job.run(spark, src, out2)
     kept2 = spark.read.parquet(os.path.join(out2, "documents_clean"))
     assert kept2.filter(F.col("text").contains("spam@example.com")).count() > 0
+
+
+def test_clean_job_lm_filter(spark, tmp_path_factory):
+    """clean_job --lm-max-bits: a planted gibberish doc (corpus-rare
+    tokens, high bits/token) drops at a threshold that keeps typical
+    docs; the summary reports the LM-dropped count."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import clean_job
+
+    from ocrd_anybaseocr_spark.operators.textstats import q_lm_cross_entropy
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path_factory.mktemp("lm_src"))
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mx = base.agg(F.max("doc_id")).collect()[0][0]
+    gib_id = mx + 1
+    # rule-passing but LM-failing: stopwords keep the C4/Gopher rules
+    # happy while every other token is a corpus singleton
+    gibberish = " ".join(f"the zzqw{i}x and" for i in range(40))
+    planted = base.unionByName(
+        spark.createDataFrame(
+            [(gib_id, gibberish, "xx", "synthetic", len(gibberish))], base.schema
+        )
+    )
+    planted.write.mode("overwrite").parquet(os.path.join(src, "documents.parquet"))
+    # threshold: midway between the corpus's max normal ce and gibberish ce
+    ce = {r.doc_id: r.ce_bits for r in q_lm_cross_entropy(spark, src).collect()}
+    normal_max = max(v for k, v in ce.items() if k != gib_id)
+    assert ce[gib_id] > normal_max
+    thr = (normal_max + ce[gib_id]) / 2
+    out = str(tmp_path_factory.mktemp("lm_out"))
+    summary = clean_job.run(spark, src, out, lm_max_bits=thr)
+    kept = spark.read.parquet(os.path.join(out, "documents_clean"))
+    assert kept.filter(F.col("doc_id") == gib_id).count() == 0
+    assert summary["docs_dropped_lm"] >= 1
