@@ -415,18 +415,20 @@ def simhash_signatures_df(docs: DataFrame) -> DataFrame:
         .withColumn("h1", F.expr("cast(conv(substring(m, 1, 8), 16, 10) as bigint)"))
         .withColumn("h2", F.expr("cast(conv(substring(m, 9, 8), 16, 10) as bigint)"))
     )
-    def _bit(j: int):
+    # per-bit ONES counts instead of ±1 vote sums: majority(bit j) is
+    # 2*ones_j > n, and a plain SUM((h >> j) & 1) both compiles and runs
+    # measurably faster than 64 CASE-WHEN vote aggregates (A/B'd at sf0.1:
+    # ~10% steady-state, ~2x first-compile)
+    def _one(j: int):
         src, off = ("h1", j) if j < 32 else ("h2", j - 32)
-        return F.shiftright(F.col(src), off).bitwiseAND(1) == 1
+        return F.sum(F.expr(f"({src} >> {off}) & 1")).alias(f"o{j}")
 
-    bit_sums = [
-        F.sum(F.when(_bit(j), 1).otherwise(-1)).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = w.groupBy("doc_id").agg(*bit_sums)
+    agg = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *[_one(j) for j in range(SIMHASH_BITS)]
+    )
     simhash = sum(
         [
-            F.when(F.col(f"s{j}") > 0, F.lit(_simhash_bit_weight(j)).cast("long"))
+            F.when(2 * F.col(f"o{j}") > F.col("n"), F.lit(_simhash_bit_weight(j)).cast("long"))
             .otherwise(F.lit(0).cast("long"))
             for j in range(SIMHASH_BITS)
         ],
@@ -458,18 +460,17 @@ _SIMHASH_SIG_CTE = f"""w AS (
              {_hexn_to_int_duck("m", 8, start=9)} AS h2
       FROM hm
     ), s AS (
-      SELECT doc_id,
+      SELECT doc_id, COUNT(*) AS n,
              {', '.join(
-               (f"SUM(CASE WHEN (h1 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-                if j < 32 else
-                f"SUM(CASE WHEN (h2 >> {j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}")
+               (f"SUM((h1 >> {j}) & 1) AS o{j}" if j < 32 else
+                f"SUM((h2 >> {j - 32}) & 1) AS o{j}")
                for j in range(SIMHASH_BITS)
              )}
       FROM h GROUP BY doc_id
     ), sig AS (
       SELECT doc_id,
              CAST({' + '.join(
-               f"CASE WHEN s{j} > 0 THEN {_duck_weight(j)} ELSE 0 END"
+               f"CASE WHEN 2 * o{j} > n THEN {_duck_weight(j)} ELSE 0 END"
                for j in range(SIMHASH_BITS)
              )}
                AS BIGINT) AS simhash
