@@ -12,6 +12,11 @@ Writes two tables under --output:
 - ``documents_clean``: the retained subset of the input table, the corpus
   a training pipeline feeds downstream (e.g. jobs/extract_job.py).
 
+Optional stages (flags, applied in this order): ``--lm-max-bits`` drops
+rule-retained docs above a unigram-LM bits/token ceiling; ``--near-dedup``
+keeps one retained representative per MinHash-verified near-dup cluster;
+``--pii-scrub`` redacts emails/IPv4/phones in the written text.
+
 Composable ahead of extraction: clean first, extract from documents_clean.
 The decision query's joins are partial-agg + hash-join shapes (plan-
 asserted in tests); the retained join is a semi-join on doc_id.

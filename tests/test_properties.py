@@ -244,3 +244,43 @@ def test_value_quantiles_null_semantics_match_duckdb(spark, tmp_path):
         ).fetchall()
     }
     assert got == want
+
+
+def test_close_runs_matches_bruteforce_mask_closing():
+    """Property (hypothesis): close_runs over arbitrary run layouts equals
+    extracting runs from a brute-force 1-D binary closing of the mask
+    (bridge white gaps <= gap between ink pixels in the same row)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from ocrd_anybaseocr_spark.kernels.components import _find_runs, close_runs
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 5),    # row
+                st.integers(0, 30),   # start
+                st.integers(1, 6),    # width
+            ),
+            min_size=0, max_size=25,
+        ),
+        st.integers(0, 3),           # gap
+    )
+    def check(spans, gap):
+        mask = np.zeros((6, 48), dtype=bool)
+        for r, s0, w in spans:
+            mask[r, s0 : s0 + w] = True
+        runs = _find_runs(mask)
+        got = close_runs(runs, gap)
+        # brute force: bridge white gaps <= gap between ink in the same row
+        closed = mask.copy()
+        for r in range(mask.shape[0]):
+            ink = np.flatnonzero(mask[r])
+            for a, b in zip(ink[:-1], ink[1:]):
+                if 1 < b - a <= gap + 1:
+                    closed[r, a:b] = True
+        want = _find_runs(closed)
+        assert [x.tolist() for x in got] == [x.tolist() for x in want]
+
+    check()
