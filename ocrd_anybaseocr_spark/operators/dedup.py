@@ -940,6 +940,30 @@ def simhash_pairs(
     exact dedup first (which removes the degenerate cliques that make
     band values hot). Verification is exact: bit_count(xor) on the
     carried signatures, no second scan."""
+    sig = simhash_signatures_df(docs)
+    out = hamming_pairs(sig, "doc_id", "simhash", max_hamming, band_cap)
+    return out.select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    band_cap: int = SIMHASH_BAND_CAP,
+) -> DataFrame:
+    """Generic pigeonhole hamming-pair generator over ANY 64-bit signature
+    relation — shared by text SimHash (simhash_pairs) and the image
+    perceptual dHash (media.media_dhash): split the signature into
+    SIMHASH_BANDS 16-bit bands, drop over-cap band groups (windowed count
+    sharing the join's shuffle key), EQUI-join on (band_no, band_val),
+    verify with exact bit_count(xor). Output columns
+    (``{id}_a``, ``{id}_b``, hamming). Same pigeonhole guard and band-cap
+    recall caveat as simhash_pairs (its docstring is the contract)."""
     if max_hamming > SIMHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole bound of "
@@ -947,10 +971,9 @@ def simhash_pairs(
             "that distance can share no band and would be silently missed — "
             "widen the signature/bands instead"
         )
-    sig = simhash_signatures_df(docs)
     bands = sig.select(
-        "doc_id",
-        "simhash",
+        id_col,
+        sig_col,
         # arithmetic-vs-logical shift fill bits are masked off by the band
         # mask, so the value is engine-independent even for negative
         # signatures (bit 63 = sign bit)
@@ -958,7 +981,7 @@ def simhash_pairs(
             F.array(
                 *[
                     F.expr(
-                        f"(simhash >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK}"
+                        f"({sig_col} >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK}"
                     ).cast("int")
                     for b in range(SIMHASH_BANDS)
                 ]
@@ -977,13 +1000,13 @@ def simhash_pairs(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
         )
         .distinct()
     )
@@ -991,7 +1014,7 @@ def simhash_pairs(
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(f"{id_col}_a", f"{id_col}_b", "hamming")
     )
 
 

@@ -258,3 +258,74 @@ def resize_images(blobs: DataFrame, zoom: float, method: str = "nearest") -> Dat
             )
 
     return blobs.select("media_ref", "image").mapInPandas(stage, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (dHash) — pixel-side near-duplicate evidence
+# ---------------------------------------------------------------------------
+
+DHASH_ROWS = 8
+DHASH_COLS = 8  # gradient bits per row → 8x8 = 64-bit signature
+
+
+def dhash_bytes(png_bytes: bytes) -> int:
+    """64-bit difference hash of one page image — THE single definition
+    shared by the distributed operator (media_dhash) and the oracle
+    expectation (oracle.materialize_expected), same convention as
+    resize_image_bytes. Decode to luminance (the pipeline's own gray
+    path), block-mean to an 8x9 grid with integer bin edges (exact
+    floor-mean ints — no float resampling, so the hash is bit-stable on
+    every platform), then bit j = row*8+col set iff grid[r][c+1] >
+    grid[r][c]. Bit 63 is the int64 sign bit (two's complement, the
+    SimHash convention) so the value round-trips parquet/Spark/DuckDB
+    unchanged. Robust to brightness shifts and re-encodes; a few changed
+    pixels flip at most a few bits — hamming distance is the near-dup
+    evidence, generated at scale by dedup.hamming_pairs banding."""
+    import numpy as np
+
+    from ..png import decode_gray
+
+    img, _ = decode_gray(bytes(png_bytes))
+    h, w = img.shape
+    if h < DHASH_ROWS or w < DHASH_COLS + 1:
+        raise ValueError(f"image {w}x{h} too small for {DHASH_COLS + 1}x{DHASH_ROWS} dhash grid")
+    ys = (np.arange(DHASH_ROWS + 1) * h) // DHASH_ROWS
+    xs = (np.arange(DHASH_COLS + 2) * w) // (DHASH_COLS + 1)
+    s = np.add.reduceat(
+        np.add.reduceat(img.astype(np.int64), ys[:-1], axis=0), xs[:-1], axis=1
+    )
+    areas = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+    g = s // areas
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    v = 0
+    for j, b in enumerate(bits):
+        if b:
+            v += -(1 << 63) if j == 63 else (1 << j)
+    return int(v)
+
+
+def media_dhash(blobs: DataFrame) -> DataFrame:
+    """(media_ref, dhash): perceptual hashes via one Arrow-batched
+    ``mapInPandas`` hop — the image twin of the text fingerprints: 8 bytes
+    per page regardless of image size, so a 10^12-page corpus's visual
+    near-dup pass runs over a narrow long column."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def stage(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "dhash": [dhash_bytes(b) for b in pdf["image"]],
+                }
+            )
+
+    return blobs.select("media_ref", "image").mapInPandas(stage, schema=schema)

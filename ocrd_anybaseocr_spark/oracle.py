@@ -196,10 +196,10 @@ MEDIA_RESIZE_ZOOM = 0.5  # the fixed zoom the media_resize query is gated at
 # expectations INSIDE it — without it, a stale cached expectation would
 # fail the driver gate on correct code with no pointer to the cache
 # (round-4 review).
-EXPECTED_VERSION = 2  # v2: close_runs healing + normalize_gray ink-anchor
-# gate (round-5 degraded-tier hardening — clean-tier recovery verified
-# unchanged on 279 sampled pages, but the kernels feeding process_page
-# changed, so the expectations re-materialize by contract)
+EXPECTED_VERSION = 3  # v3: + expected_dhash.parquet (perceptual-hash tier)
+# (v2: close_runs healing + normalize_gray ink-anchor gate — round-5
+# degraded-tier hardening; clean-tier recovery verified unchanged, but the
+# kernels feeding process_page changed, so re-materialize by contract)
 
 
 def expected_marker_name() -> str:
@@ -247,14 +247,18 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
 
     from .synth import generate_doc
 
+    from .operators.media import dhash_bytes
+
     pr_rows: list[dict] = []
     ds_rows: list[dict] = []
     rz_rows: list[dict] = []
+    dh_rows: list[dict] = []
     for i in range(n_docs):
         doc, blobs = generate_doc(seed, i)
         blob_map = {b["media_ref"]: b["image"] for b in blobs}
         for ref in sorted(blob_map):
             rz_rows.append(_expected_resize_row(ref, blob_map[ref]))
+            dh_rows.append({"media_ref": ref, "dhash": dhash_bytes(blob_map[ref])})
         _, page_results, structure = process_document(doc, blob_map, params)
         for r in page_results:
             pr_rows.append(
@@ -319,6 +323,12 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
             pa.field("img_md5", pa.string(), False),
         ]
     )
+    dh_schema = pa.schema(
+        [
+            pa.field("media_ref", pa.string(), False),
+            pa.field("dhash", pa.int64(), False),
+        ]
+    )
     # write-to-temp + atomic rename per file; the version-stamped marker
     # below is written AFTER all of them, and callers gate on the marker:
     # a crash mid-set leaves it absent and the next run re-materializes
@@ -328,6 +338,7 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
         (pr_rows, pr_schema, "expected_page_results.parquet"),
         (ds_rows, ds_schema, "expected_doc_structure.parquet"),
         (rz_rows, rz_schema, "expected_resize.parquet"),
+        (dh_rows, dh_schema, "expected_dhash.parquet"),
     ):
         tmp = os.path.join(out_dir, f".{name}.tmp.{os.getpid()}")
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)

