@@ -917,6 +917,71 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(media_dhash(blobs), "media_ref", "dhash", max_hamming=3)
 
 
+
+
+@register(
+    "visual_doc_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT media_ref, dhash
+      FROM read_parquet('{_os.path.join("%QC%", "expected_dhash.parquet")}')
+    ), bands AS (
+      SELECT media_ref, dhash, t.b AS band_no,
+             CAST((dhash >> (16 * t.b)) & 65535 AS INTEGER) AS band_val
+      FROM sig CROSS JOIN generate_series(0, 3) AS t(b)
+    ), ok AS (
+      SELECT band_no, band_val FROM bands
+      GROUP BY band_no, band_val HAVING COUNT(*) <= 100
+    ), bc AS (
+      SELECT bands.* FROM bands JOIN ok USING (band_no, band_val)
+    ), cand AS (
+      SELECT DISTINCT a.media_ref AS ra, b.media_ref AS rb,
+             a.dhash AS sa, b.dhash AS sb
+      FROM bc a JOIN bc b
+        ON a.band_no = b.band_no AND a.band_val = b.band_val
+       AND a.media_ref < b.media_ref
+    ), pp AS (
+      SELECT regexp_replace(ra, '_p[0-9]*$', '') AS da,
+             regexp_replace(rb, '_p[0-9]*$', '') AS db,
+             CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    )
+    SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+           COUNT(*) AS n_page_pairs, CAST(MIN(hamming) AS BIGINT) AS min_hamming
+    FROM pp WHERE da <> db GROUP BY 1, 2
+    """,
+)
+def q_visual_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal composition: page-level visual near-dup pairs
+    (media_dhash → hamming_pairs) lifted to DOCUMENT pairs — how many of
+    two documents' pages look alike, and how close the closest pair is.
+    This is the multimodal member of the doc-dedup evidence family (text
+    MinHash/SimHash pairs say the words match; this says the SCANS match
+    — e.g. the same book digitized twice with different OCR text). Doc id
+    recovery from media_ref uses the corpus's '<doc>_pNNN' naming; the
+    aggregation is one partial-agg shuffle over the bounded pair set."""
+    from .operators.dedup import hamming_pairs
+    from .operators.media import media_dhash
+    from .sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, _pipeline_corpus())
+    pairs = hamming_pairs(media_dhash(blobs), "media_ref", "dhash", max_hamming=3)
+    da = F.regexp_replace("media_ref_a", "_p[0-9]*$", "")
+    db = F.regexp_replace("media_ref_b", "_p[0-9]*$", "")
+    return (
+        pairs.withColumn("da", da)
+        .withColumn("db", db)
+        .filter(F.col("da") != F.col("db"))
+        .groupBy(
+            F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_page_pairs"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+
+
 # splice the corpus path and the hex→int arithmetic into the two oracles
 # (IHDR byte k (1-based) sits at hex chars [2k-1, 2k]: width @17-20,
 # height @21-24, bit depth @25)
@@ -930,6 +995,7 @@ for _qname in (
     "media_resize",
     "media_dhash",
     "media_dhash_pairs",
+    "visual_doc_pairs",
 ):
     ORACLE[_qname] = ORACLE[_qname].replace("%QC%", _QCORPUS_DIR)
 
