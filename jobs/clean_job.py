@@ -91,8 +91,16 @@ def run(
             .select("doc_id")
         )
         before = rule_kept_ids.count()
-        rule_kept_ids = rule_kept_ids.join(lm_ok, "doc_id", "leftsemi")
-        n_lm_dropped = before - rule_kept_ids.count()
+        # checkpoint the surviving-id relation (ids only — tiny): the LM
+        # lineage holds two full-corpus aggregation shuffles, and WITHOUT
+        # truncation it would re-run for the count below, the near-dedup
+        # representative join AND the final write (review r5 — the same
+        # decide-once rationale as the committed decisions parquet)
+        rule_kept_ids = rule_kept_ids.join(lm_ok, "doc_id", "leftsemi").localCheckpoint(
+            eager=True
+        )
+        n_after_lm = rule_kept_ids.count()
+        n_lm_dropped = before - n_after_lm
     retained = docs.join(rule_kept_ids, "doc_id", "leftsemi")
     n_rule_kept = None
     if near_dedup:
@@ -101,7 +109,7 @@ def run(
         # counts and the representative choice come from the committed
         # decisions, NOT the retained join lineage — the docs⋈decisions
         # semi-join then runs exactly once, in the final write (ADVICE r4)
-        n_rule_kept = rule_kept_ids.count()
+        n_rule_kept = n_after_lm if n_lm_dropped is not None else rule_kept_ids.count()
         clusters = q_dedup_clusters(spark, input_dir)
         representative = (
             clusters.join(rule_kept_ids, "doc_id", "leftsemi")

@@ -260,6 +260,32 @@ def resize_images(blobs: DataFrame, zoom: float, method: str = "nearest") -> Dat
     return blobs.select("media_ref", "image").mapInPandas(stage, schema=schema)
 
 
+# (media_ref, dhash) checkpointed per (session, corpus_dir): three driver
+# queries (hashes, pairs, doc pairs) consume it and the pair generator
+# SELF-JOINS it — un-truncated lineage would re-decode every page PNG per
+# consumer per side (the IVF/LSH/PQ cache rationale, CLAUDE.md).
+# clear_caches() drops it.
+_DHASH_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def clear_caches() -> None:
+    """Drop the per-session dhash memoization (same contract as
+    similarity.clear_caches / dedup.clear_caches — callers that mutate a
+    corpus dir mid-session must clear)."""
+    _DHASH_CACHE.clear()
+
+
+def media_dhash_cached(blobs: DataFrame, corpus_dir: str) -> DataFrame:
+    spark = blobs.sparkSession
+    app = spark.conf.get("spark.app.id", "?")
+    key = (app, corpus_dir)
+    if key not in _DHASH_CACHE:
+        for c in [c for c in _DHASH_CACHE if c[0] != app]:
+            del _DHASH_CACHE[c]
+        _DHASH_CACHE[key] = media_dhash(blobs).localCheckpoint(eager=True)
+    return _DHASH_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # Perceptual hash (dHash) — pixel-side near-duplicate evidence
 # ---------------------------------------------------------------------------
@@ -291,8 +317,12 @@ def dhash_bytes(png_bytes: bytes) -> int:
         raise ValueError(f"image {w}x{h} too small for {DHASH_COLS + 1}x{DHASH_ROWS} dhash grid")
     ys = (np.arange(DHASH_ROWS + 1) * h) // DHASH_ROWS
     xs = (np.arange(DHASH_COLS + 2) * w) // (DHASH_COLS + 1)
+    # dtype=int64 accumulates exactly WITHOUT materializing an 8x-wider
+    # full-image copy first (the shared-bus host punishes full-image
+    # upcasts; CLAUDE.md)
     s = np.add.reduceat(
-        np.add.reduceat(img.astype(np.int64), ys[:-1], axis=0), xs[:-1], axis=1
+        np.add.reduceat(img, ys[:-1], axis=0, dtype=np.int64),
+        xs[:-1], axis=1, dtype=np.int64,
     )
     areas = np.diff(ys)[:, None] * np.diff(xs)[None, :]
     g = s // areas

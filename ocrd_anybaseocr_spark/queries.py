@@ -854,6 +854,47 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# shared pigeonhole-banding SQL over the materialized dhash parquet — the
+# SAME constants the Spark side reads from dedup.py (spliced, not
+# hard-coded: a band-geometry or cap change must move BOTH engines
+# together or the driver gate fails on correct code). Ends in
+# pairs(media_ref_a, media_ref_b, hamming).
+from .operators.dedup import (  # noqa: E402
+    SIMHASH_BAND_BITS as _DH_BAND_BITS,
+    SIMHASH_BAND_CAP as _DH_BAND_CAP,
+    SIMHASH_BAND_MASK as _DH_BAND_MASK,
+    SIMHASH_BANDS as _DH_BANDS,
+)
+
+_DHASH_MAX_HAMMING = _DH_BANDS - 1  # the pigeonhole bound
+
+_DHASH_PAIRS_CTE = f"""sig AS (
+      SELECT media_ref, dhash
+      FROM read_parquet('{_os.path.join("%QC%", "expected_dhash.parquet")}')
+    ), bands AS (
+      SELECT media_ref, dhash, t.b AS band_no,
+             CAST((dhash >> ({_DH_BAND_BITS} * t.b)) & {_DH_BAND_MASK}
+                  AS INTEGER) AS band_val
+      FROM sig CROSS JOIN generate_series(0, {_DH_BANDS - 1}) AS t(b)
+    ), ok AS (
+      SELECT band_no, band_val FROM bands
+      GROUP BY band_no, band_val HAVING COUNT(*) <= {_DH_BAND_CAP}
+    ), bc AS (
+      SELECT bands.* FROM bands JOIN ok USING (band_no, band_val)
+    ), cand AS (
+      SELECT DISTINCT a.media_ref AS media_ref_a, b.media_ref AS media_ref_b,
+             a.dhash AS sig_a, b.dhash AS sig_b
+      FROM bc a JOIN bc b
+        ON a.band_no = b.band_no AND a.band_val = b.band_val
+       AND a.media_ref < b.media_ref
+    ), pairs AS (
+      SELECT media_ref_a, media_ref_b,
+             CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_DHASH_MAX_HAMMING}
+    )"""
+
+
+
 @register(
     "media_dhash",
     oracle=f"""
@@ -868,38 +909,19 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes materialized as versioned parquet beside the query corpus
     (oracle.materialize_expected) — a full rows+schema+hash gate over the
     decode→hash chain."""
-    from .operators.media import media_dhash
+    from .operators.media import media_dhash_cached
     from .sources.tables import load_corpus
 
-    _, blobs = load_corpus(spark, _pipeline_corpus())
-    return media_dhash(blobs)
+    qc = _pipeline_corpus()
+    _, blobs = load_corpus(spark, qc)
+    return media_dhash_cached(blobs, qc)
 
 
 @register(
     "media_dhash_pairs",
     oracle=f"""
-    WITH sig AS (
-      SELECT media_ref, dhash
-      FROM read_parquet('{_os.path.join("%QC%", "expected_dhash.parquet")}')
-    ), bands AS (
-      SELECT media_ref, dhash, t.b AS band_no,
-             CAST((dhash >> (16 * t.b)) & 65535 AS INTEGER) AS band_val
-      FROM sig CROSS JOIN generate_series(0, 3) AS t(b)
-    ), ok AS (
-      SELECT band_no, band_val FROM bands
-      GROUP BY band_no, band_val HAVING COUNT(*) <= 100
-    ), bc AS (
-      SELECT bands.* FROM bands JOIN ok USING (band_no, band_val)
-    ), cand AS (
-      SELECT DISTINCT a.media_ref AS media_ref_a, b.media_ref AS media_ref_b,
-             a.dhash AS sig_a, b.dhash AS sig_b
-      FROM bc a JOIN bc b
-        ON a.band_no = b.band_no AND a.band_val = b.band_val
-       AND a.media_ref < b.media_ref
-    )
-    SELECT media_ref_a, media_ref_b,
-           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    WITH {_DHASH_PAIRS_CTE}
+    SELECT media_ref_a, media_ref_b, hamming FROM pairs
     """,
 )
 def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,11 +932,15 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reruns the banding in SQL over the materialized hash parquet —
     the pair ALGEBRA is oracle-checked end to end, not just the hashes."""
     from .operators.dedup import hamming_pairs
-    from .operators.media import media_dhash
+    from .operators.media import media_dhash_cached
     from .sources.tables import load_corpus
 
-    _, blobs = load_corpus(spark, _pipeline_corpus())
-    return hamming_pairs(media_dhash(blobs), "media_ref", "dhash", max_hamming=3)
+    qc = _pipeline_corpus()
+    _, blobs = load_corpus(spark, qc)
+    return hamming_pairs(
+        media_dhash_cached(blobs, qc), "media_ref", "dhash",
+        max_hamming=_DHASH_MAX_HAMMING,
+    )
 
 
 
@@ -922,29 +948,11 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "visual_doc_pairs",
     oracle=f"""
-    WITH sig AS (
-      SELECT media_ref, dhash
-      FROM read_parquet('{_os.path.join("%QC%", "expected_dhash.parquet")}')
-    ), bands AS (
-      SELECT media_ref, dhash, t.b AS band_no,
-             CAST((dhash >> (16 * t.b)) & 65535 AS INTEGER) AS band_val
-      FROM sig CROSS JOIN generate_series(0, 3) AS t(b)
-    ), ok AS (
-      SELECT band_no, band_val FROM bands
-      GROUP BY band_no, band_val HAVING COUNT(*) <= 100
-    ), bc AS (
-      SELECT bands.* FROM bands JOIN ok USING (band_no, band_val)
-    ), cand AS (
-      SELECT DISTINCT a.media_ref AS ra, b.media_ref AS rb,
-             a.dhash AS sa, b.dhash AS sb
-      FROM bc a JOIN bc b
-        ON a.band_no = b.band_no AND a.band_val = b.band_val
-       AND a.media_ref < b.media_ref
-    ), pp AS (
-      SELECT regexp_replace(ra, '_p[0-9]*$', '') AS da,
-             regexp_replace(rb, '_p[0-9]*$', '') AS db,
-             CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    WITH {_DHASH_PAIRS_CTE}, pp AS (
+      SELECT regexp_replace(media_ref_a, '_p[0-9]*$', '') AS da,
+             regexp_replace(media_ref_b, '_p[0-9]*$', '') AS db,
+             hamming
+      FROM pairs
     )
     SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
            COUNT(*) AS n_page_pairs, CAST(MIN(hamming) AS BIGINT) AS min_hamming
@@ -961,11 +969,15 @@ def q_visual_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovery from media_ref uses the corpus's '<doc>_pNNN' naming; the
     aggregation is one partial-agg shuffle over the bounded pair set."""
     from .operators.dedup import hamming_pairs
-    from .operators.media import media_dhash
+    from .operators.media import media_dhash_cached
     from .sources.tables import load_corpus
 
-    _, blobs = load_corpus(spark, _pipeline_corpus())
-    pairs = hamming_pairs(media_dhash(blobs), "media_ref", "dhash", max_hamming=3)
+    qc = _pipeline_corpus()
+    _, blobs = load_corpus(spark, qc)
+    pairs = hamming_pairs(
+        media_dhash_cached(blobs, qc), "media_ref", "dhash",
+        max_hamming=_DHASH_MAX_HAMMING,
+    )
     da = F.regexp_replace("media_ref_a", "_p[0-9]*$", "")
     db = F.regexp_replace("media_ref_b", "_p[0-9]*$", "")
     return (

@@ -137,7 +137,7 @@ def test_dhash_perceptual_properties(spark):
     import numpy as np
 
     from ocrd_anybaseocr_spark.operators.dedup import hamming_pairs
-    from ocrd_anybaseocr_spark.operators.media import dhash_bytes, media_dhash
+    from ocrd_anybaseocr_spark.operators.media import dhash_bytes
     from ocrd_anybaseocr_spark.png import encode_gray
     from ocrd_anybaseocr_spark.synth import generate_doc
 
@@ -169,8 +169,8 @@ def test_dhash_perceptual_properties(spark):
             T.StructField("image", T.BinaryType()),
         ]),
     )
-    from ocrd_anybaseocr_spark.operators.media import media_dhash as md
+    from ocrd_anybaseocr_spark.operators.media import media_dhash
 
     pairs = {(r.media_ref_a, r.media_ref_b): r.hamming
-             for r in hamming_pairs(md(df), "media_ref", "dhash", max_hamming=3).collect()}
+             for r in hamming_pairs(media_dhash(df), "media_ref", "dhash", max_hamming=3).collect()}
     assert ("p0", "p0_blot") in pairs or d_blot > 3
