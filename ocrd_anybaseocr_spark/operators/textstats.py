@@ -669,3 +669,60 @@ ORACLE_DEDUP_NORM = """
     SELECT norm_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
     FROM k GROUP BY norm_md5
 """
+
+
+# ---------------------------------------------------------------------------
+# Token windowing (sequence-packing preparation)
+# ---------------------------------------------------------------------------
+
+WINDOW_TOKENS = 64
+WINDOW_STRIDE = 48  # 16-token overlap between consecutive windows
+
+
+def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token windows per document — the chunking
+    pass a training pipeline runs before sequence packing/tokenization
+    (WINDOW_TOKENS window, WINDOW_STRIDE stride; the final window clamps
+    to the document tail). Pure narrow column expressions: one split, one
+    per-doc window-count formula, one explode — no shuffle at any scale.
+
+    Window count uses INTEGER arithmetic only: Spark's float→int cast
+    truncates while DuckDB's rounds half-even, so a shared ceil-via-
+    division formula  max(0, (n - overlap - 1) div stride) + 1  keeps the
+    engines identical (negative operands differ between trunc-div and
+    floor-div, but the greatest(0, ·) clamp covers exactly that range).
+    Emits md5 of each window (pins bytes, keeps the relation narrow) plus
+    its token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = f"greatest(0, (size(_w) - {WINDOW_TOKENS - WINDOW_STRIDE} - 1) div {WINDOW_STRIDE})"
+    win = (
+        f"transform(sequence(0, {k}),"
+        f" i -> slice(_w, i * {WINDOW_STRIDE} + 1, {WINDOW_TOKENS}))"
+    )
+    return (
+        docs.withColumn("_w", F.split("text", " "))
+        .select("doc_id", F.posexplode(F.expr(win)).alias("win_no", "_win"))
+        .select(
+            "doc_id",
+            F.col("win_no").cast("bigint").alias("win_no"),
+            F.size("_win").cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "_win").cast("binary")).alias("window_md5"),
+        )
+    )
+
+
+ORACLE_TOKEN_WINDOWS = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), k AS (
+      SELECT doc_id, ws,
+             greatest(0, (len(ws) - {WINDOW_TOKENS - WINDOW_STRIDE} - 1) // {WINDOW_STRIDE}) AS kmax
+      FROM w
+    ), e AS (
+      SELECT doc_id, unnest(generate_series(0, kmax)) AS win_no, ws FROM k
+    )
+    SELECT doc_id, CAST(win_no AS BIGINT) AS win_no,
+           CAST(len(ws[win_no * {WINDOW_STRIDE} + 1 : win_no * {WINDOW_STRIDE} + {WINDOW_TOKENS}]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ws[win_no * {WINDOW_STRIDE} + 1 : win_no * {WINDOW_STRIDE} + {WINDOW_TOKENS}], ' ')) AS window_md5
+    FROM e
+"""

@@ -527,6 +527,7 @@ register("lm_cross_entropy", _ts.ORACLE_LM_CE)(_ts.q_lm_cross_entropy)
 register("pii_scrub", _ts.ORACLE_PII)(_ts.q_pii_scrub)
 register("stratified_sample", _ts.ORACLE_STRATIFIED)(_ts.q_stratified_sample)
 register("dedup_exact_normalized", _ts.ORACLE_DEDUP_NORM)(_ts.q_dedup_exact_normalized)
+register("token_windows", _ts.ORACLE_TOKEN_WINDOWS)(_ts.q_token_windows)
 
 
 # ---------------------------------------------------------------------------

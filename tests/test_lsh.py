@@ -730,3 +730,30 @@ def test_kmeans_matches_numpy_lloyd(spark):
     want = dict(zip(ids.tolist(), cids[np.argmin(d2, axis=1)].tolist()))
     got = {r.vec_id: r.cluster for r in sim.q_kmeans_clusters(spark, sf).collect()}
     assert got == want
+
+
+def test_token_windows_boundaries(spark, monkeypatch):
+    """Window algebra: a 113-token doc yields 3 windows (64, 64, 17 tokens
+    — stride 48, tail clamped); a 64-token doc and a 1-token doc yield
+    exactly one window each; window content is the exact slice."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    toks = [f"t{i}" for i in range(113)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(toks[:64])), (3, "solo")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    rows = ts.q_token_windows(spark, "unused").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.win_no] = r
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert [by_doc[1][i].n_tokens for i in (0, 1, 2)] == [64, 64, 17]
+    for i in (0, 1, 2):
+        want = " ".join(toks[i * 48 : i * 48 + 64])
+        assert by_doc[1][i].window_md5 == hashlib.md5(want.encode()).hexdigest()
+    assert sorted(by_doc[2]) == [0] and by_doc[2][0].n_tokens == 64
+    assert sorted(by_doc[3]) == [0] and by_doc[3][0].n_tokens == 1
