@@ -757,3 +757,34 @@ def test_token_windows_boundaries(spark, monkeypatch):
         assert by_doc[1][i].window_md5 == hashlib.md5(want.encode()).hexdigest()
     assert sorted(by_doc[2]) == [0] and by_doc[2][0].n_tokens == 64
     assert sorted(by_doc[3]) == [0] and by_doc[3][0].n_tokens == 1
+
+
+def test_new_operators_shuffle_invariance(spark):
+    """kmeans_clusters, media dhash pairs and token_windows must be
+    row-identical under different shuffle widths and input layouts (their
+    determinism rests on exact-int argmins/driver-aggregated centroids,
+    per-row hashes, and narrow window algebra — none may depend on
+    partition placement)."""
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for parts in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            sim.clear_caches()
+            outs.append(sorted(map(tuple, sim.q_kmeans_clusters(spark, sf).collect())))
+        assert outs[0] == outs[1]
+
+        from ocrd_anybaseocr_spark.operators import textstats as ts
+        from ocrd_anybaseocr_spark.queries import QUERIES
+
+        tw = []
+        for parts in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            tw.append(sorted(map(tuple, ts.q_token_windows(spark, sf).collect())))
+        assert tw[0] == tw[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        sim.clear_caches()
