@@ -1047,3 +1047,160 @@ ORACLE_SIMHASH_PAIRS = f"""
     SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new ingest batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_no, band_key) from a minhash_signatures relation —
+    the banding step alone, shared by the self-join pair generator
+    (lsh_pairs) and the cross-side incremental join below."""
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"h{ROWS_PER_BAND * b + k}").cast("string")
+                        for k in range(ROWS_PER_BAND)
+                    ],
+                ).cast("binary")
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(bands).alias("band_no", "band_key"))
+
+
+def _capped_bands(bands: DataFrame, band_cap: int) -> DataFrame:
+    w = Window.partitionBy("band_no", "band_key")
+    return (
+        bands.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= band_cap)
+        .drop("_n")
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame, corpus_docs: DataFrame, band_cap: int = BAND_CAP
+) -> DataFrame:
+    """(doc_new, doc_corpus, inter, jaccard): verified near-dup matches of
+    an INGEST BATCH against an EXISTING corpus — the production
+    incremental shape (the batch self-join pass dedups a corpus once; this
+    keeps it deduped as new data lands, and the streaming band pass is its
+    bounded-state ingest-time twin). Candidate generation joins the NEW
+    side's band keys against the CORPUS side's only — no new x new or
+    corpus x corpus pairs are ever generated, so per ingest the cost is
+    O(batch bands ⋈ corpus bands), not another full-corpus pass. Each
+    side's over-cap band groups drop independently (same cap semantics as
+    lsh_pairs, applied per side). Verification is the exact DF-bounded
+    Jaccard of verified_pairs; matches survive at >= VERIFY_JACCARD_MIN.
+
+    At scale the corpus band relation is the PERSISTED index (write it
+    once, append each batch's bands after its pass) — here it is computed
+    from the corpus frame; the shape is identical either way."""
+    bn = _capped_bands(minhash_bands(minhash_signatures(new_docs)), band_cap)
+    bc = _capped_bands(minhash_bands(minhash_signatures(corpus_docs)), band_cap)
+    cand = (
+        bn.select(F.col("doc_id").alias("doc_new"), "band_no", "band_key")
+        .join(
+            bc.select(F.col("doc_id").alias("doc_corpus"), "band_no", "band_key"),
+            ["band_no", "band_key"],
+        )
+        .select("doc_new", "doc_corpus")
+        .distinct()
+    )
+    dsh_n = shingles(new_docs).distinct()
+    dsh_c = shingles(corpus_docs).distinct()
+    sz_n = dsh_n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
+    sz_c = dsh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    a = dsh_n.select(F.col("doc_id").alias("doc_new"), "shingle")
+    b = dsh_c.select(F.col("doc_id").alias("doc_corpus"), "shingle")
+    inter = (
+        cand.join(a, "doc_new")
+        .join(b, ["doc_corpus", "shingle"])
+        .groupBy("doc_new", "doc_corpus")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sz_n.withColumnRenamed("doc_id", "doc_new"), "doc_new")
+        .join(sz_c.withColumnRenamed("doc_id", "doc_corpus"), "doc_corpus")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("nn") + F.col("nc") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= VERIFY_JACCARD_MIN)
+        .select("doc_new", "doc_corpus", "inter", "jaccard")
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver form of the incremental pass over the single documents
+    table: a deterministic in-query split plays the two roles — even
+    doc_ids are the EXISTING corpus, odd doc_ids the NEW batch (both
+    engines split identically, so the oracle sees the same sides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+    WITH sh AS ({{SHD}}),
+    hh AS (
+      SELECT doc_id, {{H32}} AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(
+               f"MIN(({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P}) AS h{j}"
+               for j in range(N_MINHASH)
+             )}
+      FROM hh GROUP BY doc_id
+    ),
+    banded0 AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band_no, {_band_key_duck(b)} AS band_key FROM sig"
+        for b in range(N_BANDS)
+      )}
+    ),
+    bn AS (
+      SELECT doc_id, band_no, band_key FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_key) AS n
+        FROM banded0 WHERE doc_id % 2 = 1
+      ) WHERE n <= {BAND_CAP}
+    ),
+    bc AS (
+      SELECT doc_id, band_no, band_key FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_key) AS n
+        FROM banded0 WHERE doc_id % 2 = 0
+      ) WHERE n <= {BAND_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_corpus
+      FROM bn n JOIN bc c
+        ON c.band_no = n.band_no AND c.band_key = n.band_key
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_new, c.doc_corpus, COUNT(*) AS inter
+      FROM cand c
+      JOIN dsh sa ON sa.doc_id = c.doc_new
+      JOIN dsh sb ON sb.doc_id = c.doc_corpus AND sb.shingle = sa.shingle
+      GROUP BY c.doc_new, c.doc_corpus
+    )
+    SELECT i.doc_new, i.doc_corpus, i.inter,
+           round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_new
+    JOIN sizes nb ON nb.doc_id = i.doc_corpus
+    WHERE round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6)
+          >= {VERIFY_JACCARD_MIN}
+"""
+ORACLE_DEDUP_INCREMENTAL = ORACLE_DEDUP_INCREMENTAL.replace("{H32}", _H24_DUCK).replace(
+    "{SHD}", _SHINGLES_DUCK
+)

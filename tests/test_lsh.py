@@ -788,3 +788,29 @@ def test_new_operators_shuffle_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         sim.clear_caches()
+
+
+def test_dedup_incremental_cross_side_only(spark):
+    """Incremental dedup joins NEW bands against CORPUS bands only: a new
+    doc near-identical to a corpus doc is matched and verified; two
+    near-identical NEW docs produce no pair (that's the next self-join
+    pass's job); corpus x corpus likewise."""
+    from ocrd_anybaseocr_spark.operators.dedup import dedup_incremental
+
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " CHANGED"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely different corpus text here " * 3)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, near), (3, near + " X"), (5, "unrelated fresh content " * 4)],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_new, r.doc_corpus): r.jaccard
+           for r in dedup_incremental(new, corpus).collect()}
+    assert (1, 0) in got and got[(1, 0)] >= 0.5
+    assert (3, 0) in got  # the second near variant also matches the corpus
+    # no new x new pair (1,3)/(3,1) and no corpus-side keys ever appear
+    assert all(k[0] in (1, 3, 5) and k[1] in (0, 2) for k in got)
+    assert not any({a, b} == {1, 3} for a, b in got)
