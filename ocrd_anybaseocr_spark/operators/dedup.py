@@ -142,28 +142,11 @@ def lsh_pairs(sig: DataFrame, band_cap: int = BAND_CAP) -> DataFrame:
 
     The cap is a windowed count over the SAME key the join shuffles on (no
     extra shuffle under AQE); band keys are high-entropy md5 so the count
-    relation is corpus-sized and must NOT be broadcast."""
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "#",
-                    *[
-                        F.col(f"h{ROWS_PER_BAND * b + k}").cast("string")
-                        for k in range(ROWS_PER_BAND)
-                    ],
-                ).cast("binary")
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(bands).alias("band_no", "band_key"))
-    w = Window.partitionBy("band_no", "band_key")
-    banded = (
-        banded.withColumn("_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("_n") <= band_cap)
-        .drop("_n")
-    )
+    relation is corpus-sized and must NOT be broadcast. Banding/cap come
+    from the SHARED minhash_bands/_capped_bands helpers (also the
+    incremental pass's input — one Spark-side band-key definition, so a
+    persisted corpus band index stays joinable across both passes)."""
+    banded = _capped_bands(minhash_bands(sig), band_cap)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -190,10 +173,12 @@ def _band_key_duck(b: int) -> str:
     ) + ")"
 
 
-def _minhash_pairs_cte() -> str:
-    """Shared DuckDB CTE chain ending in cands(doc_a, doc_b, n_bands) —
-    used by both the raw-pairs oracle and the verified-dedup oracle.
-    ``{H32}`` is spliced in below once _hexn_to_int_duck exists."""
+def _minhash_sig_banded0_cte() -> str:
+    """Shared DuckDB prefix sh/hh/sig/banded0 — ONE SQL definition of the
+    MinHash signature and band keys, spliced into the self-join pair
+    oracles AND the incremental oracle (review r5: a second verbatim copy
+    of this chain is a drift hazard — the dhash oracles learned the same
+    lesson). ``{H32}`` is spliced in below once _hexn_to_int_duck exists."""
     return f"""sh AS ({_SHINGLES_DUCK}),
     hh AS (
       SELECT doc_id, {{H32}} AS h FROM sh
@@ -211,7 +196,13 @@ def _minhash_pairs_cte() -> str:
         f"SELECT doc_id, {b} AS band_no, {_band_key_duck(b)} AS band_key FROM sig"
         for b in range(N_BANDS)
       )}
-    ),
+    )"""
+
+
+def _minhash_pairs_cte() -> str:
+    """Shared DuckDB CTE chain ending in cands(doc_a, doc_b, n_bands) —
+    used by both the raw-pairs oracle and the verified-dedup oracle."""
+    return f"""{_minhash_sig_banded0_cte()},
     banded AS (
       SELECT doc_id, band_no, band_key FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_key) AS n FROM banded0
@@ -324,6 +315,37 @@ ORACLE_MINHASH_VERIFIED = ORACLE_MINHASH_VERIFIED.replace("{H32}", _H24_DUCK)
 ORACLE_DEDUP_CLUSTERS = ORACLE_DEDUP_CLUSTERS.replace("{H32}", _H24_DUCK)
 
 
+def _jaccard_verify(
+    cand: DataFrame, dsh_a: DataFrame, dsh_b: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Exact-Jaccard verification of a bounded candidate pair set — ONE
+    definition shared by the self-join pass (verified_pairs) and the
+    incremental pass (dedup_incremental): intersection via the candidate-
+    driven shingle join, sizes over each side's distinct shingles, 6-dp
+    rounding, VERIFY_JACCARD_MIN filter. Emits (a_col, b_col, inter,
+    jaccard)."""
+    sz_a = dsh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_na"))
+    sz_b = dsh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nb"))
+    a = dsh_a.select(F.col("doc_id").alias(a_col), "shingle")
+    b = dsh_b.select(F.col("doc_id").alias(b_col), "shingle")
+    inter = (
+        cand.join(a, a_col)
+        .join(b, [b_col, "shingle"])
+        .groupBy(a_col, b_col)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sz_a.withColumnRenamed("doc_id", a_col), a_col)
+        .join(sz_b.withColumnRenamed("doc_id", b_col), b_col)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("_na") + F.col("_nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= VERIFY_JACCARD_MIN)
+        .select(a_col, b_col, "inter", "jaccard")
+    )
+
+
 def verified_pairs(docs: DataFrame) -> DataFrame:
     """The production near-dup flow END TO END: MinHash-LSH candidate pairs
     (banded, band-capped) verified with the EXACT 3-gram Jaccard computed
@@ -334,27 +356,7 @@ def verified_pairs(docs: DataFrame) -> DataFrame:
     similarity operating point with recall margin)."""
     cands = lsh_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
     dsh = shingles(docs).distinct()
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = dsh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = dsh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= VERIFY_JACCARD_MIN)
-        .select("doc_a", "doc_b", "inter", "jaccard")
-    )
+    return _jaccard_verify(cands, dsh, dsh, "doc_a", "doc_b")
 
 
 # the verified edge set is the priciest lineage in the dedup family
@@ -1113,27 +1115,12 @@ def dedup_incremental(
         .select("doc_new", "doc_corpus")
         .distinct()
     )
-    dsh_n = shingles(new_docs).distinct()
-    dsh_c = shingles(corpus_docs).distinct()
-    sz_n = dsh_n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
-    sz_c = dsh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
-    a = dsh_n.select(F.col("doc_id").alias("doc_new"), "shingle")
-    b = dsh_c.select(F.col("doc_id").alias("doc_corpus"), "shingle")
-    inter = (
-        cand.join(a, "doc_new")
-        .join(b, ["doc_corpus", "shingle"])
-        .groupBy("doc_new", "doc_corpus")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sz_n.withColumnRenamed("doc_id", "doc_new"), "doc_new")
-        .join(sz_c.withColumnRenamed("doc_id", "doc_corpus"), "doc_corpus")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("nn") + F.col("nc") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= VERIFY_JACCARD_MIN)
-        .select("doc_new", "doc_corpus", "inter", "jaccard")
+    return _jaccard_verify(
+        cand,
+        shingles(new_docs).distinct(),
+        shingles(corpus_docs).distinct(),
+        "doc_new",
+        "doc_corpus",
     )
 
 
@@ -1149,24 +1136,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_INCREMENTAL = f"""
-    WITH sh AS ({{SHD}}),
-    hh AS (
-      SELECT doc_id, {{H32}} AS h FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-             {', '.join(
-               f"MIN(({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P}) AS h{j}"
-               for j in range(N_MINHASH)
-             )}
-      FROM hh GROUP BY doc_id
-    ),
-    banded0 AS (
-      {' UNION ALL '.join(
-        f"SELECT doc_id, {b} AS band_no, {_band_key_duck(b)} AS band_key FROM sig"
-        for b in range(N_BANDS)
-      )}
-    ),
+    WITH {_minhash_sig_banded0_cte()},
     bn AS (
       SELECT doc_id, band_no, band_key FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_key) AS n

@@ -778,13 +778,33 @@ def test_new_operators_shuffle_invariance(spark):
         assert outs[0] == outs[1]
 
         from ocrd_anybaseocr_spark.operators import textstats as ts
-        from ocrd_anybaseocr_spark.queries import QUERIES
 
         tw = []
         for parts in ("2", "17"):
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             tw.append(sorted(map(tuple, ts.q_token_windows(spark, sf).collect())))
         assert tw[0] == tw[1]
+
+        from ocrd_anybaseocr_spark.operators import media as med
+        from ocrd_anybaseocr_spark.operators.dedup import hamming_pairs
+        from ocrd_anybaseocr_spark.synth import generate_doc
+        from pyspark.sql import types as T
+
+        rows = []
+        for i in range(3):
+            _, blobs = generate_doc(42, i)
+            rows += [(b["media_ref"], bytes(b["image"])) for b in blobs]
+        schema = T.StructType([
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("image", T.BinaryType()),
+        ])
+        dh = []
+        for parts in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            df = spark.createDataFrame(rows, schema).repartition(int(parts))
+            pairs = hamming_pairs(med.media_dhash(df), "media_ref", "dhash", max_hamming=3)
+            dh.append(sorted(map(tuple, pairs.collect())))
+        assert dh[0] == dh[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         sim.clear_caches()
