@@ -93,6 +93,13 @@ def unshear(img: np.ndarray, shear: float, fill: int = 235) -> np.ndarray:
     out = np.full_like(img, fill)
     for s in np.unique(shifts):
         rows = shifts == s
+        # |shift| >= width: the entire row scrolls out of frame — leave it
+        # as background fill (matches the run-space twin, which intersects
+        # shifted runs with [0, w)). Without the guard the positive branch's
+        # negative stop wraps (w - s counts from the end) and the assignment
+        # raises on shape mismatch for degenerate tall-narrow rasters.
+        if abs(s) >= w:
+            continue
         if s >= 0:
             if s == 0:
                 out[rows] = img[rows]

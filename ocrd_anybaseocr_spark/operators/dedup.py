@@ -951,6 +951,52 @@ def simhash_pairs(
     )
 
 
+def _signature_bands(sig: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+    """Explode a 64-bit signature relation into (id, sig, band_no,
+    band_val) — the ONE banding definition shared by the pair join and the
+    over-cap audit (band_overcap_groups), so both always see identical
+    band values."""
+    return sig.select(
+        id_col,
+        sig_col,
+        # arithmetic-vs-logical shift fill bits are masked off by the band
+        # mask, so the value is engine-independent even for negative
+        # signatures (bit 63 = sign bit)
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"({sig_col} >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK}"
+                    ).cast("int")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_no", "band_val"),
+    )
+
+
+def band_overcap_groups(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    band_cap: int = SIMHASH_BAND_CAP,
+) -> DataFrame:
+    """(band_no, band_val, n): the band groups the cap DROPS from
+    hamming_pairs' candidate join — the no-silent-caps audit relation
+    (VERDICT r5 item 3b). A pair whose only shared band value lands in one
+    of these groups is invisible to the pair generator; this relation makes
+    the recall cost queryable instead of silent. Same banding definition as
+    the join (_signature_bands), single partial-agg shuffle, output is
+    bounded by the number of hot band values (tiny by construction — a
+    group must exceed the cap to appear)."""
+    return (
+        _signature_bands(sig, id_col, sig_col)
+        .groupBy("band_no", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > band_cap)
+    )
+
+
 def hamming_pairs(
     sig: DataFrame,
     id_col: str,
@@ -973,23 +1019,7 @@ def hamming_pairs(
             "that distance can share no band and would be silently missed — "
             "widen the signature/bands instead"
         )
-    bands = sig.select(
-        id_col,
-        sig_col,
-        # arithmetic-vs-logical shift fill bits are masked off by the band
-        # mask, so the value is engine-independent even for negative
-        # signatures (bit 63 = sign bit)
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"({sig_col} >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK}"
-                    ).cast("int")
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band_no", "band_val"),
-    )
+    bands = _signature_bands(sig, id_col, sig_col)
     w = Window.partitionBy("band_no", "band_val")
     bands = (
         bands.withColumn("_n", F.count(F.lit(1)).over(w))
@@ -1026,6 +1056,27 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dedup_simhash_pairs.__doc__ = simhash_pairs.__doc__
+
+
+def q_dedup_simhash_dropped_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return band_overcap_groups(simhash_signatures_df(docs), "doc_id", "simhash")
+
+
+q_dedup_simhash_dropped_bands.__doc__ = band_overcap_groups.__doc__
+
+ORACLE_SIMHASH_DROPPED_BANDS = f"""
+    WITH {_SIMHASH_SIG_CTE},
+    bands AS (
+      SELECT doc_id, CAST(t.b AS INTEGER) AS band_no,
+             CAST((simhash >> ({SIMHASH_BAND_BITS} * t.b)) & {SIMHASH_BAND_MASK}
+                  AS INTEGER) AS band_val
+      FROM sig CROSS JOIN generate_series(0, {SIMHASH_BANDS - 1}) AS t(b)
+    )
+    SELECT band_no, band_val, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bands GROUP BY band_no, band_val
+    HAVING COUNT(*) > {SIMHASH_BAND_CAP}
+"""
 
 ORACLE_SIMHASH_PAIRS = f"""
     WITH {_SIMHASH_SIG_CTE},
@@ -1171,6 +1222,6 @@ ORACLE_DEDUP_INCREMENTAL = f"""
     WHERE round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6)
           >= {VERIFY_JACCARD_MIN}
 """
-ORACLE_DEDUP_INCREMENTAL = ORACLE_DEDUP_INCREMENTAL.replace("{H32}", _H24_DUCK).replace(
-    "{SHD}", _SHINGLES_DUCK
-)
+# {SHD} is not a placeholder here: _minhash_sig_banded0_cte() splices
+# _SHINGLES_DUCK via its f-string already, so only {H32} needs resolving.
+ORACLE_DEDUP_INCREMENTAL = ORACLE_DEDUP_INCREMENTAL.replace("{H32}", _H24_DUCK)

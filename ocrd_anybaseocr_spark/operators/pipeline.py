@@ -439,140 +439,144 @@ def run_pipeline(
     t0 = time.monotonic()
 
     # capture the split conf before the scan strategy may retune it; the
-    # normal return restores it once every action has planned and run
+    # finally below restores it once every action has planned and run
     prev_split = (
         str(spark.conf.get("spark.sql.files.maxPartitionBytes", str(_SCAN_SPLIT_DEFAULT)))
         if skew_strategy == "scan"
         else None
     )
-    extracted = extract_spans(documents.select("doc_id", "spans"))
-    page_results = build_page_results(documents, blobs, n_parts, skew_strategy=skew_strategy)
-
-    bucket = F.pmod(F.hash("doc_id"), F.lit(n_buckets)).cast("int")
-
-    # repartition on the bucket before a partitionBy write: each task owns
-    # whole buckets → one file per bucket instead of tasks×buckets small
-    # files (and a cheap commit). n_buckets scales with corpus size
-    # (derive_buckets above).
-    def _write_extracted():
-        io.overwrite_partitioned(
-            extracted.withColumn("part_bucket", bucket)
-            .repartition(n_buckets, "part_bucket"),
-            "extracted_spans",
-        )
-
-    # the span write is independent of the image stage — submit it
-    # concurrently so its scan/shuffle fills scheduler gaps (Spark's
-    # scheduler interleaves jobs from separate threads)
-    import threading
-
-    ext_err: list[BaseException] = []
-
-    def _ext_target():
-        try:
-            t = time.monotonic()
-            _write_extracted()
-            _t("extracted_write", t)
-        except BaseException as e:  # noqa: BLE001 — re-raised on the caller
-            ext_err.append(e)
-
-    ext_thread = threading.Thread(target=_ext_target, daemon=True)
-    ext_thread.start()
-    t_pr = time.monotonic()
-    # Observation rides the write job (zero extra Spark job): its row count
-    # feeds derive_fold_buckets, replacing the separate count job the r4
-    # probe attribution flagged (VERDICT r4 item 1 — every driver action
-    # must earn its wall share)
-    from pyspark.sql import Observation
-
-    pr_obs = Observation("pr_rows")
-    pr_out = (
-        page_results.withColumn("part_bucket", bucket)
-        .observe(pr_obs, F.count(F.lit(1)).alias("rows"))
-        .repartition(n_buckets, "part_bucket")
-    )
-    io.overwrite_partitioned(pr_out, "page_results")
+    # any failure mid-action (extract/fold/metrics) must not leave the
+    # shrunken scan-split conf in the shared session (r5 ADVICE)
     try:
-        n_new_rows = int(pr_obs.get["rows"])
-    except Exception:
-        # the optimizer collapses an all-remaining-buckets-empty resume plan
-        # to an empty relation, so the CollectMetrics row never materializes
-        # and Observation.get raises; fall back to counting the commit (that
-        # count is trivially cheap exactly in this near-empty case)
-        n_new_rows = None
-    _t("page_results_write", t_pr)
-    ext_thread.join()
-    if ext_err:
-        raise ext_err[0]
-    # fold from the COMMITTED page_results — the image stage runs exactly once
-    # (recomputing the lineage through mapInPandas would double decode work)
-    written_pr = io.read("page_results")
-    if done:
-        written_pr = written_pr.filter(~F.col("part_bucket").isin(*done))
-    # fold fan-out scales with data: the observed row count of the commit
-    # bounds rows-per-group (no extra count job — r4 probe attribution)
-    from .fold import derive_fold_buckets
+        extracted = extract_spans(documents.select("doc_id", "spans"))
+        page_results = build_page_results(documents, blobs, n_parts, skew_strategy=skew_strategy)
 
-    if n_new_rows is None:
-        n_new_rows = written_pr.count()
-    n_fold = derive_fold_buckets(
-        n_new_rows, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    )
+        bucket = F.pmod(F.hash("doc_id"), F.lit(n_buckets)).cast("int")
 
-    # checkpoint rows from the committed output (counts reconcile by
-    # construction); collected CONCURRENTLY with the fold job — both read
-    # the committed parquet, neither depends on the other, and the fold's
-    # stage tails leave cores for the metrics scan
-    lineage = json.dumps(
-        {"input": corpus_dir, "engine": "ocrd_anybaseocr_spark-0.1.0", "n_parts": n_parts}
-    )
-    metrics = (
-        io.read("page_results")
-        .groupBy("part_bucket")
-        .agg(
-            F.countDistinct("doc_id").alias("doc_count"),
-            F.count(F.lit(1)).alias("row_count"),
-            F.sum("proc_ms").alias("latency_ms"),
+        # repartition on the bucket before a partitionBy write: each task owns
+        # whole buckets → one file per bucket instead of tasks×buckets small
+        # files (and a cheap commit). n_buckets scales with corpus size
+        # (derive_buckets above).
+        def _write_extracted():
+            io.overwrite_partitioned(
+                extracted.withColumn("part_bucket", bucket)
+                .repartition(n_buckets, "part_bucket"),
+                "extracted_spans",
+            )
+
+        # the span write is independent of the image stage — submit it
+        # concurrently so its scan/shuffle fills scheduler gaps (Spark's
+        # scheduler interleaves jobs from separate threads)
+        import threading
+
+        ext_err: list[BaseException] = []
+
+        def _ext_target():
+            try:
+                t = time.monotonic()
+                _write_extracted()
+                _t("extracted_write", t)
+            except BaseException as e:  # noqa: BLE001 — re-raised on the caller
+                ext_err.append(e)
+
+        ext_thread = threading.Thread(target=_ext_target, daemon=True)
+        ext_thread.start()
+        t_pr = time.monotonic()
+        # Observation rides the write job (zero extra Spark job): its row count
+        # feeds derive_fold_buckets, replacing the separate count job the r4
+        # probe attribution flagged (VERDICT r4 item 1 — every driver action
+        # must earn its wall share)
+        from pyspark.sql import Observation
+
+        pr_obs = Observation("pr_rows")
+        pr_out = (
+            page_results.withColumn("part_bucket", bucket)
+            .observe(pr_obs, F.count(F.lit(1)).alias("rows"))
+            .repartition(n_buckets, "part_bucket")
         )
-        .select(
-            F.col("part_bucket").cast("int").alias("partition_id"),
-            "doc_count",
-            "row_count",
-            "latency_ms",
-            F.lit(lineage).alias("lineage"),
-        )
-    )
-    new_rows: list = []
-    m_err: list[BaseException] = []
-
-    def _metrics_target():
+        io.overwrite_partitioned(pr_out, "page_results")
         try:
-            t = time.monotonic()
-            new_rows.extend(r for r in metrics.collect() if r.partition_id not in done)
-            _t("metrics_collect", t)
-        except BaseException as e:  # noqa: BLE001 — re-raised on the caller
-            m_err.append(e)
+            n_new_rows = int(pr_obs.get["rows"])
+        except Exception:
+            # the optimizer collapses an all-remaining-buckets-empty resume plan
+            # to an empty relation, so the CollectMetrics row never materializes
+            # and Observation.get raises; fall back to counting the commit (that
+            # count is trivially cheap exactly in this near-empty case)
+            n_new_rows = None
+        _t("page_results_write", t_pr)
+        ext_thread.join()
+        if ext_err:
+            raise ext_err[0]
+        # fold from the COMMITTED page_results — the image stage runs exactly once
+        # (recomputing the lineage through mapInPandas would double decode work)
+        written_pr = io.read("page_results")
+        if done:
+            written_pr = written_pr.filter(~F.col("part_bucket").isin(*done))
+        # fold fan-out scales with data: the observed row count of the commit
+        # bounds rows-per-group (no extra count job — r4 probe attribution)
+        from .fold import derive_fold_buckets
 
-    m_thread = threading.Thread(target=_metrics_target, daemon=True)
-    m_thread.start()
-    t_fold = time.monotonic()
-    structure = fold_structure(written_pr, n_fold_buckets=n_fold)
-    io.overwrite_partitioned(
-        structure.withColumn("part_bucket", bucket)
-        .repartition(n_buckets, "part_bucket"),
-        "doc_structure",
-    )
-    _t("fold_write", t_fold)
-    m_thread.join()
-    if m_err:
-        raise m_err[0]
-    elapsed_ms = int((time.monotonic() - t0) * 1000)
-    t_ck = time.monotonic()
-    if new_rows:
-        io.append(spark.createDataFrame(new_rows, S.CHECKPOINT), "checkpoints")
-    _t("checkpoint_append", t_ck)
-    if prev_split is not None:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        if n_new_rows is None:
+            n_new_rows = written_pr.count()
+        n_fold = derive_fold_buckets(
+            n_new_rows, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
+
+        # checkpoint rows from the committed output (counts reconcile by
+        # construction); collected CONCURRENTLY with the fold job — both read
+        # the committed parquet, neither depends on the other, and the fold's
+        # stage tails leave cores for the metrics scan
+        lineage = json.dumps(
+            {"input": corpus_dir, "engine": "ocrd_anybaseocr_spark-0.1.0", "n_parts": n_parts}
+        )
+        metrics = (
+            io.read("page_results")
+            .groupBy("part_bucket")
+            .agg(
+                F.countDistinct("doc_id").alias("doc_count"),
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum("proc_ms").alias("latency_ms"),
+            )
+            .select(
+                F.col("part_bucket").cast("int").alias("partition_id"),
+                "doc_count",
+                "row_count",
+                "latency_ms",
+                F.lit(lineage).alias("lineage"),
+            )
+        )
+        new_rows: list = []
+        m_err: list[BaseException] = []
+
+        def _metrics_target():
+            try:
+                t = time.monotonic()
+                new_rows.extend(r for r in metrics.collect() if r.partition_id not in done)
+                _t("metrics_collect", t)
+            except BaseException as e:  # noqa: BLE001 — re-raised on the caller
+                m_err.append(e)
+
+        m_thread = threading.Thread(target=_metrics_target, daemon=True)
+        m_thread.start()
+        t_fold = time.monotonic()
+        structure = fold_structure(written_pr, n_fold_buckets=n_fold)
+        io.overwrite_partitioned(
+            structure.withColumn("part_bucket", bucket)
+            .repartition(n_buckets, "part_bucket"),
+            "doc_structure",
+        )
+        _t("fold_write", t_fold)
+        m_thread.join()
+        if m_err:
+            raise m_err[0]
+        elapsed_ms = int((time.monotonic() - t0) * 1000)
+        t_ck = time.monotonic()
+        if new_rows:
+            io.append(spark.createDataFrame(new_rows, S.CHECKPOINT), "checkpoints")
+        _t("checkpoint_append", t_ck)
+    finally:
+        if prev_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     pages = sum(r.row_count for r in new_rows)
     return {
         "docs": sum(r.doc_count for r in new_rows),

@@ -506,6 +506,9 @@ register("dedup_minhash_verified", _dd.ORACLE_MINHASH_VERIFIED)(_dd.q_dedup_minh
 register("dedup_clusters", _dd.ORACLE_DEDUP_CLUSTERS)(_dd.q_dedup_clusters)
 register("dedup_simhash", _dd.ORACLE_SIMHASH)(_dd.q_dedup_simhash)
 register("dedup_simhash_pairs", _dd.ORACLE_SIMHASH_PAIRS)(_dd.q_dedup_simhash_pairs)
+register("dedup_simhash_dropped_bands", _dd.ORACLE_SIMHASH_DROPPED_BANDS)(
+    _dd.q_dedup_simhash_dropped_bands
+)
 register("dedup_incremental", _dd.ORACLE_DEDUP_INCREMENTAL)(_dd.q_dedup_incremental)
 register("dedup_jaccard_ngram", _dd.ORACLE_JACCARD)(_dd.q_dedup_jaccard)
 register("decontaminate_overlap", _dd.ORACLE_DECON)(_dd.q_decontaminate_overlap)

@@ -545,6 +545,50 @@ def test_simhash_pairs_planted_and_capped(spark):
     assert all(not (a >= 100 and b >= 100) for a, b in got)
 
 
+def test_simhash_dropped_bands_audit(spark, tmp_path):
+    """No-silent-caps (VERDICT r5 item 3b): the over-cap band groups that
+    simhash_pairs drops are queryable via band_overcap_groups, agree with
+    the DuckDB oracle row-for-row on a corpus where the cap is LIVE, and
+    exactly explain the pairs the generator suppressed."""
+    import os
+
+    import duckdb
+
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        ORACLE_SIMHASH_DROPPED_BANDS,
+        SIMHASH_BAND_CAP,
+        SIMHASH_BANDS,
+        band_overcap_groups,
+        simhash_signatures_df,
+    )
+
+    toks = [f"tok{i}" for i in range(60)]
+    rows = [(1, " ".join(toks)), (2, " ".join(reversed(toks)))]
+    rows += [(100 + i, "dup dup dup clone text body") for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dropped = band_overcap_groups(
+        simhash_signatures_df(docs), "doc_id", "simhash"
+    ).collect()
+    # the 150-clique shares one signature -> all 4 of its bands are hot
+    assert len(dropped) == SIMHASH_BANDS
+    assert all(r.n >= 150 for r in dropped)
+
+    # DuckDB twin over the same rows (documents view like the driver gate)
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    want = con.execute(
+        ORACLE_SIMHASH_DROPPED_BANDS + " ORDER BY band_no, band_val"
+    ).fetchall()
+    got = sorted((r.band_no, r.band_val, r.n) for r in dropped)
+    assert got == [tuple(w) for w in want]
+
+
 def test_exact_substring_partitioning_invariance(spark):
     """The diagonal gaps-and-islands algebra must be partitioning-
     invariant: identical pairs and run lengths at different shuffle

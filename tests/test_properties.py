@@ -194,6 +194,44 @@ def test_run_space_transforms_equal_pixel_path(seed, h, w, zoom, shear):
         assert np.array_equal(a, b)
 
 
+def test_unshear_shift_reaching_width_regression():
+    """r5 judge's Hypothesis falsifier (h=109, w=2, zoom=3.0, shear=0.02):
+    the working raster is 327x6 and round(shear*y) reaches the width, so
+    the positive-branch stop w-s went negative and wrapped. Rows whose
+    shift >= width must come back as pure background fill, matching the
+    run-space twin (unshear_runs intersects with [0, w))."""
+    from ocrd_anybaseocr_spark.kernels.components import (
+        runs_from_image,
+        unshear_runs,
+        zoom_runs,
+    )
+    from ocrd_anybaseocr_spark.kernels.deskew import unshear
+    from ocrd_anybaseocr_spark.kernels.transform import resize_nearest
+
+    h, w, zoom, shear = 109, 2, 3.0, 0.02
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    wimg = resize_nearest(img, zoom)
+    out = unshear(wimg, shear)  # must not raise
+    assert out.shape == wimg.shape
+    # rows with shift >= width are pure fill
+    shifts = np.round(shear * np.arange(wimg.shape[0])).astype(np.int64)
+    gone = np.abs(shifts) >= wimg.shape[1]
+    assert gone.any()
+    assert (out[gone] == 235).all()
+    # and the run-space path still agrees exactly
+    t = 128
+    want = runs_from_image(out, t)
+    got = unshear_runs(zoom_runs(runs_from_image(img, t), zoom, h), shear, wimg.shape[1])
+
+    def canon(r):
+        o = np.lexsort((r[1], r[0]))
+        return tuple(a[o] for a in r)
+
+    for a, b in zip(canon(got), canon(want)):
+        assert np.array_equal(a, b)
+
+
 def test_value_quantiles_null_semantics_match_duckdb(spark, tmp_path):
     """Rank-based exact quantiles on data WITH NULL values: quantile
     positions must use the non-null count (percentile/quantile_cont
