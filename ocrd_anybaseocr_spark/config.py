@@ -53,6 +53,16 @@ class BinarizeParams:
                                      # (ref feature vocabulary, cropping.py:118-120)
     norm_lo_pct: float = 5.0         # ocropus-nlbin percentile pair
     norm_hi_pct: float = 90.0
+    escalate_low_separability: bool = True
+                                     # Otsu-confidence gate (VERDICT r5 item 5):
+                                     # when the global threshold's separability
+                                     # eta = sigma_b/sigma_total falls below
+                                     # min_separability, flatten illumination
+                                     # (flatten_background) and re-threshold.
+                                     # Clean synth pages measure eta >= 0.98,
+                                     # so the clean tier never escalates and
+                                     # its EXACT-recovery contract is intact.
+    min_separability: float = 0.95
     close_gap: int = 1               # run-space horizontal closing: heal white
                                      # gaps <= this many px inside ink runs
                                      # (single-pixel scanner dropouts / pepper

@@ -95,6 +95,82 @@ def otsu_threshold(img: np.ndarray, row_step: int = 4) -> int:
     return int(np.argmax(sigma_b))
 
 
+def flatten_background(img: np.ndarray, tile: int = 64, pct: float = 90.0) -> np.ndarray:
+    """Illumination flattening — the ESCALATED path behind the Otsu
+    confidence gate (VERDICT r5 item 5; the ocropus-nlbin background-map
+    step the dropped ocrd-anybaseocr-binarize processor performed before
+    thresholding). Estimates the local paper level as a per-tile high
+    percentile, bilinearly upsamples it to a background map, and divides
+    it out (multiplicative shading model — exactly a scanner vignette),
+    re-anchoring paper at 235. A global threshold then separates ink again
+    because the paper mode is re-collapsed to one level.
+
+    Measured on the strength-4 degradation tier: border recovery on
+    low-separability pages 0.68 -> 0.90 (tools/envelope.py), while Sauvola
+    at any (window, k) setting LOWERED recovery below plain Otsu — local
+    contrast is the wrong model for run-based frame detection under
+    salt-pepper; shading correction is the right one.
+
+    Cost is one tile-percentile pass + one float32 division — several
+    times a plain Otsu page, which is why it runs only behind the gate
+    (escalated pages are rare by construction; the clean tier never
+    trips). Deterministic: fixed tiling, np.percentile linear
+    interpolation, float32 arithmetic."""
+    h, w = img.shape
+    ty, tx = (h + tile - 1) // tile, (w + tile - 1) // tile
+    p = np.pad(img, ((0, ty * tile - h), (0, tx * tile - w)), mode="edge")
+    blocks = (
+        p.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3).reshape(ty, tx, tile * tile)
+    )
+    bg = np.percentile(blocks, pct, axis=2).astype(np.float32)
+    if ty == 1 and tx == 1:
+        bgf = np.full((h, w), max(float(bg[0, 0]), 1.0), dtype=np.float32)
+    else:
+        yy = np.linspace(0.0, ty - 1.0, h)
+        xx = np.linspace(0.0, tx - 1.0, w)
+        y0 = np.floor(yy).astype(np.int64)
+        x0 = np.floor(xx).astype(np.int64)
+        y1 = np.minimum(y0 + 1, ty - 1)
+        x1 = np.minimum(x0 + 1, tx - 1)
+        fy = (yy - y0).astype(np.float32)[:, None]
+        fx = (xx - x0).astype(np.float32)[None, :]
+        top = bg[y0][:, x0] * (1.0 - fx) + bg[y0][:, x1] * fx
+        bot = bg[y1][:, x0] * (1.0 - fx) + bg[y1][:, x1] * fx
+        bgf = np.maximum(top * (1.0 - fy) + bot * fy, 1.0)
+    out = np.clip(img.astype(np.float32) / bgf * 235.0, 0.0, 255.0)
+    return np.rint(out).astype(np.uint8)
+
+
+def otsu_stats(img: np.ndarray, row_step: int = 4) -> tuple[int, float, float]:
+    """(threshold, separability, ink_fraction) from the SAME sampled
+    histogram otsu_threshold uses — the global-threshold confidence gate
+    (VERDICT r5 item 5). Separability is Otsu's eta = sigma_b(t*) /
+    sigma_total in [0, 1]: ~1 when the histogram is two tight modes the
+    threshold splits cleanly, low when vignette/bleed smear the paper mode
+    into the ink mode and a single global cut can't separate them.
+    ink_fraction is the sampled mass at or below the threshold. Blank
+    (zero-variance) pages report (t, 1.0, 0.0) — nothing to separate, no
+    reason to escalate. Costs one histogram pass shared with the
+    threshold; no extra image traffic."""
+    sample = img[::row_step] if img.shape[0] > 4 * row_step else img
+    hist = np.bincount(sample.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0, 1.0, 0.0
+    omega = np.cumsum(hist) / total
+    mu = np.cumsum(hist * np.arange(256)) / total
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = np.where(denom > 0, (mu_t * omega - mu) ** 2 / denom, 0.0)
+    t = int(np.argmax(sigma_b))
+    sigma_total = float(np.dot(hist, (np.arange(256) - mu_t) ** 2) / total)
+    if sigma_total <= 0.0:
+        return t, 1.0, 0.0
+    eta = float(sigma_b[t] / sigma_total)
+    return t, eta, float(omega[t])
+
+
 def binarize_otsu(img: np.ndarray) -> np.ndarray:
     """Return ink mask (True = foreground/dark), inverse-binary like the
     reference's ruler pass (cli/ocrd_anybaseocr_cropping.py:208)."""

@@ -98,6 +98,54 @@ def test_degraded_label_accuracy(tier_results):
     assert acc >= 0.9, acc
 
 
+def test_escalation_gate_improves_4x_tier_and_never_trips_shipped(tier_results):
+    """VERDICT r5 item 5: the Otsu-confidence gate escalates shaded pages
+    to illumination flattening. At 4x degradation the gate must (a) fire on
+    a meaningful fraction of pages, (b) not lose to the ungated kernel on
+    border recovery, and (c) strictly improve the pages it fires on. On the
+    shipped tier and the clean tier it must never fire (clean exactness is
+    already pinned by test_clean_tier_stays_exact — eta floor measured
+    0.9855 clean / 0.9825 shipped vs the 0.95 gate)."""
+    from dataclasses import replace
+
+    from ocrd_anybaseocr_spark.config import DEFAULT_PARAMS
+
+    no_gate = replace(
+        DEFAULT_PARAMS,
+        binarize=replace(DEFAULT_PARAMS.binarize, escalate_low_separability=False),
+    )
+    gated_better, gated_worse, esc = 0, 0, 0
+    errs_g, errs_n = [], []
+    for i in range(12):
+        _, deg = generate_doc(SEED, i, degraded=4.0)
+        for db in deg:
+            s = db["dpi"] / 300.0
+            rg = process_page(bytes(db["image"]))
+            rn = process_page(bytes(db["image"]), no_gate)
+            eg = max(abs(a - b) for a, b in zip(rg["border"], db["truth_border"])) / s
+            en = max(abs(a - b) for a, b in zip(rn["border"], db["truth_border"])) / s
+            errs_g.append(eg)
+            errs_n.append(en)
+            if "illum_flattened" in rg["features"]:
+                esc += 1
+                gated_better += (eg <= 8.0) and (en > 8.0)
+                gated_worse += (eg > 8.0) and (en <= 8.0)
+    n = len(errs_g)
+    assert esc >= 0.1 * n, f"gate fired on only {esc}/{n} 4x pages"
+    rec_g = sum(e <= 8.0 for e in errs_g) / n
+    rec_n = sum(e <= 8.0 for e in errs_n) / n
+    assert rec_g >= rec_n, (rec_g, rec_n)
+    assert gated_better > gated_worse, (gated_better, gated_worse)
+    # never fires on the shipped tier (r5-measured tolerances keep binding)
+    rows, _ = tier_results
+    # tier_results has no features; re-check a shipped-tier sample directly
+    for i in range(8):
+        _, deg = generate_doc(SEED, i, degraded=True)
+        for db in deg:
+            r = process_page(bytes(db["image"]))
+            assert "illum_flattened" not in r["features"], db["media_ref"]
+
+
 def test_degradation_is_deterministic_and_additive():
     """degrade_page derives from its own seeded stream: the degraded tier is
     a pure function of (seed, doc_index) — byte-identical across calls —
