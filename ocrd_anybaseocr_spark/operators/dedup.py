@@ -951,14 +951,19 @@ def simhash_pairs(
     )
 
 
-def _signature_bands(sig: DataFrame, id_col: str, sig_col: str) -> DataFrame:
-    """Explode a 64-bit signature relation into (id, sig, band_no,
-    band_val) — the ONE banding definition shared by the pair join and the
-    over-cap audit (band_overcap_groups), so both always see identical
-    band values."""
+def _signature_bands(
+    sig: DataFrame, id_col: str, sig_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode a 64-bit signature relation into (id, sig, [extra...],
+    band_no, band_val) — the ONE banding definition shared by the pair
+    join, the over-cap audit (band_overcap_groups) and the streaming
+    visual-dedup pass (dhash_bands_stream), so all of them always see
+    identical band values. ``extra_cols`` pass through untouched (the
+    stream threads its event-time column for the watermark)."""
     return sig.select(
         id_col,
         sig_col,
+        *extra_cols,
         # arithmetic-vs-logical shift fill bits are masked off by the band
         # mask, so the value is engine-independent even for negative
         # signatures (bit 63 = sign bit)

@@ -429,6 +429,124 @@ def stream_dedup_near(
     return {"state_rows": ops[0].get("numRowsTotal") if ops else None}
 
 
+MEDIA_STREAM = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("image", T.BinaryType(), False),
+    ]
+)
+
+
+def dhash_bands_stream(blobs: DataFrame) -> DataFrame:
+    """(media_ref, ts, band_no, band_val): per-row perceptual-hash banding
+    for the streaming VISUAL near-dup pass (VERDICT r5 item 6) — the image
+    twin of ``minhash_bands_stream``. The dHash itself is the batch
+    operator's own kernel (media.dhash_bytes, one Arrow-batched
+    mapInPandas hop — the decode is the only Python stage); the banding is
+    the SHARED ``_signature_bands`` definition the batch pair join and the
+    over-cap audit use, so stream and batch band values are identical by
+    construction (pytest-asserted parity). Stateless: no shuffle, no
+    state — scan parallelism is the throughput."""
+    import pandas as pd
+
+    from ..operators.dedup import _signature_bands
+    from ..operators.media import dhash_bytes
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def stage(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "ts": pdf["ts"],
+                    "dhash": [dhash_bytes(b) for b in pdf["image"]],
+                }
+            )
+
+    sig = blobs.mapInPandas(stage, sig_schema)
+    return _signature_bands(sig, "media_ref", "dhash", extra_cols=("ts",)).select(
+        "media_ref", "ts", "band_no", "band_val"
+    )
+
+
+def dedup_visual_stream(blobs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming visual near-dup CANDIDATE pass: band the image stream
+    statelessly (dhash_bands_stream), then ``dropDuplicatesWithinWatermark``
+    on (band_no, band_val) — ONE state entry per live band value, evicted
+    when the watermark passes (bounded state on an unbounded ingest).
+    Output rows are first-seen band claims, same contract as
+    ``dedup_near_stream``: an exact visual duplicate owns zero claims; a
+    near-duplicate (hamming <= SIMHASH_BANDS-1 by pigeonhole) loses >=1
+    band to the earlier arrival. Exact hamming verification
+    (dedup.hamming_pairs over media_dhash) remains the batch backstop."""
+    bands = dhash_bands_stream(blobs)
+    return bands.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["band_no", "band_val"]
+    )
+
+
+def visual_dup_candidates(claims: DataFrame, blobs: DataFrame) -> DataFrame:
+    """Batch post-pass over the streamed visual band-claims table:
+    (media_ref, n_owned) for pages owning fewer than SIMHASH_BANDS
+    first-seen bands. ``blobs`` anchors the join because an exact visual
+    duplicate appears in NO claim row (same reason as the text twin
+    near_dup_candidates); every page is eligible — dHash has no
+    min-shingle gate."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import SIMHASH_BANDS
+
+    owned = claims.groupBy("media_ref").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        blobs.select("media_ref")
+        .distinct()
+        .join(owned, "media_ref", "left")
+        .select("media_ref", F.coalesce(F.col("_n"), F.lit(0)).alias("n_owned"))
+        .filter(F.col("n_owned") < SIMHASH_BANDS)
+    )
+
+
+def stream_dedup_visual(
+    spark: SparkSession,
+    blobs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "30 minutes",
+) -> dict:
+    """Incremental visual near-dup band-claim pass over a growing directory
+    of page-image parquet drops (MEDIA_STREAM schema) → first-seen band
+    claims, append exactly-once; state and watermark ride the checkpoint
+    across runs. Returns the final state-operator metrics like
+    stream_dedup_near so tests assert the bounded-state contract."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_visual_checkpoint")
+    blobs = (
+        spark.readStream.schema(MEDIA_STREAM)
+        .option("recursiveFileLookup", "true")
+        .parquet(blobs_dir)
+    )
+    q = (
+        dedup_visual_stream(blobs, watermark)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "visual_band_claims_stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    prog = q.lastProgress or {}
+    ops = prog.get("stateOperators") or []
+    return {"state_rows": ops[0].get("numRowsTotal") if ops else None}
+
+
 def stream_dedup_exact(
     spark: SparkSession,
     docs_dir: str,

@@ -289,3 +289,116 @@ def test_streaming_near_dedup_bands_across_runs(spark, tmp_path_factory):
     # (3) bounded state: exactly one state row per live distinct band value
     n_distinct = len({(b, k) for (_, b), k in got_bands.items()})
     assert m2["state_rows"] == n_distinct == claims.count()
+
+
+def test_streaming_visual_dedup_across_runs(spark, tmp_path_factory):
+    """VERDICT r5 item 6 — streaming dHash visual near-dup candidates:
+    (1) the stateless per-row banding is value-identical to the batch
+    media_dhash + _signature_bands path; (2) a planted exact visual dup
+    and a 1-bit near-dup across micro-batches AND a query restart lose
+    bands to the earlier arrival; (3) state is bounded at one row per
+    live distinct band value."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        _signature_bands,
+    )
+    from ocrd_anybaseocr_spark.operators.media import dhash_bytes, media_dhash
+    from ocrd_anybaseocr_spark.png import encode_gray
+    from ocrd_anybaseocr_spark.streaming.stream import (
+        MEDIA_STREAM,
+        dhash_bands_stream,
+        stream_dedup_visual,
+        visual_dup_candidates,
+    )
+
+    # block-constant images: dhash block means equal the grid values
+    # exactly, so every gradient bit is constructed, not sampled
+    def img_from_grid(grid):
+        return np.kron(np.asarray(grid, dtype=np.uint8), np.ones((8, 8), np.uint8))
+
+    rng = np.random.default_rng(5)
+    g_a = rng.integers(0, 200, size=(8, 9), dtype=np.uint8)
+    g_a += np.arange(9, dtype=np.uint8)  # break ties deterministically
+    g_b = g_a.copy()
+    # swap one adjacent pair in row 0: flips the (0,1) comparison and at
+    # most the neighboring (1,2) one — hamming <= 3 < SIMHASH_BANDS, so
+    # the pigeonhole guarantees >=1 shared band with pA
+    g_b[0, 0], g_b[0, 1] = g_b[0, 1], g_b[0, 0]
+    if g_a[0, 1] == g_a[0, 0]:
+        g_b[0, 1] = g_b[0, 0] + 1
+    g_d = (g_a[::-1, ::-1] + 37) % 251  # unrelated pattern
+    pngs = {
+        "pA": encode_gray(img_from_grid(g_a)),
+        "pB": encode_gray(img_from_grid(g_b)),      # 1-bit near-dup of pA
+        "pC": encode_gray(img_from_grid(g_a)),      # exact visual dup of pA
+        "pD": encode_gray(img_from_grid(g_d)),      # novel
+    }
+    h = {k: dhash_bytes(v) for k, v in pngs.items()}
+    assert h["pA"] == h["pC"] and h["pA"] != h["pD"]
+    assert 1 <= bin((h["pA"] ^ h["pB"]) & ((1 << 64) - 1)).count("1") <= 3
+
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows1 = [("pA", T0, bytearray(pngs["pA"]))]
+    rows2 = [
+        ("pB", T0 + dt.timedelta(minutes=5), bytearray(pngs["pB"])),
+        ("pC", T0 + dt.timedelta(minutes=6), bytearray(pngs["pC"])),
+        ("pD", T0 + dt.timedelta(minutes=7), bytearray(pngs["pD"])),
+    ]
+    all_rows = rows1 + rows2
+    blobs_df = spark.createDataFrame(all_rows, MEDIA_STREAM)
+
+    # (1) parity: stream banding == batch media_dhash banding
+    got = {
+        (r.media_ref, r.band_no): r.band_val
+        for r in dhash_bands_stream(blobs_df).collect()
+    }
+    batch = media_dhash(blobs_df.withColumnRenamed("ts", "_ts").select("media_ref", "image"))
+    want = {
+        (r.media_ref, r.band_no): r.band_val
+        for r in _signature_bands(batch, "media_ref", "dhash").collect()
+    }
+    assert got == want and len(got) == 4 * SIMHASH_BANDS
+
+    # expected first-arrival ownership
+    arrival = {m: i for i, (m, _, _) in enumerate(all_rows)}
+    owner: dict[tuple, str] = {}
+    for (mid, bno), val in sorted(got.items(), key=lambda kv: arrival[kv[0][0]]):
+        owner.setdefault((bno, val), mid)
+    want_owned = {m: 0 for m, _, _ in all_rows}
+    for mid in owner.values():
+        want_owned[mid] += 1
+    assert want_owned["pA"] == SIMHASH_BANDS
+    assert want_owned["pC"] == 0                      # exact dup: all bands lost
+    assert 0 < want_owned["pB"] < SIMHASH_BANDS       # 1-bit near-dup: loses 3
+    assert want_owned["pD"] == SIMHASH_BANDS
+
+    # (2) two ingest runs with a restart between
+    in_dir = str(tmp_path_factory.mktemp("vd_in"))
+    out_dir = str(tmp_path_factory.mktemp("vd_out"))
+    out_path = os.path.join(out_dir, "visual_band_claims_stream")
+    spark.createDataFrame(rows1, MEDIA_STREAM).write.parquet(
+        os.path.join(in_dir, "drop1.parquet"))
+    stream_dedup_visual(spark, in_dir, out_dir)
+    assert spark.read.parquet(out_path).count() == SIMHASH_BANDS
+    spark.createDataFrame(rows2, MEDIA_STREAM).write.parquet(
+        os.path.join(in_dir, "drop2.parquet"))
+    m2 = stream_dedup_visual(spark, in_dir, out_dir)
+    claims = spark.read.parquet(out_path)
+    got_owned = {
+        r.media_ref: r.n
+        for r in claims.groupBy("media_ref").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for m, _, _ in all_rows:
+        assert got_owned.get(m, 0) == want_owned[m], m
+
+    cands = {r.media_ref for r in visual_dup_candidates(claims, blobs_df).collect()}
+    assert cands == {"pB", "pC"}
+
+    # (3) bounded state: one row per live distinct band value
+    n_distinct = len({(b, v) for (_, b), v in got.items()})
+    assert m2["state_rows"] == n_distinct == claims.count()
