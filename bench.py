@@ -239,6 +239,21 @@ def _raw_work(chunk):
     return len(chunk)
 
 
+def raw_kernel_floor(corpus_dir: str, procs: int) -> dict:
+    """Same-window raw-kernel floor at the probe's core count (VERDICT r5
+    item 4): CPU ms/page an mp.Pool achieves on the SAME pages with zero
+    Spark. The probe's in-UDF kernel ms/page divided by this is the
+    kernel-floor ratio — ~1.0-1.5 means the window was clean and the
+    probe's pages/s is real; well above 1.5 means the host window was
+    contended (the ±30% noise band), so a low probe number self-identifies
+    as contention rather than a code regression."""
+    pps = raw_kernel_sweep(corpus_dir, procs=(procs,))[procs]
+    return {
+        "pages_per_sec": pps,
+        "cpu_ms_per_page": round(procs * 1000.0 / pps, 2) if pps else None,
+    }
+
+
 def write_scaling_md(runs: list[dict], n_docs: int, raw: dict[int, float] | None = None) -> dict:
     def eff(lo, hi):
         return (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi["cores"] / lo["cores"])
@@ -435,6 +450,15 @@ def main() -> None:
 
     qt, ann_builds = run_queries(sf_dir, cpus)
     pipe = run_pipeline_bench(cpus, out_root)
+    # same-window kernel floor: measured immediately after the probe so the
+    # ratio reflects the probe's host window, not a different one
+    floor = raw_kernel_floor(ensure_corpus(BENCH_DOCS), cpus)
+    pipe["kernel_floor"] = floor
+    pipe["kernel_floor_ratio"] = (
+        round(pipe["ms_per_page"] / floor["cpu_ms_per_page"], 2)
+        if pipe.get("ms_per_page") and floor["cpu_ms_per_page"]
+        else None
+    )
     result = {
         "metric": "e2e_wall_sec",
         "value": round(sum(qt.values()) + pipe["wall_s"], 2),
