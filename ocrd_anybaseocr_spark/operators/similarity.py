@@ -1243,3 +1243,71 @@ ORACLE_KMEANS = f"""
       FROM se s CROSS JOIN cb{KMEANS_ITERS} c
     ) WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization (per-dimension affine) — the embedding-serving
+# memory path between full float vectors and PQ codes
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255  # codes 0..255
+
+
+def dim_ranges(emb: DataFrame) -> list[tuple[int, int]]:
+    """Per-dimension (min, max) of the 1e4-scaled integer embeddings —
+    ONE partial-agg job over the posexploded vectors (EMB_DIM groups, so
+    map-side combine collapses every task to 64 rows) and a bounded
+    2*EMB_DIM-int driver fetch, the same build-once pattern as the IVF
+    centroids and PQ codebooks. Exact ints → deterministic cross-engine."""
+    rows = (
+        emb.select(F.posexplode(F.expr(_SE_SPARK)).alias("d", "se"))
+        .groupBy("d")
+        .agg(F.min("se").alias("mn"), F.max("se").alias("mx"))
+        .collect()
+    )
+    out = [(0, 0)] * EMB_DIM
+    for r in rows:
+        out[r.d] = (int(r.mn), int(r.mx))
+    return out
+
+
+def quantize_int8(emb: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
+    """(vec_id, qvec): per-dimension affine int8 quantization
+    q_d = floor((se_d - mn_d) * 255 / (mx_d - mn_d)) over the exact
+    1e4-scaled ints (degenerate dimensions with mn == mx quantize to 0).
+    The ranges ride in as LITERAL arrays, so the serving projection is
+    NARROW — scan → project, zero exchanges at any corpus size (the
+    IVF-assignment pattern; plan-asserted). 1 byte/dim vs 4 — the 4x
+    memory step before PQ's 16x; exact integer arithmetic both engines."""
+    mn_lit = "array(" + ", ".join(str(mn) + "L" for mn, _ in ranges) + ")"
+    rng_lit = "array(" + ", ".join(str(mx - mn) + "L" for mn, mx in ranges) + ")"
+    q = (
+        f"zip_with(zip_with({_SE_SPARK}, {mn_lit}, (s, m) -> s - m), {rng_lit},"
+        f" (n, r) -> CASE WHEN r = 0 THEN 0 ELSE cast(n * {QUANT_LEVELS} div r as int) END)"
+    )
+    return emb.select("vec_id", F.expr(q).alias("qvec"))
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, dim_ranges(emb))
+
+
+q_embedding_quantize_int8.__doc__ = quantize_int8.__doc__
+
+ORACLE_QUANT_INT8 = f"""
+    WITH se AS (
+      SELECT vec_id, {_SE_DUCK} AS s FROM embeddings
+    ), ex AS (
+      SELECT vec_id, t.d, s[t.d + 1] AS v
+      FROM se CROSS JOIN generate_series(0, {EMB_DIM - 1}) AS t(d)
+    ), rng AS (
+      SELECT d, MIN(v) AS mn, MAX(v) - MIN(v) AS r FROM ex GROUP BY d
+    )
+    SELECT vec_id,
+           list(CASE WHEN r = 0 THEN 0
+                     ELSE CAST((v - mn) * {QUANT_LEVELS} // r AS INTEGER) END
+                ORDER BY d) AS qvec
+    FROM ex JOIN rng USING (d)
+    GROUP BY vec_id
+"""

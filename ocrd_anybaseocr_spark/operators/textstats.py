@@ -726,3 +726,159 @@ ORACLE_TOKEN_WINDOWS = f"""
            md5(array_to_string(ws[win_no * {WINDOW_STRIDE} + 1 : win_no * {WINDOW_STRIDE} + {WINDOW_TOKENS}], ' ')) AS window_md5
     FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (corpus curation / quality-probe search surface)
+# ---------------------------------------------------------------------------
+
+# fixed probe terms: three present in the synthetic vocabulary plus one
+# absent ("shuffle") to exercise the zero-df path end-to-end
+BM25_TERMS: tuple[str, ...] = ("spark", "merge", "window", "shuffle")
+BM25_TOPK = 20
+# k1=1.2, b=0.75 (the standard Okapi operating point), folded into exact
+# integer rationals below: multiply numerator and denominator by 10*S so
+# tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with avgdl = S/N becomes
+# 22*tf*S / (10*tf*S + 3*S + 9*dl*N) — every term an int64.
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by BM25 for a fixed term set — the retrieval probe a
+    curation pipeline runs to audit what a corpus contains (and the shape
+    of any keyword-driven subset selection job).
+
+    Scale shape: the per-doc term filter runs INSIDE the scan projection
+    (the split array is filtered to the 4 probe terms BEFORE exploding, so
+    the explode emits ~matches rows, not ~tokens rows); one partial-agg
+    shuffle builds tf; df and the corpus (N, S) stats are tiny relations
+    joined by broadcast; the final ranking is one narrow projection +
+    top-k. No window functions, no second pass over text.
+
+    Cross-engine determinism: tf-component = floor(22*tf*S*1e6 /
+    (10*tf*S + 3*S + 9*dl*N)) is EXACT integer arithmetic (int64-safe up
+    to ~4e11 corpus words; beyond that rescale or accept the double
+    path); idf is micro-rounded HALF-UP like lm_cross_entropy's
+    surprisal (ln disagreement ~1 ulp vs a ~1e-9-wide rounding
+    boundary); the score is a sum of int64 products, order-independent.
+    Ties broken by doc_id before LIMIT in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(
+            F.expr(f"filter(split(text, ' '), w -> w IN ({terms_sql}))")
+        ).alias("term"),
+    )
+    tf = base.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("s_words"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.expr(
+            "cast(floor(ln((cast(n_docs as double) - df + 0.5) / (df + 0.5) + 1.0)"
+            " * 1000000 + 0.5) as bigint)"
+        ).alias("idf_e6"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("idf_e6")
+                * F.expr(
+                    "cast(22 * tf * s_words * 1000000 div"
+                    " (10 * tf * s_words + 3 * s_words + 9 * dl * n_docs) as bigint)"
+                )
+            ).alias("part_e12"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("part_e12").alias("score_e12"),
+        )
+    )
+    return scored.orderBy(F.desc("score_e12"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
+ORACLE_BM25 = f"""
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl, t.term
+      FROM documents,
+           LATERAL (SELECT unnest(list_filter(string_split(text, ' '),
+             w -> w IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}))) AS term) t
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM base GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(string_split(text, ' '))) AS s_words
+      FROM documents
+    ), idf AS (
+      SELECT term,
+             CAST(floor(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                  * 1000000 + 0.5) AS BIGINT) AS idf_e6
+      FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(idf_e6 * (22 * tf * s_words * 1000000 //
+             (10 * tf * s_words + 3 * s_words + 9 * dl * n_docs))) AS BIGINT)
+             AS score_e12
+    FROM tf JOIN idf USING (term), stats
+    GROUP BY doc_id
+    ORDER BY score_e12 DESC, doc_id
+    LIMIT {BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture reweighting: per-source sampling weights toward a target mix
+# ---------------------------------------------------------------------------
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, weight_ppm): the per-source sampling
+    weight that reweights the corpus to a UNIFORM source mix — the
+    data-mixing step every multi-source training pipeline runs (upsample
+    rare sources, downsample dominant ones). weight_ppm =
+    floor(1e6 * N_total / (n_sources * n_docs_src)): >1e6 means repeat
+    the source, <1e6 means sample it down; the expected doc count per
+    source under the weights is N_total / n_sources by construction.
+
+    One partial-agg shuffle on source plus a broadcast 1-row totals join;
+    exact integer arithmetic end-to-end. At a real 10^12-doc scale the
+    same plan holds — the source relation stays tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    totals = per_src.select(
+        F.sum("n_docs").alias("n_total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("cast(n_total * 1000000 div (n_sources * n_docs) as bigint)").alias(
+            "weight_ppm"
+        ),
+    )
+
+
+ORACLE_SOURCE_MIX = """
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), totals AS (
+      SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM per_src
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_total * 1000000 // (n_sources * n_docs) AS BIGINT) AS weight_ppm
+    FROM per_src, totals
+"""

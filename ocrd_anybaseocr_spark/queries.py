@@ -86,6 +86,86 @@ def q_extract_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal caption mining over the interleaved corpus: (image, caption)
+# pair extraction — the training-pair prep step for image-text models
+# ---------------------------------------------------------------------------
+@register(
+    "caption_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), e AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0,
+               greatest(CAST(ceil(len(words) / 8.0) AS BIGINT), 1) - 1)) AS i
+      FROM w
+    ), sp AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS ord,
+             CASE WHEN i % 6 = 0 THEN 'page_image'
+                  WHEN i % 7 = 3 THEN 'heading'
+                  ELSE 'text' END AS kind,
+             CASE WHEN i % 6 <> 0
+                  THEN array_to_string(words[(i*8+1):(i*8+8)], ' ') END AS text,
+             CASE WHEN i % 6 = 0
+                  THEN CAST(doc_id AS VARCHAR) || '_p' || CAST(i // 6 AS VARCHAR)
+                  END AS media_ref
+      FROM e
+    ), cap AS (
+      SELECT doc_id, ord, kind, media_ref,
+             first_value(CASE WHEN kind <> 'page_image' THEN text END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY ord
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt,
+             last_value(CASE WHEN kind <> 'page_image' THEN text END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY ord
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prv
+      FROM sp
+    )
+    SELECT doc_id, media_ref, coalesce(nxt, prv) AS caption,
+           CASE WHEN nxt IS NOT NULL THEN 'following'
+                WHEN prv IS NOT NULL THEN 'preceding' END AS cap_src
+    FROM cap WHERE kind = 'page_image'
+    """,
+)
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, media_ref, caption, cap_src): for every image span in the
+    interleaved corpus, the nearest non-image span's text in reading order
+    — following preferred (the figure-caption convention), preceding as
+    the fallback, NULL when the document has no text span at all. This is
+    the image-text pair mining step that turns an interleaved crawl into
+    contrastive/captioning training pairs.
+
+    Spark plan is NARROW end-to-end (zero exchanges at any corpus size):
+    the spans array is already reading-order-sorted per document, so the
+    neighbor search is array slicing inside one projection — no window
+    function, no per-doc shuffle. The DuckDB oracle states the same
+    semantics relationally (IGNORE NULLS window frames)."""
+    docs = interleaved_documents(load_table(spark, sf_dir, "documents"))
+    ex = extract_spans(docs)
+    pairs = F.expr(
+        """
+        filter(transform(spans, (s, i) ->
+          CASE WHEN s.kind = 'page_image' THEN struct(
+            s.media_ref AS media_ref,
+            coalesce(
+              try_element_at(transform(filter(slice(spans, i + 2, size(spans)),
+                t -> t.kind <> 'page_image'), t -> t.text), 1),
+              try_element_at(transform(filter(slice(spans, 1, i),
+                t -> t.kind <> 'page_image'), t -> t.text), -1)
+            ) AS caption,
+            CASE WHEN exists(slice(spans, i + 2, size(spans)),
+                             t -> t.kind <> 'page_image') THEN 'following'
+                 WHEN exists(slice(spans, 1, i),
+                             t -> t.kind <> 'page_image') THEN 'preceding'
+            END AS cap_src)
+          END), p -> p IS NOT NULL)
+        """
+    )
+    return ex.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.media_ref", "p.caption", "p.cap_src"
+    )
+
+
+# ---------------------------------------------------------------------------
 # A3/A4: grouped aggregation with weighted averages (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
 @register(
@@ -519,6 +599,9 @@ register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
 register("ann_ivf_flat", _sim.ORACLE_ANN_IVF)(_sim.q_ann_ivf_flat)
 register("ann_pq_adc", _sim.ORACLE_ANN_PQ)(_sim.q_ann_pq_adc)
 register("kmeans_clusters", _sim.ORACLE_KMEANS)(_sim.q_kmeans_clusters)
+register("embedding_quantize_int8", _sim.ORACLE_QUANT_INT8)(
+    _sim.q_embedding_quantize_int8
+)
 register("embedding_stats", _sim.ORACLE_EMB_STATS)(_sim.q_embedding_stats)
 register("lang_id", _ts.ORACLE_LANG_ID)(_ts.q_lang_id)
 register("corpus_clean_filter", _ts.ORACLE_CLEAN_FILTER)(_ts.q_corpus_clean_filter)
@@ -532,6 +615,8 @@ register("pii_scrub", _ts.ORACLE_PII)(_ts.q_pii_scrub)
 register("stratified_sample", _ts.ORACLE_STRATIFIED)(_ts.q_stratified_sample)
 register("dedup_exact_normalized", _ts.ORACLE_DEDUP_NORM)(_ts.q_dedup_exact_normalized)
 register("token_windows", _ts.ORACLE_TOKEN_WINDOWS)(_ts.q_token_windows)
+register("bm25_topk", _ts.ORACLE_BM25)(_ts.q_bm25_topk)
+register("source_mix_weights", _ts.ORACLE_SOURCE_MIX)(_ts.q_source_mix_weights)
 
 
 # ---------------------------------------------------------------------------

@@ -878,3 +878,36 @@ def test_dedup_incremental_cross_side_only(spark):
     # no new x new pair (1,3)/(3,1) and no corpus-side keys ever appear
     assert all(k[0] in (1, 3, 5) and k[1] in (0, 2) for k in got)
     assert not any({a, b} == {1, 3} for a, b in got)
+
+
+def test_round6_operators_shuffle_invariance(spark):
+    """caption_pairs, bm25_topk, embedding_quantize_int8 and
+    source_mix_weights must be row-identical under different shuffle
+    widths (their determinism rests on narrow array algebra, exact-int
+    rationals with deterministic tie-breaks, and literal-embedded ranges
+    — none may depend on partition placement)."""
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in (
+            "caption_pairs",
+            "bm25_topk",
+            "embedding_quantize_int8",
+            "source_mix_weights",
+        ):
+            outs = []
+            for parts in ("2", "17"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                sim.clear_caches()
+                df = QUERIES[name](spark, sf)
+                outs.append(
+                    sorted(tuple(str(c) for c in r) for r in df.collect())
+                )
+            assert outs[0] == outs[1], name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        sim.clear_caches()

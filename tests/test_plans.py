@@ -215,3 +215,35 @@ def test_kmeans_assignment_is_narrow(spark, sf_dir):
     df = emb.select("vec_id", F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))").alias("v_se")) \
             .select("vec_id", F.expr(_argmin_cell_expr(cents)).alias("cluster"))
     assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_caption_pairs_is_narrow(spark, sf_dir):
+    """Caption mining must stay zero-exchange at any corpus size: the
+    neighbor search runs inside one projection over the already-sorted
+    spans array (no window shuffle)."""
+    df = QUERIES["caption_pairs"](spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_quantize_serving_projection_is_narrow(spark, sf_dir):
+    """The int8 quantization SERVING projection (ranges as plan literals)
+    must be scan -> project, zero exchanges — the IVF-assignment pattern."""
+    from ocrd_anybaseocr_spark.operators.similarity import (
+        dim_ranges,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = quantize_int8(emb, dim_ranges(emb))
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_bm25_broadcasts_stats_and_prefilters_terms(spark, sf_dir):
+    """BM25: the idf/corpus-stats sides ride broadcast joins (never a
+    shuffled join against the token stream) and the probe-term filter runs
+    BEFORE the explode (the explode emits ~matches rows, not ~tokens)."""
+    df = QUERIES["bm25_topk"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "explode(filter(split(" in plan, plan
