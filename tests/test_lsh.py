@@ -911,3 +911,82 @@ def test_round6_operators_shuffle_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         sim.clear_caches()
+
+
+def test_bm25_ranks_term_dense_doc_first(spark, monkeypatch):
+    """Semantic pin (beyond oracle parity): a document dense in the probe
+    terms must outrank a long document mentioning one term once, and docs
+    with no probe term must not appear; the absent term ('shuffle' is not
+    in the synthetic vocab) contributes nothing."""
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    filler = " ".join(f"f{i}" for i in range(50))
+    rows = [
+        (1, "spark merge window spark merge window spark", "en", "s", 1),
+        (2, filler + " spark", "en", "s", 1),
+        (3, filler + " " + filler, "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: df)
+    got = ts.q_bm25_topk(spark, "unused").collect()
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 1 and 2 in ids and 3 not in ids
+    assert {r.doc_id: r.n_terms for r in got}[1] == 3  # shuffle absent -> 3 not 4
+
+
+def test_quantize_int8_reconstruction_bound(spark, monkeypatch):
+    """Semantic pin: dequantizing q back to mn + q*range/255 must land
+    within one quantization step of the original scaled value for every
+    element, q spans the full 0..255 code range on min/max elements, and
+    degenerate constant dimensions quantize to 0."""
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, EMB_DIM)).astype(np.float32)
+    vecs[:, 7] = 0.25  # degenerate dim
+    df = _emb_df(spark, vecs)
+    ranges = sim.dim_ranges(df)
+    got = {r.vec_id: r.qvec for r in sim.quantize_int8(df, ranges).collect()}
+    se = np.floor(vecs.astype(np.float64) * 10000 + 0.5).astype(np.int64)
+    for d in range(EMB_DIM):
+        mn, mx = ranges[d]
+        assert mn == se[:, d].min() and mx == se[:, d].max()
+        qs = np.array([got[i][d] for i in range(len(vecs))])
+        if mx == mn:
+            assert (qs == 0).all()
+            continue
+        assert qs.min() == 0 and qs.max() == 255
+        step = (mx - mn) / 255.0
+        recon = mn + qs * step
+        assert np.abs(recon - se[:, d]).max() <= step + 1e-9
+
+
+def test_caption_pairs_contract(spark, monkeypatch):
+    """Semantic pin for caption mining on constructed docs: a normal doc
+    captions every image with the FOLLOWING text span; a doc whose last
+    span is an image falls back to the PRECEDING span; a single-chunk doc
+    (image only) emits a NULL caption with NULL cap_src."""
+    import ocrd_anybaseocr_spark.queries as Q
+
+    # chunking: 8 words/chunk, image at i%6==0, heading at i%7==3
+    w = lambda n: " ".join(f"w{i}" for i in range(n))
+    rows = [
+        (1, w(20), "en", "s", 1),   # 3 chunks: img, text, text
+        (2, w(49), "en", "s", 1),   # 7 chunks: img at 0 and 6 (6%6==0, last)
+        (3, w(5), "en", "s", 1),    # 1 chunk: image only
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(Q, "load_table", lambda s, d, n: df)
+    got = {
+        (r.doc_id, r.media_ref): (r.caption, r.cap_src)
+        for r in Q.QUERIES["caption_pairs"](spark, "unused").collect()
+    }
+    assert got[(1, "1_p0")][1] == "following"
+    assert got[(1, "1_p0")][0] == " ".join(f"w{i}" for i in range(8, 16))
+    assert got[(2, "2_p1")][1] == "preceding"   # image at ord 6 is last
+    assert got[(2, "2_p1")][0] == " ".join(f"w{i}" for i in range(40, 48))
+    assert got[(3, "3_p0")] == (None, None)
