@@ -882,3 +882,155 @@ ORACLE_SOURCE_MIX = """
            CAST(n_total * 1000000 // (n_sources * n_docs) AS BIGINT) AS weight_ppm
     FROM per_src, totals
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): per-document log importance ratio of a
+# hashed-ngram bag-of-features model fit on a target distribution vs the raw
+# corpus — the weights a curation pipeline resamples by to skew a web crawl
+# toward a target domain. Target distribution here: the corpus's own
+# DSIR_TARGET_LANG slice (the in-corpus stand-in for "looks like the
+# high-quality target domain").
+# ---------------------------------------------------------------------------
+
+# bucket = FIRST md5 BYTE of the feature (2 hex chars), so B is pinned to 256
+# and no modulo is needed — the 24-bit-prefix % 2^k recipe degenerates to a
+# plain prefix read when k <= 24.
+DSIR_BUCKETS = 256
+DSIR_SCALE = 1_000_000  # log-ratios in micro-bits (exact int, like LM_SUP_SCALE)
+DSIR_TARGET_LANG = "en"
+
+_DSIR_WS = "split(text, ' ')"
+# DSIR features: hashed unigrams + bigrams (the paper's feature set). The
+# bigram list is built with zip_with over two slices — NOT sequence() (which
+# is DESCENDING for (1, 0), the short-array trap) — so a 1-word doc yields
+# exactly its unigram. n_feats is always 2*size(ws) - 1.
+_DSIR_FEATS = (
+    f"concat({_DSIR_WS}, zip_with(slice({_DSIR_WS}, 1, size({_DSIR_WS}) - 1),"
+    f" slice({_DSIR_WS}, 2, size({_DSIR_WS}) - 1), (a, b) -> concat(a, ' ', b)))"
+)
+
+
+def dsir_log_ratios(docs: DataFrame) -> list[int]:
+    """Fit both hashed-ngram unigram LMs in ONE pass: explode features,
+    bucket by first md5 byte, and conditional-count target vs raw per
+    bucket — 256 groups, so map-side combine collapses every task to at
+    most 256 rows and the driver fetch is a bounded 256x2-int transfer
+    (the dim_ranges/IVF-centroid build pattern). Laplace-smoothed
+    log2 ratio per bucket, rounded HALF-UP to exact micro-bits with the
+    lm_cross_entropy boundary argument (log2 disagreement across
+    Python/DuckDB ~1 ulp vs a ~1e-9-wide rounding boundary); the term
+    order in the float expression mirrors ORACLE_DSIR exactly."""
+    import math
+
+    from .dedup import _md5_prefix_int_spark
+
+    rows = (
+        docs.select("lang", F.explode(F.expr(_DSIR_FEATS)).alias("feat"))
+        .select(
+            F.expr(_md5_prefix_int_spark("feat", 2)).alias("b"),
+            F.expr(
+                f"CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END"
+            ).alias("is_t"),
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"), F.sum("is_t").alias("ct"))
+        .collect()
+    )
+    B = DSIR_BUCKETS
+    cr = [0] * B
+    ct = [0] * B
+    for r in rows:
+        cr[int(r["b"])] = int(r["cr"])
+        ct[int(r["b"])] = int(r["ct"])
+    R, T = sum(cr), sum(ct)
+    return [
+        int(
+            math.floor(
+                (
+                    math.log2(ct[b] + 1)
+                    - math.log2(cr[b] + 1)
+                    + math.log2(R + B)
+                    - math.log2(T + B)
+                )
+                * DSIR_SCALE
+                + 0.5
+            )
+        )
+        for b in range(B)
+    ]
+
+
+def dsir_score(docs: DataFrame, lr: list[int]) -> DataFrame:
+    """(doc_id, n_feats, lw_e6): per-document log importance weight =
+    sum over hashed features of the bucket log-ratio. The 256 log-ratios
+    ride in as ONE folded array Literal (F.lit(list) — verified to fold
+    to a single Literal in the optimized plan, unlike array(...) built
+    inside a lambda), so the whole scoring pass is a NARROW
+    scan -> project with zero exchanges at any corpus size
+    (plan-asserted); the per-feature work is one md5 + one element_at.
+    Exact int64 sums are partition-order-independent."""
+    lr_col = F.lit([int(v) for v in lr])
+
+    def step(acc, f):
+        idx = (
+            F.conv(F.substring(F.md5(f), 1, 2), 16, 10).cast("long") + 1
+        ).cast("int")
+        return acc + F.element_at(lr_col, idx)
+
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(2 * size({_DSIR_WS}) - 1 as bigint)").alias("n_feats"),
+        F.aggregate(F.expr(_DSIR_FEATS), F.lit(0).cast("long"), step).alias(
+            "lw_e6"
+        ),
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: one bounded model-fit job (256-group partial agg + 256x2-int
+    driver fetch), then a zero-shuffle scoring projection over literal
+    log-ratios — build-once/serve-many, like the IVF/PQ/quantize family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_score(docs, dsir_log_ratios(docs))
+
+
+def _oracle_dsir() -> str:
+    from .dedup import _hexn_to_int_duck
+
+    buk = _hexn_to_int_duck("md5(feat)", 2)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ), f AS (
+      SELECT doc_id, lang,
+             list_concat(ws, list_transform(generate_series(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1])) AS feats
+      FROM w
+    ), x AS (
+      SELECT doc_id, lang, unnest(feats) AS feat FROM f
+    ), cnt AS (
+      SELECT {buk} AS b, COUNT(*) AS cr,
+             SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+      FROM x GROUP BY 1
+    ), tot AS (
+      SELECT SUM(cr) AS r, SUM(ct) AS t FROM cnt
+    ), lr AS (
+      SELECT s.b,
+             CAST(floor((log2(COALESCE(cnt.ct, 0) + 1)
+                  - log2(COALESCE(cnt.cr, 0) + 1)
+                  + log2(tot.r + {DSIR_BUCKETS})
+                  - log2(tot.t + {DSIR_BUCKETS}))
+                  * {DSIR_SCALE} + 0.5) AS BIGINT) AS lr_e6
+      FROM generate_series(0, {DSIR_BUCKETS - 1}) AS s(b)
+      LEFT JOIN cnt ON cnt.b = s.b CROSS JOIN tot
+    )
+    SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(lr.lr_e6) AS BIGINT) AS lw_e6
+    FROM x JOIN lr ON lr.b = {buk}
+    GROUP BY x.doc_id
+"""
+
+
+ORACLE_DSIR = _oracle_dsir()

@@ -990,3 +990,89 @@ def test_caption_pairs_contract(spark, monkeypatch):
     assert got[(2, "2_p1")][1] == "preceding"   # image at ord 6 is last
     assert got[(2, "2_p1")][0] == " ".join(f"w{i}" for i in range(40, 48))
     assert got[(3, "3_p0")] == (None, None)
+
+
+def test_dsir_weights_separate_planted_vocabularies(spark, monkeypatch):
+    """Semantic pin for DSIR (beyond oracle parity): on a corpus where the
+    target language uses a disjoint vocabulary, every target-language doc
+    must score a strictly higher per-feature importance weight than every
+    off-target doc, and a fresh doc written in the target vocabulary (but
+    labelled off-target) must score on the target side — the weight tracks
+    CONTENT similarity to the target distribution, not the label."""
+    import math
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    rng = np.random.default_rng(7)
+    voc_a = [f"alpha{i}" for i in range(30)]
+    voc_b = [f"beta{i}" for i in range(30)]
+    rows = []
+    for d in range(12):
+        voc = voc_a if d < 6 else voc_b
+        lang = "en" if d < 6 else "zh"
+        rows.append((d, " ".join(rng.choice(voc, 40)), lang, "s", 1))
+    # doc 12: target vocabulary, off-target label
+    rows.append((12, " ".join(rng.choice(voc_a, 40)), "zh", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: df)
+    got = {
+        r.doc_id: r.lw_e6 / r.n_feats
+        for r in ts.q_dsir_weights(spark, "unused").collect()
+    }
+    assert len(got) == 13
+    target = [got[d] for d in range(6)] + [got[12]]
+    off = [got[d] for d in range(6, 12)]
+    assert min(target) > max(off), got
+    # exact-int Python twin of the fit+score (the pytest-side oracle for
+    # monkeypatched inputs, mirroring the DuckDB CTE term for term)
+    import hashlib
+    from collections import Counter
+
+    B = ts.DSIR_BUCKETS
+    feats = lambda t: t.split(" ") + [
+        f"{a} {b}" for a, b in zip(t.split(" "), t.split(" ")[1:])
+    ]
+    buk = lambda f: int(hashlib.md5(f.encode()).hexdigest()[:2], 16)
+    cr, ct = Counter(), Counter()
+    for _, text, lang, _, _ in rows:
+        for f in feats(text):
+            cr[buk(f)] += 1
+            if lang == "en":
+                ct[buk(f)] += 1
+    R, T = sum(cr.values()), sum(ct.values())
+    lr = [
+        math.floor(
+            (
+                math.log2(ct[b] + 1)
+                - math.log2(cr[b] + 1)
+                + math.log2(R + B)
+                - math.log2(T + B)
+            )
+            * ts.DSIR_SCALE
+            + 0.5
+        )
+        for b in range(B)
+    ]
+    for doc_id, text, _, _, _ in rows:
+        fs = feats(text)
+        assert got[doc_id] == sum(lr[buk(f)] for f in fs) / len(fs), doc_id
+
+
+def test_dsir_weights_shuffle_invariance(spark):
+    """dsir_weights rows must be identical under different shuffle widths
+    (fit = exact-int conditional counts; score = narrow literal algebra)."""
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for parts in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            df = QUERIES["dsir_weights"](spark, sf)
+            outs.append(sorted(tuple(r) for r in df.collect()))
+        assert outs[0] == outs[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -238,6 +238,20 @@ def test_quantize_serving_projection_is_narrow(spark, sf_dir):
     assert count_exchanges(df) == 0, explain_str(df, "simple")
 
 
+def test_dsir_scoring_is_narrow_with_folded_literal(spark, sf_dir):
+    """DSIR serving: the per-doc scoring over the 256 literal log-ratios
+    must be scan -> project, zero exchanges (the quantize/IVF literal
+    pattern), and the ratio table must appear as ONE folded array Literal
+    ([..]), never a per-element CreateArray rebuilt inside the lambda."""
+    from ocrd_anybaseocr_spark.operators.textstats import dsir_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dsir_score(docs, list(range(256)))
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+    optimized = explain_str(df, "extended").replace(" ", "")
+    assert "element_at([0,1,2," in optimized, optimized[:2000]
+
+
 def test_bm25_broadcasts_stats_and_prefilters_terms(spark, sf_dir):
     """BM25: the idf/corpus-stats sides ride broadcast joins (never a
     shuffled join against the token stream) and the probe-term filter runs
