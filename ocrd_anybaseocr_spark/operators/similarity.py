@@ -399,14 +399,18 @@ def derive_ivf_k(n_rows: int) -> int:
     return min(IVF_MAX_K, max(IVF_K, math.ceil(math.sqrt(n_rows))))
 
 
-def _argmin_cell_expr(cents: list[tuple[int, list[int]]], vcol: str = "v_se") -> str:
-    """Nearest-centroid id as ONE narrow column expression over ``v_se``:
-    the k x dim scaled-int centroid matrix ships as plan literals and the
-    argmin is a left fold over per-centroid exact squared-L2 structs —
-    zero joins, zero shuffles, whole corpus stays a projection (VERDICT r3
-    item 2: the previous broadcast-join + row_number form shuffled N x k
-    rows). ``cents`` must be ascending by cell id: the fold keeps the
-    FIRST minimum (strict <), which is exactly the (d2, cell) tie-break.
+def _argmin_struct_expr(cents: list[tuple[int, list[int]]], vcol: str = "v_se") -> str:
+    """Nearest-centroid (d2, cell) STRUCT as ONE narrow column expression
+    over ``v_se``: the k x dim scaled-int centroid matrix ships as plan
+    literals and the argmin is a left fold over per-centroid exact
+    squared-L2 structs — zero joins, zero shuffles, whole corpus stays a
+    projection (VERDICT r3 item 2: the previous broadcast-join +
+    row_number form shuffled N x k rows). ``cents`` must be ascending by
+    cell id: the fold keeps the FIRST minimum (strict <), which is
+    exactly the (d2, cell) tie-break. Consumers needing BOTH fields
+    (SemDeDup's ordering key is the d2) should materialize the struct
+    before expanding it — two field extractions in one collapsed
+    projection would re-run the whole fold twice per row.
 
     Layout matters: each centroid's 64-int literal is a DIRECT zip_with
     argument, outside every lambda, so ConstantFolding collapses it once
@@ -425,8 +429,13 @@ def _argmin_cell_expr(cents: list[tuple[int, list[int]]], vcol: str = "v_se") ->
     return (
         f"aggregate(array({structs}),"
         f" named_struct('d', 9223372036854775807L, 'c', -1),"
-        f" (acc, s) -> IF(s.d < acc.d, s, acc)).c"
+        f" (acc, s) -> IF(s.d < acc.d, s, acc))"
     )
+
+
+def _argmin_cell_expr(cents: list[tuple[int, list[int]]], vcol: str = "v_se") -> str:
+    """Nearest-centroid id — the `.c` projection of _argmin_struct_expr."""
+    return _argmin_struct_expr(cents, vcol) + ".c"
 
 
 def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
@@ -1242,6 +1251,117 @@ ORACLE_KMEANS = f"""
                         t -> (t[1] - t[2]) * (t[1] - t[2]))), c.cid) AS rk
       FROM se s CROSS JOIN cb{KMEANS_ITERS} c
     ) WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup via k-means buckets —
+# within-cluster pairwise cosine with the farthest-from-centroid kept first
+# ---------------------------------------------------------------------------
+
+# same scale/meaning as NEAR_DUP_DOT_E8: exact 1e8-scaled integer dot on the
+# unit-ish vectors ~ cosine * 1e8; kept its own constant so the SemDeDup
+# aggressiveness can be tuned independently of the LSH near-dup family.
+SEMDEDUP_DOT_E8 = 35_000_000
+
+
+def semantic_assignments(emb: DataFrame, cents) -> DataFrame:
+    """(vec_id, v_se, ac struct<d,c>): k-means assignment that also keeps
+    the exact squared-L2 to the OWN centroid — SemDeDup's within-cluster
+    ordering key — from the SAME single argmin fold. NARROW: scan ->
+    project, zero exchanges (plan-asserted). Callers expand ac AFTER a
+    checkpoint (see _argmin_struct_expr's docstring)."""
+    v = emb.select("vec_id", F.expr(_SE_SPARK).alias("v_se"))
+    return v.select("vec_id", "v_se", F.expr(_argmin_struct_expr(cents)).alias("ac"))
+
+
+def semantic_dedup_decisions(asg: DataFrame) -> DataFrame:
+    """(vec_id, cluster, d2, kept): the released-SemDeDup triangular rule.
+    Within each k-means cluster, order points farthest-from-centroid
+    first (exact-int d2 DESC, vec_id ASC); a point is dropped iff ANY
+    earlier point in that order has dot >= SEMDEDUP_DOT_E8 — whether or
+    not the earlier point itself survived (the paper's implementation
+    masks the upper triangle of the sim matrix, so a dropped point still
+    shadows later ones; pinned by the chain test).
+
+    Scale shape: this is the paper's O(c^2)-within-cluster step — safe
+    exactly because k grows with the corpus (SemDeDup runs ~0.1%*N
+    clusters; our KMEANS_K would be derived upward the same way
+    derive_ivf_k grows IVF cells, with the min_by fallback past
+    IVF_MAX_K). The cluster equi-join never crosses clusters; everything
+    compared is exact int64, so kept/dropped is partition-order-free.
+
+    ``asg`` must carry (vec_id, v_se, cluster, d2) — the expanded form of
+    semantic_assignments, materialized first."""
+    a = asg.select(
+        "cluster",
+        F.col("vec_id").alias("va"),
+        F.col("v_se").alias("se_a"),
+        F.col("d2").alias("d2_a"),
+    )
+    b = asg.select(
+        "cluster",
+        F.col("vec_id").alias("vb"),
+        F.col("v_se").alias("se_b"),
+        F.col("d2").alias("d2_b"),
+    )
+    dot = "aggregate(zip_with(se_a, se_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    shadows = (
+        a.join(b, "cluster")
+        .filter(
+            F.expr(
+                f"(d2_a > d2_b OR (d2_a = d2_b AND va < vb))"
+                f" AND {dot} >= {SEMDEDUP_DOT_E8}"
+            )
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return asg.join(shadows.withColumn("sh", F.lit(1)), "vec_id", "left").select(
+        "vec_id", "cluster", "d2", F.expr("sh IS NULL").alias("kept")
+    )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: deterministic Lloyd k-means
+    buckets (the kmeans_clusters recipe), then the triangular
+    within-cluster cosine rule. The assignment relation is checkpointed
+    before the self-join — both join sides would otherwise re-run the
+    interpreted argmin fold (the _IVF_ASSIGN_CACHE lesson)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb)
+    raw = semantic_assignments(emb, cents).localCheckpoint(eager=True)
+    asg = raw.select(
+        "vec_id", "v_se", F.col("ac.c").alias("cluster"), F.col("ac.d").alias("d2")
+    )
+    return semantic_dedup_decisions(asg)
+
+
+_SEMDEDUP_D2 = (
+    "list_sum(list_transform(list_zip(s.v_se, c.c),"
+    " t -> (t[1] - t[2]) * (t[1] - t[2])))"
+)
+
+ORACLE_SEMDEDUP = f"""
+    WITH se AS (
+      SELECT vec_id, {_SE_DUCK} AS v_se FROM embeddings
+    ), {_kmeans_iter_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)}, asg AS (
+      -- list_sum yields HUGEINT (pandas float64); the emitted d2 must be
+      -- BIGINT to hash-match Spark's exact int64
+      SELECT vec_id, CAST(d2 AS BIGINT) AS d2, cluster, v_se FROM (
+        SELECT s.vec_id, c.cid AS cluster, {_SEMDEDUP_D2} AS d2, s.v_se,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_SEMDEDUP_D2}, c.cid) AS rk
+        FROM se s CROSS JOIN cb{KMEANS_ITERS} c
+      ) WHERE rk = 1
+    ), shadows AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON a.cluster = b.cluster
+        AND (a.d2 > b.d2 OR (a.d2 = b.d2 AND a.vec_id < b.vec_id))
+        AND CAST(list_dot_product(a.v_se, b.v_se) AS BIGINT) >= {SEMDEDUP_DOT_E8}
+    )
+    SELECT asg.vec_id, asg.cluster, asg.d2, s.vec_id IS NULL AS kept
+    FROM asg LEFT JOIN shadows s USING (vec_id)
 """
 
 

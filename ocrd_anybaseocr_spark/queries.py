@@ -599,6 +599,7 @@ register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
 register("ann_ivf_flat", _sim.ORACLE_ANN_IVF)(_sim.q_ann_ivf_flat)
 register("ann_pq_adc", _sim.ORACLE_ANN_PQ)(_sim.q_ann_pq_adc)
 register("kmeans_clusters", _sim.ORACLE_KMEANS)(_sim.q_kmeans_clusters)
+register("dedup_semantic", _sim.ORACLE_SEMDEDUP)(_sim.q_dedup_semantic)
 register("embedding_quantize_int8", _sim.ORACLE_QUANT_INT8)(
     _sim.q_embedding_quantize_int8
 )

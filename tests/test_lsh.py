@@ -1076,3 +1076,52 @@ def test_dsir_weights_shuffle_invariance(spark):
         assert outs[0] == outs[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_semantic_dedup_chain_shadowing(spark):
+    """The released-SemDeDup triangular rule (Abbas et al. 2023): within a
+    cluster, points are ordered farthest-from-centroid first and a point
+    is dropped iff ANY earlier point is within the cosine threshold —
+    including earlier points that were THEMSELVES dropped (the paper's
+    implementation masks the upper triangle of the full sim matrix, so a
+    dropped point still shadows later ones). Planted chain A–B–C at
+    angles 90/40/0 degrees: sim(A,B) and sim(B,C) cross the 0.35
+    threshold, sim(A,C)=0 does not — so C must be dropped ONLY via the
+    already-dropped B. A control cluster with just A' and C' keeps both."""
+    from ocrd_anybaseocr_spark.operators.similarity import (
+        SEMDEDUP_DOT_E8,
+        semantic_dedup_decisions,
+    )
+
+    A = [0, 10000]
+    B = [7660, 6428]   # 40 deg: dot(A,B)=6.428e7, dot(B,C)=7.66e7
+    C = [10000, 0]     # dot(A,C)=0
+    assert 10000 * 6428 >= SEMDEDUP_DOT_E8 > 0
+    asg = spark.createDataFrame(
+        [
+            (1, A, 1, 100),
+            (2, B, 1, 50),
+            (3, C, 1, 10),
+            (4, A, 2, 100),
+            (5, C, 2, 10),
+        ],
+        "vec_id long, v_se array<bigint>, cluster int, d2 long",
+    )
+    got = {r.vec_id: r.kept for r in semantic_dedup_decisions(asg).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: True}
+
+
+def test_semantic_dedup_tie_break_and_self(spark):
+    """d2 ties order by vec_id ASC (lower id shadows higher), and a point
+    never shadows itself even though dot(self,self) maxes the scale."""
+    from ocrd_anybaseocr_spark.operators.similarity import (
+        semantic_dedup_decisions,
+    )
+
+    V = [0, 10000]
+    asg = spark.createDataFrame(
+        [(7, V, 1, 42), (9, V, 1, 42)],
+        "vec_id long, v_se array<bigint>, cluster int, d2 long",
+    )
+    got = {r.vec_id: r.kept for r in semantic_dedup_decisions(asg).collect()}
+    assert got == {7: True, 9: False}

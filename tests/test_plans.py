@@ -261,3 +261,27 @@ def test_bm25_broadcasts_stats_and_prefilters_terms(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "explode(filter(split(" in plan, plan
+
+
+def test_semantic_assignment_is_narrow_and_join_is_equi(spark, sf_dir):
+    """SemDeDup: the assignment relation (vec_id, v_se, d2, cluster) must
+    be scan -> project over centroid literals (zero exchanges — the
+    kmeans/IVF contract), and the within-cluster shadow join must be an
+    equi-join on cluster, never a cartesian (the O(c^2) work is confined
+    inside clusters by the join key)."""
+    from ocrd_anybaseocr_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_assignments,
+        semantic_dedup_decisions,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = semantic_assignments(emb, kmeans_centroids(emb))
+    assert count_exchanges(raw) == 0, explain_str(raw, "simple")
+    from pyspark.sql import functions as F
+
+    asg = raw.select(
+        "vec_id", "v_se", F.col("ac.c").alias("cluster"), F.col("ac.d").alias("d2")
+    )
+    plan = explain_str(semantic_dedup_decisions(asg), "simple")
+    assert "CartesianProduct" not in plan, plan
