@@ -1288,49 +1288,66 @@ def semantic_dedup_decisions(asg: DataFrame) -> DataFrame:
     exactly because k grows with the corpus (SemDeDup runs ~0.1%*N
     clusters; our KMEANS_K would be derived upward the same way
     derive_ivf_k grows IVF cells, with the min_by fallback past
-    IVF_MAX_K). The cluster equi-join never crosses clusters; everything
-    compared is exact int64, so kept/dropped is partition-order-free.
+    IVF_MAX_K). Work never crosses clusters; everything compared is
+    exact int64, so kept/dropped is partition-order-free.
 
     ``asg`` must carry (vec_id, v_se, cluster, d2) — the expanded form of
-    semantic_assignments, materialized first."""
-    a = asg.select(
-        "cluster",
-        F.col("vec_id").alias("va"),
-        F.col("v_se").alias("se_a"),
-        F.col("d2").alias("d2_a"),
-    )
-    b = asg.select(
-        "cluster",
-        F.col("vec_id").alias("vb"),
-        F.col("v_se").alias("se_b"),
-        F.col("d2").alias("d2_b"),
-    )
-    dot = "aggregate(zip_with(se_a, se_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-    shadows = (
-        a.join(b, "cluster")
-        .filter(
-            F.expr(
-                f"(d2_a > d2_b OR (d2_a = d2_b AND va < vb))"
-                f" AND {dot} >= {SEMDEDUP_DOT_E8}"
-            )
+    semantic_assignments, materialized first.
+
+    Physical form: grouped ``applyInPandas`` (one cluster = one Arrow
+    batch) with a vectorized int64 matmul — the within-cluster all-pairs
+    work runs as ONE numpy gram block per cluster instead of c^2
+    interpreted zip_with folds, and the shuffle moves c x dim rows, not
+    the c^2 x dim pair blow-up of the equi-join form (measured 5.7 s ->
+    sub-second at sf0.1). int64 matmul is exact (|se| <= 1e4, dim 64 ->
+    |dot| <= 6.4e9 << 2^63), so cross-engine parity with the DuckDB SQL
+    twin is bit-for-bit. Columns are chunked so peak memory per cluster
+    stays O(c * chunk), never a full c^2 matrix on giant clusters."""
+    thr = SEMDEDUP_DOT_E8
+
+    def _decide(pdf):
+        import numpy as np
+        import pandas as pd
+
+        d2 = pdf["d2"].to_numpy(dtype=np.int64)
+        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        # farthest-from-centroid first; vec_id ASC breaks d2 ties
+        order = np.lexsort((vid, -d2))
+        X = np.stack(pdf["v_se"].to_numpy()[order]).astype(np.int64)
+        c = len(order)
+        shadowed = np.zeros(c, dtype=bool)
+        chunk = 4096
+        for a in range(1, c, chunk):
+            b = min(a + chunk, c)
+            # cols a..b need rows 0..b-1; strict upper triangle only
+            sims = X[:b] @ X[a:b].T
+            rows = np.arange(b)[:, None]
+            cols = np.arange(a, b)[None, :]
+            shadowed[a:b] = ((sims >= thr) & (rows < cols)).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": vid[order],
+                "cluster": pdf["cluster"].to_numpy()[order],
+                "d2": d2[order],
+                "kept": ~shadowed,
+            }
         )
-        .select(F.col("vb").alias("vec_id"))
-        .distinct()
-    )
-    return asg.join(shadows.withColumn("sh", F.lit(1)), "vec_id", "left").select(
-        "vec_id", "cluster", "d2", F.expr("sh IS NULL").alias("kept")
+
+    return asg.groupBy("cluster").applyInPandas(
+        _decide, "vec_id long, cluster int, d2 long, kept boolean"
     )
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic Lloyd k-means
     buckets (the kmeans_clusters recipe), then the triangular
-    within-cluster cosine rule. The assignment relation is checkpointed
-    before the self-join — both join sides would otherwise re-run the
-    interpreted argmin fold (the _IVF_ASSIGN_CACHE lesson)."""
+    within-cluster cosine rule. One linear pass: scan -> narrow argmin
+    projection -> single exchange on cluster -> grouped Arrow batch (no
+    checkpoint needed — the decisions pass consumes the assignment
+    exactly once, unlike the old self-join form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb)
-    raw = semantic_assignments(emb, cents).localCheckpoint(eager=True)
+    raw = semantic_assignments(emb, cents)
     asg = raw.select(
         "vec_id", "v_se", F.col("ac.c").alias("cluster"), F.col("ac.d").alias("d2")
     )

@@ -821,6 +821,13 @@ def test_new_operators_shuffle_invariance(spark):
             outs.append(sorted(map(tuple, sim.q_kmeans_clusters(spark, sf).collect())))
         assert outs[0] == outs[1]
 
+        sd = []
+        for parts in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            sim.clear_caches()
+            sd.append(sorted(map(tuple, sim.q_dedup_semantic(spark, sf).collect())))
+        assert sd[0] == sd[1]
+
         from ocrd_anybaseocr_spark.operators import textstats as ts
 
         tw = []

@@ -263,12 +263,14 @@ def test_bm25_broadcasts_stats_and_prefilters_terms(spark, sf_dir):
     assert "explode(filter(split(" in plan, plan
 
 
-def test_semantic_assignment_is_narrow_and_join_is_equi(spark, sf_dir):
+def test_semantic_assignment_is_narrow_decisions_one_exchange(spark, sf_dir):
     """SemDeDup: the assignment relation (vec_id, v_se, d2, cluster) must
     be scan -> project over centroid literals (zero exchanges — the
-    kmeans/IVF contract), and the within-cluster shadow join must be an
-    equi-join on cluster, never a cartesian (the O(c^2) work is confined
-    inside clusters by the join key)."""
+    kmeans/IVF contract), with the (d2, cluster) struct fold appearing
+    ONCE in the optimized plan even though both fields are extracted
+    (CollapseProject must not duplicate the non-cheap fold). The full
+    decisions pass is that projection + exactly ONE exchange (hash by
+    cluster) + a grouped Arrow batch — never a pair-blow-up join."""
     from ocrd_anybaseocr_spark.operators.similarity import (
         kmeans_centroids,
         semantic_assignments,
@@ -283,5 +285,10 @@ def test_semantic_assignment_is_narrow_and_join_is_equi(spark, sf_dir):
     asg = raw.select(
         "vec_id", "v_se", F.col("ac.c").alias("cluster"), F.col("ac.d").alias("d2")
     )
-    plan = explain_str(semantic_dedup_decisions(asg), "simple")
+    df = semantic_dedup_decisions(asg)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("aggregate(array(named_struct") == 1, opt
+    plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert count_exchanges(df) == 1, plan
