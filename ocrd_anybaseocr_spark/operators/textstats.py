@@ -884,6 +884,70 @@ ORACLE_SOURCE_MIX = """
 """
 
 
+def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, weight_ppm, n_copies): APPLY the uniform-mix
+    weights — the resampling step that turns source_mix_weights into an
+    actual epoch plan per document. n_copies = weight_ppm div 1e6 full
+    epochs plus one more iff a seeded per-doc draw lands under the
+    fractional part: draw_ppm = (first 8 md5 hex chars of 'mix:'||doc_id)
+    mod 1e6 — salted so the draw stream is independent of every other
+    md5-seeded sampler in the repo, uniform to 0.02% (2^32 mod 1e6 wrap).
+    Deterministic on any engine/partitioning; expected copies per source
+    = n_total/n_sources by construction (pinned in pytest).
+
+    Scale shape: the weights side is a tiny per-source agg broadcast into
+    a narrow per-doc projection — the doc stream is touched once for the
+    agg and once for the scoring pass, and in a real pipeline the weights
+    relation is precomputed so serving is pure scan -> project."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = per_src.select(
+        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    weights = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.expr("cast(n_total * 1000000 div (n_sources * n_docs) as bigint)").alias(
+            "weight_ppm"
+        ),
+    )
+    draw = (
+        "cast(conv(substring(md5(cast(concat('mix:', cast(doc_id as string))"
+        " as binary)), 1, 8), 16, 10) as bigint) % 1000000"
+    )
+    return docs.join(F.broadcast(weights), "source").select(
+        "doc_id",
+        "source",
+        "weight_ppm",
+        F.expr(
+            f"cast(weight_ppm div 1000000"
+            f" + if({draw} < weight_ppm % 1000000, 1, 0) as bigint)"
+        ).alias("n_copies"),
+    )
+
+
+ORACLE_SOURCE_MIX_SAMPLE = f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), totals AS (
+      SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM per_src
+    ), w AS (
+      SELECT source,
+             CAST(n_total * 1000000 // (n_sources * n_docs) AS BIGINT) AS weight_ppm
+      FROM per_src, totals
+    )
+    SELECT d.doc_id, d.source, w.weight_ppm,
+           CAST(weight_ppm // 1000000 + CASE WHEN
+               {_hex8_int("md5('mix:' || CAST(d.doc_id AS VARCHAR))", "strpos")}
+               % 1000000 < weight_ppm % 1000000 THEN 1 ELSE 0 END
+             AS BIGINT) AS n_copies
+    FROM documents d JOIN w USING (source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023, "Data Selection for Language
 # Models via Importance Resampling"): per-document log importance ratio of a

@@ -1132,3 +1132,32 @@ def test_semantic_dedup_tie_break_and_self(spark):
     )
     got = {r.vec_id: r.kept for r in semantic_dedup_decisions(asg).collect()}
     assert got == {7: True, 9: False}
+
+
+def test_source_mix_sample_exact_twin_and_expectation(spark, monkeypatch):
+    """source_mix_sample vs an exact Python twin (hashlib md5 draw, same
+    salt/floor-div algebra) on a skewed 8/2 two-source corpus: per-doc
+    n_copies match exactly, the rare source gets >= 2 epochs per doc, and
+    per-source expected copies equal n_total/n_sources under the ppm
+    weights (the uniform-mix contract)."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    rows = [(i, "w", "en", "a" if i < 8 else "b", 1) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = {r.doc_id: (r.weight_ppm, r.n_copies)
+           for r in ts.q_source_mix_sample(spark, "unused").collect()}
+    assert len(got) == 10
+    for doc_id in range(10):
+        w = 10_000_000 // (2 * (8 if doc_id < 8 else 2))
+        draw = int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:8], 16) % 1_000_000
+        want = w // 1_000_000 + (1 if draw < w % 1_000_000 else 0)
+        assert got[doc_id] == (w, want), (doc_id, got[doc_id], (w, want))
+        if doc_id >= 8:
+            assert got[doc_id][1] >= 2  # rare source always upsampled
+    # expectation: sum over a source of (w/1e6) = n_total/n_sources = 5
+    assert sum(got[i][0] for i in range(8)) / 1_000_000 == 5.0
