@@ -1230,3 +1230,161 @@ ORACLE_DEDUP_INCREMENTAL = f"""
 # {SHD} is not a placeholder here: _minhash_sig_banded0_cte() splices
 # _SHINGLES_DUCK via its f-string already, so only {H32} needs resolving.
 ORACLE_DEDUP_INCREMENTAL = ORACLE_DEDUP_INCREMENTAL.replace("{H32}", _H24_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter ingest pre-filter: the cheap membership gate in front of
+# exact dedup at ingest time — build one bit_or-folded filter over the
+# corpus keys, probe the new batch, and expose false positives by exact
+# verification (observability per the no-silent-caps convention)
+# ---------------------------------------------------------------------------
+
+# 63-bit filter words: bit index stays in [0, 62] so neither engine ever
+# shifts into the int64 sign bit (DuckDB RAISES on 1::BIGINT << 63).
+BLOOM_WORD_BITS = 63
+BLOOM_K = 4  # four DISJOINT 8-hex slices of one md5 = 4 independent 32-bit hashes
+BLOOM_MIN_WORDS = 16
+BLOOM_BITS_PER_KEY = 10  # m ~= 10n -> ~1.2% FP at the classic k=4 sizing
+
+
+def _bloom_word_count_expr(n_col: str) -> str:
+    """words = max(MIN, ceil(BITS_PER_KEY * n / 63)) — pure integer algebra
+    (no float log2), so Spark and DuckDB derive the SAME filter geometry
+    from the corpus count, the dynamic-LSH-bits lesson without the
+    float edge."""
+    return (
+        f"greatest({BLOOM_MIN_WORDS}L,"
+        f" cast(({BLOOM_BITS_PER_KEY} * {n_col} + {BLOOM_WORD_BITS - 1})"
+        f" div {BLOOM_WORD_BITS} as bigint))"
+    )
+
+
+def _bloom_positions(keyed: DataFrame) -> DataFrame:
+    """(doc_id, p): the BLOOM_K bit positions of each key. ``keyed`` must
+    carry (doc_id, h = md5 hex of the key, words). Slice j reads hex chars
+    8j+1..8j+8 — disjoint md5 substrings are independent 32-bit draws, so
+    no affine remixing (and no wrapping-family pitfall) is needed."""
+    slices = ", ".join(
+        f"cast(conv(substring(h, {8 * j + 1}, 8), 16, 10) as bigint)"
+        f" % ({BLOOM_WORD_BITS} * words)"
+        for j in range(BLOOM_K)
+    )
+    return keyed.select("doc_id", F.expr(f"explode(array({slices}))").alias("p"))
+
+
+def bloom_filter_words(corpus_keyed: DataFrame) -> DataFrame:
+    """(word, bits): the corpus Bloom filter as bit_or-folded 63-bit words
+    — ONE partial-agg shuffle over BLOOM_K rows per key; the filter
+    relation is ~n/6.3 rows (bits/key=10), i.e. ~1.6% of the corpus row
+    count, and is the thing a production ingest PERSISTS between batches."""
+    return (
+        _bloom_positions(corpus_keyed)
+        .select(
+            F.expr(f"p div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"shiftleft(1L, cast(p % {BLOOM_WORD_BITS} as int))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+
+def dedup_bloom_ingest(new_docs: DataFrame, corpus_docs: DataFrame) -> DataFrame:
+    """(doc_id, bloom_hit, exact_dup) per NEW-batch doc: probe the corpus
+    Bloom filter with the batch's text-md5 keys, then exact-verify every
+    probe against the corpus key set. bloom_hit=false GUARANTEES
+    exact_dup=false (Bloom filters have no false negatives — pinned in
+    pytest); bloom_hit & !exact_dup rows are the measured false-positive
+    mass, the filter's observability surface.
+
+    Scale shape: the filter build is one partial-agg shuffle; the probe
+    is an equi-join on word (UNHINTED on purpose — at ingest scale the
+    persisted filter relation grows ~n/6.3 rows, far past broadcast, and
+    a shuffled equi-join on word is the correct plan; AQE will broadcast
+    it when it IS small). The exact verify joins on the md5 key — only
+    the standard hash-groupBy dedup shape, never all-pairs. At a real
+    deployment the per-batch pipeline is: probe (drops ~99% of novel
+    keys with 0 corpus I/O when the filter is cached) -> exact verify of
+    the hits only; here both flags are emitted for every batch doc so the
+    FP rate is directly queryable."""
+    nw = corpus_docs.select(
+        F.expr(_bloom_word_count_expr("count(*)")).alias("words")
+    )
+    ck = corpus_docs.select(
+        "doc_id", F.expr("md5(cast(text as binary))").alias("h")
+    ).crossJoin(F.broadcast(nw))
+    pk = new_docs.select(
+        "doc_id", F.expr("md5(cast(text as binary))").alias("h")
+    ).crossJoin(F.broadcast(nw))
+    fw = bloom_filter_words(ck)
+    probe = (
+        _bloom_positions(pk)
+        .select(
+            "doc_id",
+            F.expr(f"p div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"shiftleft(1L, cast(p % {BLOOM_WORD_BITS} as int))").alias("m"),
+        )
+        .join(fw, "word", "left")
+        .groupBy("doc_id")
+        .agg(F.expr("bool_and((coalesce(bits, 0L) & m) = m)").alias("bloom_hit"))
+    )
+    exact = (
+        pk.select("doc_id", "h")
+        .join(ck.select("h").distinct().withColumn("e", F.lit(1)), "h", "left")
+        .select("doc_id", F.expr("e IS NOT NULL").alias("exact_dup"))
+    )
+    return probe.join(exact, "doc_id")
+
+
+def q_dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver form over the single documents table with the
+    dedup_incremental split convention: even doc_ids are the corpus, odd
+    the new batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_bloom_ingest(
+        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
+_BLOOM_H8 = [
+    _hexn_to_int_duck("h", 8, start=8 * j + 1) for j in range(BLOOM_K)
+]
+
+ORACLE_DEDUP_BLOOM = f"""
+    WITH nw AS (
+      SELECT GREATEST({BLOOM_MIN_WORDS},
+               ({BLOOM_BITS_PER_KEY} * COUNT(*) + {BLOOM_WORD_BITS - 1})
+               // {BLOOM_WORD_BITS}) AS words
+      FROM documents WHERE doc_id % 2 = 0
+    ), ck AS (
+      SELECT doc_id, md5(text) AS h, words
+      FROM documents, nw WHERE doc_id % 2 = 0
+    ), pk AS (
+      SELECT doc_id, md5(text) AS h, words
+      FROM documents, nw WHERE doc_id % 2 = 1
+    ), cpos AS (
+      SELECT doc_id,
+             unnest([{", ".join(f"{e} % ({BLOOM_WORD_BITS} * words)" for e in _BLOOM_H8)}]) AS p
+      FROM ck
+    ), fw AS (
+      SELECT p // {BLOOM_WORD_BITS} AS word,
+             bit_or(1::BIGINT << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS bits
+      FROM cpos GROUP BY 1
+    ), ppos AS (
+      SELECT doc_id,
+             unnest([{", ".join(f"{e} % ({BLOOM_WORD_BITS} * words)" for e in _BLOOM_H8)}]) AS p
+      FROM pk
+    ), probe AS (
+      SELECT q.doc_id,
+             bool_and((COALESCE(f.bits, 0) & (1::BIGINT << CAST(q.p % {BLOOM_WORD_BITS} AS INT)))
+                      = (1::BIGINT << CAST(q.p % {BLOOM_WORD_BITS} AS INT))) AS bloom_hit
+      FROM (SELECT doc_id, p, p // {BLOOM_WORD_BITS} AS word FROM ppos) q
+      LEFT JOIN fw f USING (word)
+      GROUP BY q.doc_id
+    ), exact AS (
+      SELECT pk.doc_id, COUNT(ck.h) > 0 AS exact_dup
+      FROM pk LEFT JOIN (SELECT DISTINCT h FROM ck) ck USING (h)
+      GROUP BY pk.doc_id
+    )
+    SELECT probe.doc_id, probe.bloom_hit, exact.exact_dup
+    FROM probe JOIN exact USING (doc_id)
+"""

@@ -590,6 +590,7 @@ register("dedup_simhash_dropped_bands", _dd.ORACLE_SIMHASH_DROPPED_BANDS)(
     _dd.q_dedup_simhash_dropped_bands
 )
 register("dedup_incremental", _dd.ORACLE_DEDUP_INCREMENTAL)(_dd.q_dedup_incremental)
+register("dedup_bloom_ingest", _dd.ORACLE_DEDUP_BLOOM)(_dd.q_dedup_bloom_ingest)
 register("dedup_jaccard_ngram", _dd.ORACLE_JACCARD)(_dd.q_dedup_jaccard)
 register("decontaminate_overlap", _dd.ORACLE_DECON)(_dd.q_decontaminate_overlap)
 register("dedup_exact_substring", _dd.ORACLE_SUBSTR)(_dd.q_dedup_exact_substring)

@@ -1161,3 +1161,55 @@ def test_source_mix_sample_exact_twin_and_expectation(spark, monkeypatch):
             assert got[doc_id][1] >= 2  # rare source always upsampled
     # expectation: sum over a source of (w/1e6) = n_total/n_sources = 5
     assert sum(got[i][0] for i in range(8)) / 1_000_000 == 5.0
+
+
+def test_bloom_ingest_planted_twin_and_no_false_negatives(spark):
+    """dedup_bloom_ingest vs an exact hashlib twin (same disjoint-slice
+    hash family, 63-bit words, integer geometry) on a planted corpus: a
+    new doc that copies a corpus doc must be bloom_hit AND exact_dup
+    (Bloom filters have no false negatives), and every per-doc flag pair
+    matches the twin bit-for-bit."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_K,
+        BLOOM_MIN_WORDS,
+        BLOOM_WORD_BITS,
+        dedup_bloom_ingest,
+    )
+
+    corpus_texts = {i: f"corpus document number {i} with words " + "x " * i
+                    for i in range(40)}
+    new_texts = {100: corpus_texts[7], 101: "a genuinely novel document",
+                 102: corpus_texts[23], 103: "another novel one entirely"}
+    corpus = spark.createDataFrame(
+        list(corpus_texts.items()), "doc_id long, text string"
+    )
+    new = spark.createDataFrame(list(new_texts.items()), "doc_id long, text string")
+    got = {r.doc_id: (r.bloom_hit, r.exact_dup)
+           for r in dedup_bloom_ingest(new, corpus).collect()}
+
+    words = max(BLOOM_MIN_WORDS,
+                (BLOOM_BITS_PER_KEY * len(corpus_texts) + BLOOM_WORD_BITS - 1)
+                // BLOOM_WORD_BITS)
+    m = BLOOM_WORD_BITS * words
+
+    def positions(text):
+        h = hashlib.md5(text.encode()).hexdigest()
+        return [int(h[8 * j: 8 * j + 8], 16) % m for j in range(BLOOM_K)]
+
+    bits = set()
+    for t in corpus_texts.values():
+        bits.update(positions(t))
+    corpus_keys = {hashlib.md5(t.encode()).hexdigest() for t in corpus_texts.values()}
+    want = {}
+    for doc_id, t in new_texts.items():
+        want[doc_id] = (
+            all(p in bits for p in positions(t)),
+            hashlib.md5(t.encode()).hexdigest() in corpus_keys,
+        )
+    assert got == want, (got, want)
+    assert got[100] == (True, True) and got[102] == (True, True)
+    for hit, exact in got.values():  # no false negatives, ever
+        assert not (exact and not hit)

@@ -292,3 +292,13 @@ def test_semantic_assignment_is_narrow_decisions_one_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert count_exchanges(df) == 1, plan
+
+
+def test_bloom_ingest_no_cartesian_scalar_geometry_broadcast(spark, sf_dir):
+    """Bloom ingest: the only nested-loop join allowed is the broadcast
+    1-row filter-geometry attach (the scalar-attach convention); the
+    word probe and the exact verify are equi-joins."""
+    df = QUERIES["dedup_bloom_ingest"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row words attach
