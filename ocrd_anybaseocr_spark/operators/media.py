@@ -359,3 +359,70 @@ def media_dhash(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.select("media_ref", "image").mapInPandas(stage, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprint: the dHash analog for the audio tier — a
+# 64-bit energy-envelope gradient signature feeding the SAME pigeonhole
+# hamming banding as text SimHash and image dHash
+# ---------------------------------------------------------------------------
+
+AFP_WINDOW = 64  # int16 samples per envelope window
+AFP_NWIN = 65  # 65 window energies -> 64 gradient bits
+
+
+def audio_fp_bytes(blob: bytes, window: int = AFP_WINDOW, nwin: int = AFP_NWIN):
+    """(n_windows, afp) for one PCM blob: bit j of the signed-int64
+    fingerprint is set iff energy[j+1] > energy[j] over the leading
+    ``nwin`` windows — the perceptual property is the SHAPE of the energy
+    envelope (robust to uniform gain changes in the >-comparison sense),
+    exactly the dhash_bytes gradient idea transposed to PCM. Pure
+    function shared by the Spark stage and the pytest twin. Returns None
+    for blobs under one sample (no envelope exists)."""
+    import numpy as np
+
+    x = np.frombuffer(blob[: len(blob) // 2 * 2], dtype="<i2").astype(np.int64)
+    if len(x) == 0:
+        return None
+    n_win = min(nwin, -(-len(x) // window))
+    e = [int((x[w * window : (w + 1) * window] ** 2).sum()) for w in range(n_win)]
+    fp = 0
+    for j in range(min(n_win - 1, 64)):
+        if e[j + 1] > e[j]:
+            fp |= 1 << j
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return n_win, fp
+
+
+def audio_fingerprint(blobs: DataFrame) -> DataFrame:
+    """(media_ref, n_windows, afp): Arrow-batched mapInPandas over the
+    binary column (the audio_energy_windows decode, folded straight into
+    the 64 gradient bits — energies never leave the Python worker). Exact
+    integer end-to-end, so the DuckDB hex-arithmetic oracle re-derives the
+    identical signed fingerprint; pairs ride dedup.hamming_pairs, the one
+    banding shared by all three modalities."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("n_windows", T.IntegerType(), False),
+            T.StructField("afp", T.LongType(), False),
+        ]
+    )
+
+    def stage(batches):
+        for pdf in batches:
+            refs, nws, fps = [], [], []
+            for ref, blob in zip(pdf["media_ref"], pdf["image"]):
+                r = audio_fp_bytes(bytes(blob))
+                if r is None:
+                    continue
+                refs.append(ref)
+                nws.append(r[0])
+                fps.append(r[1])
+            yield pd.DataFrame({"media_ref": refs, "n_windows": nws, "afp": fps})
+
+    return blobs.select("media_ref", "image").mapInPandas(stage, schema=schema)

@@ -1460,3 +1460,112 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(name)
         )
     return g.select(*cols, F.col("n_all").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprint + near-dup pairs: the third modality through
+# the shared pigeonhole hamming banding (text SimHash / image dHash / audio
+# envelope gradient)
+# ---------------------------------------------------------------------------
+
+# signed-int64 band weight: bit 63 is the sign bit (DuckDB raises on <<63,
+# so it is spelled as the int64-min literal — the SimHash-widening lesson)
+_AFP_W = (
+    "CASE WHEN win_no = 63 THEN (-9223372036854775807 - 1)"
+    " ELSE (1::BIGINT << CAST(win_no AS INT)) END"
+)
+
+_AFP_CTE = f"""hx AS (
+      SELECT media_ref, lower(hex(image)) AS hx, octet_length(image) AS nb
+      FROM read_parquet('{_os.path.join(_QCORPUS_DIR, "page_blobs.parquet")}')
+    ), lim AS (
+      SELECT media_ref, hx, nb // 2 AS n_samp,
+             least({_media.AFP_NWIN},
+                   ((nb // 2) + {_media.AFP_WINDOW} - 1) // {_media.AFP_WINDOW})
+               AS n_win
+      FROM hx WHERE nb >= 2
+    ), samp AS (
+      SELECT media_ref, t.k // {_media.AFP_WINDOW} AS win_no,
+             CASE WHEN {_hexn_to_int_duck_local("substring(hx, 4 * t.k + 3, 2)", 2)} >= 128
+                  THEN ({_hexn_to_int_duck_local("substring(hx, 4 * t.k + 1, 2)", 2)}
+                        + 256 * {_hexn_to_int_duck_local("substring(hx, 4 * t.k + 3, 2)", 2)}) - 65536
+                  ELSE {_hexn_to_int_duck_local("substring(hx, 4 * t.k + 1, 2)", 2)}
+                        + 256 * {_hexn_to_int_duck_local("substring(hx, 4 * t.k + 3, 2)", 2)} END AS s
+      FROM lim, LATERAL unnest(generate_series(0, n_win * {_media.AFP_WINDOW} - 1)) AS t(k)
+      WHERE t.k < n_samp
+    ), env AS (
+      SELECT media_ref, win_no, SUM(s * s) AS energy
+      FROM samp GROUP BY media_ref, win_no
+    ), grad AS (
+      SELECT media_ref, win_no, energy,
+             lead(energy) OVER (PARTITION BY media_ref ORDER BY win_no) AS nxt
+      FROM env
+    ), afp AS (
+      SELECT media_ref, CAST(COUNT(*) AS INTEGER) AS n_windows,
+             CAST(COALESCE(SUM(CASE WHEN nxt > energy THEN {_AFP_W} END), 0)
+                  AS BIGINT) AS afp
+      FROM grad GROUP BY media_ref
+    )"""
+
+
+@register(
+    "media_audio_fp",
+    oracle=f"""
+    WITH {_AFP_CTE}
+    SELECT media_ref, n_windows, afp FROM afp
+    """,
+)
+def q_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual fingerprint per blob (operators/media.py
+    audio_fp_bytes): 65 leading 64-sample PCM energy windows folded into
+    64 envelope-gradient bits — the dHash idea transposed to audio. The
+    DuckDB oracle re-derives every sample from the blob hex and rebuilds
+    the signed fingerprint with window weights (bit 63 = int64-min)."""
+    from .operators.media import audio_fingerprint
+    from .sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, _pipeline_corpus())
+    return audio_fingerprint(blobs)
+
+
+@register(
+    "media_audio_fp_pairs",
+    oracle=f"""
+    WITH {_AFP_CTE}, bands AS (
+      SELECT media_ref, afp, t.b AS band_no,
+             CAST((afp >> ({_DH_BAND_BITS} * t.b)) & {_DH_BAND_MASK}
+                  AS INTEGER) AS band_val
+      FROM afp CROSS JOIN generate_series(0, {_DH_BANDS - 1}) AS t(b)
+    ), ok AS (
+      SELECT band_no, band_val FROM bands
+      GROUP BY band_no, band_val HAVING COUNT(*) <= {_DH_BAND_CAP}
+    ), bc AS (
+      SELECT bands.* FROM bands JOIN ok USING (band_no, band_val)
+    ), cand AS (
+      SELECT DISTINCT a.media_ref AS media_ref_a, b.media_ref AS media_ref_b,
+             a.afp AS sig_a, b.afp AS sig_b
+      FROM bc a JOIN bc b
+        ON a.band_no = b.band_no AND a.band_val = b.band_val
+       AND a.media_ref < b.media_ref
+    )
+    SELECT media_ref_a, media_ref_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_DHASH_MAX_HAMMING}
+    """,
+)
+def q_media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: the envelope-gradient fingerprints
+    through dedup.hamming_pairs — the ONE banding/cap/verify machinery
+    shared by text SimHash and image dHash now covers all three
+    modalities. Oracle reruns the banding algebra in SQL over the
+    hex-rederived fingerprints (band geometry spliced from dedup.py, the
+    _DHASH_PAIRS_CTE convention)."""
+    from .operators.dedup import hamming_pairs
+    from .operators.media import audio_fingerprint
+    from .sources.tables import load_corpus
+
+    _, blobs = load_corpus(spark, _pipeline_corpus())
+    return hamming_pairs(
+        audio_fingerprint(blobs), "media_ref", "afp",
+        max_hamming=_DHASH_MAX_HAMMING,
+    )

@@ -1213,3 +1213,54 @@ def test_bloom_ingest_planted_twin_and_no_false_negatives(spark):
     assert got[100] == (True, True) and got[102] == (True, True)
     for hit, exact in got.values():  # no false negatives, ever
         assert not (exact and not hit)
+
+
+def test_audio_fingerprint_gain_invariance_and_pairs(spark):
+    """The audio envelope-gradient fingerprint must be invariant to exact
+    uniform gain (x2 samples -> x4 energies -> identical > comparisons):
+    a gain-scaled copy pairs with the original at hamming 0 through the
+    shared banding, while an independent random signal does not. Also
+    pins audio_fp_bytes against a direct numpy twin."""
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.operators.dedup import hamming_pairs
+    from ocrd_anybaseocr_spark.operators.media import (
+        AFP_NWIN,
+        AFP_WINDOW,
+        audio_fingerprint,
+        audio_fp_bytes,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(-8000, 8000, size=AFP_WINDOW * AFP_NWIN, dtype=np.int16)
+    gain = (base.astype(np.int32) * 2).astype(np.int16)  # no clipping at +-16000
+    other = rng.integers(-8000, 8000, size=AFP_WINDOW * AFP_NWIN, dtype=np.int16)
+
+    fb = audio_fp_bytes(base.tobytes())
+    fg = audio_fp_bytes(gain.tobytes())
+    fo = audio_fp_bytes(other.tobytes())
+    assert fb[0] == AFP_NWIN and fb[1] == fg[1]
+    assert fb[1] != fo[1]
+
+    # numpy twin of the bit rule
+    x = base.astype(np.int64).reshape(AFP_NWIN, AFP_WINDOW)
+    e = (x * x).sum(axis=1)
+    want = sum(1 << j for j in range(64) if e[j + 1] > e[j])
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert fb[1] == want
+
+    blobs = spark.createDataFrame(
+        [("a", base.tobytes()), ("b", gain.tobytes()), ("c", other.tobytes())],
+        "media_ref string, image binary",
+    )
+    pairs = hamming_pairs(
+        audio_fingerprint(blobs), "media_ref", "afp", max_hamming=3
+    ).collect()
+    assert {(r.media_ref_a, r.media_ref_b, r.hamming) for r in pairs} == {
+        ("a", "b", 0)
+    }
+
+    # short-blob edges: one window -> fp 0; empty -> no row
+    assert audio_fp_bytes(b"\x01\x02" * 10) == (1, 0)
+    assert audio_fp_bytes(b"") is None
