@@ -1316,7 +1316,9 @@ def semantic_dedup_decisions(asg: DataFrame) -> DataFrame:
         X = np.stack(pdf["v_se"].to_numpy()[order]).astype(np.int64)
         c = len(order)
         shadowed = np.zeros(c, dtype=bool)
-        chunk = 4096
+        # peak per column block ~ c * chunk * 8B * 3 arrays (int64 sims +
+        # bool masks): 1024 keeps a 4k-point cluster under ~100 MB/task
+        chunk = 1024
         for a in range(1, c, chunk):
             b = min(a + chunk, c)
             # cols a..b need rows 0..b-1; strict upper triangle only

@@ -438,43 +438,67 @@ MEDIA_STREAM = T.StructType(
 )
 
 
-def dhash_bands_stream(blobs: DataFrame) -> DataFrame:
-    """(media_ref, ts, band_no, band_val): per-row perceptual-hash banding
-    for the streaming VISUAL near-dup pass (VERDICT r5 item 6) — the image
-    twin of ``minhash_bands_stream``. The dHash itself is the batch
-    operator's own kernel (media.dhash_bytes, one Arrow-batched
-    mapInPandas hop — the decode is the only Python stage); the banding is
+def media_sig_bands_stream(blobs: DataFrame, sig_fn, sig_col: str) -> DataFrame:
+    """(media_ref, ts, band_no, band_val): per-row 64-bit-signature banding
+    over a MEDIA_STREAM — the ONE streaming banding for every perceptual
+    signature kernel (image dHash, audio envelope fingerprint). ``sig_fn``
+    is the batch operator's own bytes→int kernel, run in one Arrow-batched
+    mapInPandas hop (the decode is the only Python stage); the banding is
     the SHARED ``_signature_bands`` definition the batch pair join and the
     over-cap audit use, so stream and batch band values are identical by
-    construction (pytest-asserted parity). Stateless: no shuffle, no
-    state — scan parallelism is the throughput."""
+    construction (pytest-asserted parity per kernel). A kernel returning
+    None for a blob (e.g. sub-sample audio) emits no rows, matching the
+    batch operator. Stateless: no shuffle, no state — the scan parallelism
+    is the throughput."""
     import pandas as pd
 
     from ..operators.dedup import _signature_bands
-    from ..operators.media import dhash_bytes
 
     sig_schema = T.StructType(
         [
             T.StructField("media_ref", T.StringType(), False),
             T.StructField("ts", T.TimestampType(), False),
-            T.StructField("dhash", T.LongType(), False),
+            T.StructField(sig_col, T.LongType(), False),
         ]
     )
 
     def stage(batches):
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_ref": pdf["media_ref"],
-                    "ts": pdf["ts"],
-                    "dhash": [dhash_bytes(b) for b in pdf["image"]],
-                }
-            )
+            refs, tss, sigs = [], [], []
+            for ref, ts, blob in zip(pdf["media_ref"], pdf["ts"], pdf["image"]):
+                s = sig_fn(bytes(blob))
+                if s is None:
+                    continue
+                refs.append(ref)
+                tss.append(ts)
+                sigs.append(s)
+            yield pd.DataFrame({"media_ref": refs, "ts": tss, sig_col: sigs})
 
     sig = blobs.mapInPandas(stage, sig_schema)
-    return _signature_bands(sig, "media_ref", "dhash", extra_cols=("ts",)).select(
+    return _signature_bands(sig, "media_ref", sig_col, extra_cols=("ts",)).select(
         "media_ref", "ts", "band_no", "band_val"
     )
+
+
+def dhash_bands_stream(blobs: DataFrame) -> DataFrame:
+    """Image banding (VERDICT r5 item 6): media.dhash_bytes through the
+    shared media_sig_bands_stream machinery."""
+    from ..operators.media import dhash_bytes
+
+    return media_sig_bands_stream(blobs, dhash_bytes, "dhash")
+
+
+def afp_bands_stream(blobs: DataFrame) -> DataFrame:
+    """Audio banding: media.audio_fp_bytes (envelope-gradient fingerprint)
+    through the shared media_sig_bands_stream machinery; the fingerprint
+    component of the (n_windows, afp) kernel result is the signature."""
+    from ..operators.media import audio_fp_bytes
+
+    def sig(blob: bytes):
+        r = audio_fp_bytes(blob)
+        return None if r is None else r[1]
+
+    return media_sig_bands_stream(blobs, sig, "afp")
 
 
 def dedup_visual_stream(blobs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
@@ -488,6 +512,20 @@ def dedup_visual_stream(blobs: DataFrame, watermark: str = "30 minutes") -> Data
     band to the earlier arrival. Exact hamming verification
     (dedup.hamming_pairs over media_dhash) remains the batch backstop."""
     bands = dhash_bands_stream(blobs)
+    return bands.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["band_no", "band_val"]
+    )
+
+
+def dedup_audio_stream(blobs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming AUDIO near-dup candidate pass: the envelope-fingerprint
+    twin of ``dedup_visual_stream`` — afp_bands_stream +
+    ``dropDuplicatesWithinWatermark`` on (band_no, band_val), one state
+    entry per live band value. Same first-seen-claim contract: an exact
+    (or exactly gain-scaled) audio duplicate owns zero claims; exact
+    hamming verify (dedup.hamming_pairs over media.audio_fingerprint) is
+    the batch backstop."""
+    bands = afp_bands_stream(blobs)
     return bands.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["band_no", "band_val"]
     )

@@ -402,3 +402,101 @@ def test_streaming_visual_dedup_across_runs(spark, tmp_path_factory):
     # (3) bounded state: one row per live distinct band value
     n_distinct = len({(b, v) for (_, b), v in got.items()})
     assert m2["state_rows"] == n_distinct == claims.count()
+
+
+def test_streaming_audio_dedup_bands(spark, tmp_path_factory):
+    """Audio twin of the visual streaming pass through the SHARED
+    media_sig_bands_stream machinery: (1) the stateless per-row banding is
+    value-identical to the batch audio_fingerprint + _signature_bands
+    path; (2) one AvailableNow run of dedup_audio_stream leaves a planted
+    exactly-gain-scaled audio dup owning ZERO first-seen band claims
+    while the novel signal owns all of its bands; (3) state is bounded at
+    one row per live distinct band value."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        _signature_bands,
+    )
+    from ocrd_anybaseocr_spark.operators.media import (
+        AFP_NWIN,
+        AFP_WINDOW,
+        audio_fingerprint,
+    )
+    from ocrd_anybaseocr_spark.streaming.stream import (
+        MEDIA_STREAM,
+        afp_bands_stream,
+        dedup_audio_stream,
+    )
+
+    rng = np.random.default_rng(9)
+    n = AFP_WINDOW * AFP_NWIN
+    base = rng.integers(-8000, 8000, size=n, dtype=np.int16)
+    gain = (base.astype(np.int32) * 2).astype(np.int16)  # fingerprint-exact dup
+    other = rng.integers(-8000, 8000, size=n, dtype=np.int16)
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        ("aA", T0, bytearray(base.tobytes())),
+        ("aB", T0 + dt.timedelta(minutes=2), bytearray(gain.tobytes())),
+        ("aC", T0 + dt.timedelta(minutes=3), bytearray(other.tobytes())),
+    ]
+    blobs_df = spark.createDataFrame(rows, MEDIA_STREAM)
+
+    got = {
+        (r.media_ref, r.band_no): r.band_val
+        for r in afp_bands_stream(blobs_df).collect()
+    }
+    batch = audio_fingerprint(blobs_df.select("media_ref", "image"))
+    want = {
+        (r.media_ref, r.band_no): r.band_val
+        for r in _signature_bands(batch, "media_ref", "afp").collect()
+    }
+    assert got == want and len(got) == 3 * SIMHASH_BANDS
+    # the gain dup shares every band with the original
+    for b in range(SIMHASH_BANDS):
+        assert got[("aA", b)] == got[("aB", b)]
+
+    # two ingest runs: the original lands a run BEFORE its dup — first-seen
+    # within one micro-batch is partition-order-dependent, across runs it
+    # is not (the visual twin's drop structure, same reason)
+    in_dir = str(tmp_path_factory.mktemp("ad_in"))
+    out_dir = str(tmp_path_factory.mktemp("ad_out"))
+    spark.createDataFrame(rows[:1], MEDIA_STREAM).write.parquet(
+        os.path.join(in_dir, "drop1.parquet"))
+
+    def run():
+        src = (
+            spark.readStream.schema(MEDIA_STREAM)
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        q = (
+            dedup_audio_stream(src)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "claims"))
+            .option("checkpointLocation", os.path.join(out_dir, "_cp"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    run()
+    spark.createDataFrame(rows[1:], MEDIA_STREAM).write.parquet(
+        os.path.join(in_dir, "drop2.parquet"))
+    q = run()
+    claims = spark.read.parquet(os.path.join(out_dir, "claims"))
+    owned = {
+        r.media_ref: r.n
+        for r in claims.groupBy("media_ref").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert owned.get("aA", 0) == SIMHASH_BANDS
+    assert owned.get("aB", 0) == 0            # gain dup: every band lost
+    assert owned.get("aC", 0) == SIMHASH_BANDS
+    ops = (q.lastProgress or {}).get("stateOperators") or []
+    n_distinct = len({(b, v) for (_, b), v in got.items()})
+    assert ops and ops[0].get("numRowsTotal") == n_distinct == claims.count()
