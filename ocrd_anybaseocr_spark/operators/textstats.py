@@ -1098,3 +1098,82 @@ def _oracle_dsir() -> str:
 
 
 ORACLE_DSIR = _oracle_dsir()
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: GPT-style concatenate-and-split — the step between
+# token counting (token_windows) and the training data loader
+# ---------------------------------------------------------------------------
+
+PACK_BLOCK = 1024  # tokens per training sequence
+PACK_SHARDS = 8  # deterministic shard key: packing is per-shard at any scale
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, pos, n_tokens, start_seq, start_off, end_seq): the
+    concatenate-and-split packing plan. Docs are sharded by doc_id %
+    PACK_SHARDS and laid end-to-end within the shard in a seeded
+    deterministic order (md5 of 'pack:'||doc_id, tie doc_id — the
+    stratified_sample idiom); the token stream then splits at fixed
+    PACK_BLOCK boundaries, documents straddling freely (the GPT-style
+    loader contract). start_seq/start_off locate the doc's first token in
+    the shard's sequence space; end_seq is the sequence holding its last
+    token (single-token algebra: offset + n - 1).
+
+    Scale shape: ONE shuffle on the shard key; the running offset is a
+    window cumsum inside each shard — never a global single-partition
+    sort (the shard key IS how production packs: one writer per shard).
+    Empty docs (0 tokens after split of '' -> ['']) cannot occur here —
+    split always yields >= 1 token on this corpus; the end_seq algebra
+    would still hold at n=1."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")).cast("binary")), "doc_id")
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(f"doc_id % {PACK_SHARDS}").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    laid = base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_off"),
+    )
+    return laid.select(
+        "doc_id",
+        "shard",
+        "pos",
+        "n_tokens",
+        F.expr(f"_off div {PACK_BLOCK}").alias("start_seq"),
+        F.expr(f"_off % {PACK_BLOCK}").alias("start_off"),
+        F.expr(f"(_off + n_tokens - 1) div {PACK_BLOCK}").alias("end_seq"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5('pack:' || CAST(doc_id AS VARCHAR)) AS ok
+      FROM documents
+    ), laid AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+                  AS BIGINT) AS pos,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ok, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM base
+    )
+    SELECT doc_id, shard, pos, n_tokens,
+           off // {PACK_BLOCK} AS start_seq,
+           off % {PACK_BLOCK} AS start_off,
+           (off + n_tokens - 1) // {PACK_BLOCK} AS end_seq
+    FROM laid
+"""

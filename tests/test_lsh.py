@@ -1264,3 +1264,47 @@ def test_audio_fingerprint_gain_invariance_and_pairs(spark):
     # short-blob edges: one window -> fp 0; empty -> no row
     assert audio_fp_bytes(b"\x01\x02" * 10) == (1, 0)
     assert audio_fp_bytes(b"") is None
+
+
+def test_pack_sequences_twin_and_boundary_algebra(spark, monkeypatch):
+    """pack_sequences vs an exact Python twin (same seeded order, same
+    cumsum/div algebra) on a crafted corpus: per-shard offsets are
+    contiguous (each doc starts where the previous ended), a doc
+    straddling a block boundary reports start_seq < end_seq, and the
+    end_seq single-token algebra holds at n_tokens = 1."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    # shard 0 only (doc_id multiples of PACK_SHARDS): token counts chosen
+    # so SOME doc straddles the 1024 boundary wherever the order lands it
+    sizes = [700, 700, 1, 400, 1024, 5]
+    rows = [
+        (i * ts.PACK_SHARDS, " ".join("t" for _ in range(n)), "en", "s", n)
+        for i, n in enumerate(sizes)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = sorted(
+        (r.doc_id, r.shard, r.pos, r.n_tokens, r.start_seq, r.start_off, r.end_seq)
+        for r in ts.q_pack_sequences(spark, "unused").collect()
+    )
+
+    order = sorted(
+        (hashlib.md5(f"pack:{i * ts.PACK_SHARDS}".encode()).hexdigest(),
+         i * ts.PACK_SHARDS, sizes[i])
+        for i in range(len(sizes))
+    )
+    want, off = [], 0
+    for pos, (_, doc_id, n) in enumerate(order, start=1):
+        want.append((doc_id, 0, pos, n, off // ts.PACK_BLOCK,
+                     off % ts.PACK_BLOCK, (off + n - 1) // ts.PACK_BLOCK))
+        off += n
+    assert got == sorted(want)
+    # contiguity + straddle really exercised
+    assert off == sum(sizes)
+    assert any(r[4] < r[6] for r in got), "no doc straddled a block boundary"
+    one = [r for r in got if r[3] == 1]
+    assert one and all(r[4] == r[6] for r in one)
