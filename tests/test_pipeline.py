@@ -523,3 +523,46 @@ def test_clean_job_lm_filter(spark, tmp_path_factory):
     kept = spark.read.parquet(os.path.join(out, "documents_clean"))
     assert kept.filter(F.col("doc_id") == gib_id).count() == 0
     assert summary["docs_dropped_lm"] >= 1
+
+
+def test_ingest_job_stage_order_and_audit(spark, tmp_path_factory):
+    """jobs/ingest_job.run: exact dups drop at the Bloom+verify stage,
+    near dups at the incremental-MinHash stage (batch x corpus bands
+    only), fresh docs are accepted, and the audit reconciles — including
+    the no-false-negative Bloom invariant (exact_dup => bloom_hit)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import ingest_job
+
+    base = " ".join(f"tok{i}" for i in range(99))
+    corpus_rows = [
+        (f"c{i:03d}", f"corpus document {i} " + " ".join(f"w{i}x{j}" for j in range(40)))
+        for i in range(30)
+    ] + [("c_near", base + " again")]
+    batch_rows = [
+        ("b_exact", corpus_rows[0][1]),  # byte-identical to c000
+        ("b_near", base + " twice"),     # J~0.94 vs c_near (test_minhash_band_cap pair)
+        ("b_fresh", " ".join(f"fresh{j} token{j}" for j in range(50))),
+    ]
+    corpus_dir = str(tmp_path_factory.mktemp("ingest_corpus"))
+    batch_dir = str(tmp_path_factory.mktemp("ingest_batch"))
+    spark.createDataFrame(corpus_rows, ["doc_id", "text"]).write.parquet(
+        os.path.join(corpus_dir, "documents.parquet"))
+    spark.createDataFrame(batch_rows, ["doc_id", "text"]).write.parquet(
+        os.path.join(batch_dir, "documents.parquet"))
+    out = str(tmp_path_factory.mktemp("ingest_out"))
+    summary = ingest_job.run(spark, corpus_dir, batch_dir, out)
+    assert summary["batch_in"] == 3
+    assert summary["dropped_exact"] == 1
+    assert summary["dropped_near_dup"] == 1
+    assert summary["accepted"] == 1
+    audit = {r.doc_id: r for r in spark.read.parquet(
+        os.path.join(out, "ingest_audit")).collect()}
+    assert audit["b_exact"].exact_dup and audit["b_exact"].bloom_hit
+    assert audit["b_near"].near_dup and not audit["b_near"].exact_dup
+    assert audit["b_fresh"].accepted and not audit["b_fresh"].near_dup
+    # Bloom no-false-negatives: every exact dup was flagged by the filter
+    assert all(r.bloom_hit for r in audit.values() if r.exact_dup)
+    acc = spark.read.parquet(os.path.join(out, "documents_accepted"))
+    assert {r.doc_id for r in acc.collect()} == {"b_fresh"}

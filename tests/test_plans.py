@@ -302,3 +302,12 @@ def test_bloom_ingest_no_cartesian_scalar_geometry_broadcast(spark, sf_dir):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row words attach
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Sequence packing must be ONE exchange on the shard key (row_number
+    + running cumsum + final projection all reuse it) — never a global
+    single-partition sort."""
+    df = QUERIES["pack_sequences"](spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+    assert "SinglePartition" not in explain_str(df), explain_str(df)
