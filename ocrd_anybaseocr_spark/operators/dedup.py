@@ -1388,3 +1388,133 @@ ORACLE_DEDUP_BLOOM = f"""
     SELECT probe.doc_id, probe.bloom_hit, exact.exact_dup
     FROM probe JOIN exact USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — Rabin-style boundary selection
+# ---------------------------------------------------------------------------
+
+CDC_W = 4  # rolling boundary-hash window (words)
+CDC_D = 8  # boundary divisor: P(boundary per window) = 1/D → mean chunk ≈ D words
+
+
+def cdc_chunk_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_no, n_words, chunk_key): variable-size CONTENT-DEFINED
+    chunks (Rabin/LBFS-style CDC, Muthitacharoen et al. 2001). A chunk
+    boundary falls AFTER word ``e`` (0-based) whenever the CDC_W-word
+    window ending at ``e`` hashes to 0 mod CDC_D; the final boundary is
+    forced at the last word (the last window is exempt from the hash test
+    so the forced boundary is never duplicated — no order-fragile
+    distinct needed). Because the boundary decision depends only on the
+    window CONTENT, an insertion/deletion redraws chunks only up to the
+    first surviving boundary past the edit — every later chunk keeps its
+    byte-identical key (the shift-survival property fixed-size blocking
+    lacks; pinned in pytest).
+
+    Complements winnowing (`textstats.winnow_fingerprints`): winnowing
+    SAMPLES min-hash fingerprints for similarity detection; CDC
+    PARTITIONS the whole text so every word belongs to exactly one chunk
+    — the storage-dedup / shared-passage-mass shape. Per doc the chunking
+    is one narrow array-expression pass (no shuffle until the chunk-key
+    aggregation). The reference has no text pipeline; this extends the
+    dedup family per SURVEY §2's training-data-pipeline scope."""
+    n = "size(_words)"
+    h = _md5_prefix_int_spark(
+        f"cast(concat_ws(' ', slice(_words, s + 1, {CDC_W})) as binary)", 8
+    )
+    # candidate ends: s in [0, n-W-1] (the window ending at the last word
+    # is exempt — its boundary is forced below), e = s + W - 1
+    cands = (
+        f"CASE WHEN {n} >= {CDC_W + 1} THEN"
+        f" transform(filter(sequence(0, {n} - {CDC_W + 1}),"
+        f"   s -> {h} % {CDC_D} = 0), s -> s + {CDC_W - 1})"
+        f" ELSE array() END"
+    )
+    chunks = (
+        "transform(sequence(0, size(_bounds) - 1), k -> struct("
+        " k as chunk_no,"
+        " CASE WHEN k = 0 THEN 0 ELSE element_at(_bounds, k) + 1 END as st,"
+        " element_at(_bounds, k + 1) as en))"
+    )
+    return (
+        docs.withColumn("_words", F.split("text", " "))
+        .withColumn("_bounds", F.expr(f"concat({cands}, array({n} - 1))"))
+        .select("doc_id", "_words", F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").alias("chunk_no"),
+            (F.col("c.en") - F.col("c.st") + F.lit(1)).cast("bigint").alias("n_words"),
+            F.expr(
+                "md5(cast(concat_ws(' ', slice(_words, c.st + 1, c.en - c.st + 1))"
+                " as binary))"
+            ).alias("chunk_key"),
+        )
+    )
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc chunk-level dedup mass: how much of each document is made of
+    chunks that also appear in at least one OTHER document — the exact
+    storage-dedup estimate chunk stores compute, and the shared-passage
+    evidence doc-level exact dedup cannot see. shared_word_ppm is an exact
+    integer (floor of the per-million fraction) so both engines agree
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunk_rows(docs)
+    cnt = ch.groupBy("chunk_key").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        ch.join(cnt, "chunk_key")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.expr("CASE WHEN nd >= 2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+            F.sum(F.expr("CASE WHEN nd >= 2 THEN n_words ELSE 0 END")).alias("_sw"),
+            F.sum("n_words").alias("_tw"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.expr("CAST((1000000 * _sw) DIV _tw AS BIGINT)").alias("shared_word_ppm"),
+        )
+    )
+
+
+ORACLE_DEDUP_CDC = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), b AS (
+      SELECT doc_id, words, n,
+             list_append(
+               CASE WHEN n >= {CDC_W + 1} THEN
+                 list_transform(list_filter(generate_series(0, n - {CDC_W + 1}),
+                   s -> ({_hexn_to_int_duck(f"md5(array_to_string(words[s + 1:s + {CDC_W}], ' '))", 8)}) % {CDC_D} = 0),
+                   s -> s + {CDC_W - 1})
+               ELSE [] END,
+               n - 1) AS bounds
+      FROM w
+    ), ch AS (
+      SELECT doc_id, words, bounds,
+             unnest(generate_series(0, len(bounds) - 1)) AS k
+      FROM b
+    ), keyed AS (
+      SELECT doc_id,
+             CAST(bounds[k + 1] - (CASE WHEN k = 0 THEN 0 ELSE bounds[k] + 1 END) + 1 AS BIGINT) AS n_words,
+             md5(array_to_string(
+               words[(CASE WHEN k = 0 THEN 0 ELSE bounds[k] + 1 END) + 1:bounds[k + 1] + 1],
+               ' ')) AS chunk_key
+      FROM ch
+    ), cnt AS (
+      SELECT chunk_key, COUNT(DISTINCT doc_id) AS nd FROM keyed GROUP BY 1
+    )
+    SELECT keyed.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+           CAST((1000000 * SUM(CASE WHEN nd >= 2 THEN n_words ELSE 0 END)) // SUM(n_words) AS BIGINT) AS shared_word_ppm
+    FROM keyed JOIN cnt USING (chunk_key)
+    GROUP BY 1
+"""

@@ -1308,3 +1308,47 @@ def test_pack_sequences_twin_and_boundary_algebra(spark, monkeypatch):
     assert any(r[4] < r[6] for r in got), "no doc straddled a block boundary"
     one = [r for r in got if r[3] == 1]
     assert one and all(r[4] == r[6] for r in one)
+
+
+def test_cdc_chunks_twin_shift_survival_and_edges(spark):
+    """Content-defined chunking: (1) chunk keys/boundaries match an exact
+    hashlib twin; (2) the CDC shift-survival property — prepending one word
+    redraws only the chunks up to the first surviving boundary, every later
+    chunk keeps its byte-identical key (fixed-size blocking would lose ALL
+    of them); (3) a doc shorter than the window is one whole-doc chunk; (4)
+    chunks partition the text exactly."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators.dedup import CDC_D, CDC_W, cdc_chunk_rows
+
+    base = [f"w{i}" for i in range(80)]
+    a = " ".join(base)
+    docs = spark.createDataFrame(
+        [("a", a), ("b", "PFX " + a), ("tiny", "one two")], ["doc_id", "text"]
+    )
+    rows = cdc_chunk_rows(docs).collect()
+
+    def twin(words):
+        ends = []
+        for s in range(0, len(words) - CDC_W):  # last window exempt (forced end)
+            h = int(hashlib.md5(" ".join(words[s:s + CDC_W]).encode()).hexdigest()[:8], 16)
+            if h % CDC_D == 0:
+                ends.append(s + CDC_W - 1)
+        ends.append(len(words) - 1)
+        keys, st = [], 0
+        for e in ends:
+            keys.append(hashlib.md5(" ".join(words[st:e + 1]).encode()).hexdigest())
+            st = e + 1
+        return keys
+
+    ka = [r.chunk_key for r in sorted(rows, key=lambda r: r.chunk_no) if r.doc_id == "a"]
+    kb = [r.chunk_key for r in sorted(rows, key=lambda r: r.chunk_no) if r.doc_id == "b"]
+    assert ka == twin(base)
+    assert kb == twin(["PFX"] + base)
+    assert len(ka) >= 3  # the fixture really chunks
+    # shift survival: all of a's chunks after its first boundary reappear in b
+    assert set(ka[1:]) <= set(kb)
+    # partition: chunk sizes sum to the word count, no overlap by construction
+    assert sum(r.n_words for r in rows if r.doc_id == "a") == 80
+    tiny = [r for r in rows if r.doc_id == "tiny"]
+    assert len(tiny) == 1 and tiny[0].n_words == 2

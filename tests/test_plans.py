@@ -311,3 +311,13 @@ def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
     df = QUERIES["pack_sequences"](spark, sf_dir)
     assert count_exchanges(df) == 1, explain_str(df, "simple")
     assert "SinglePartition" not in explain_str(df), explain_str(df)
+
+
+def test_cdc_chunking_narrow_until_key_agg(spark, sf_dir):
+    """CDC chunking is a per-doc array expression: no cartesian, and the
+    only exchanges are the chunk-key count, its join back, and the final
+    per-doc agg."""
+    df = QUERIES["dedup_cdc_chunks"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert count_exchanges(df) <= 4, explain_str(df, "simple")
