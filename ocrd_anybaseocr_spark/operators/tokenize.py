@@ -1,0 +1,127 @@
+"""BPE tokenizer over the interleaved corpus — the learned-subword sibling
+of textstats' regex token counting, and the vocabulary a `pack_sequences`
+run would tokenize with.
+
+Scale shape (100 TB):
+- FIT: one word-count shuffle (partial-agg groupBy on word) + a BOUNDED
+  top-V driver fetch (V = BPE_TOP_WORDS, the k x dim convention shared
+  with k-means/PQ/dsir) + a driver-side merge loop over that bounded
+  vocabulary — the standard BPE formulation trains on the word-frequency
+  dict, never the corpus itself, so corpus size only affects the one
+  partial-agg pass.
+- ENCODE: merges broadcast in the task closure (64 pairs), applied by an
+  Arrow-batched ``mapInPandas`` — ZERO exchanges (plan-asserted): at any
+  scale tokenization runs scan-speed, embarrassingly parallel.
+
+Algorithm lives in kernels/bpe.py, shared verbatim with the materialized
+oracle (oracle.materialize_expected) — the driver gate therefore checks
+the distributed plumbing (word-count shuffle, bounded fetch, Arrow
+encode), not a reimplementation. Reference: no tokenizer exists there;
+public algorithm per Sennrich et al. 2016 / GPT-2 encoder.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..kernels.bpe import BPE_MERGES, BPE_TOP_WORDS, bpe_encode_text, bpe_train
+from ..sources.tables import load_corpus
+
+# reading-order flat text of one interleaved document: every TEXT-BEARING
+# span (text/heading/marginalia/table — anything with a text payload)
+# sorted by offset, the same struct-sort order extract_spans uses
+# (offsets are unique within a document by synth construction)
+FLAT_TEXT_EXPR = (
+    "concat_ws(' ', transform(filter(array_sort(transform(spans,"
+    " s -> struct(s.offset as offset, s.kind as kind, s.text as text))),"
+    " s -> s.text is not null), s -> s.text))"
+)
+
+_MERGES_CACHE: dict[tuple[str, str], list[tuple[str, str]]] = {}
+
+
+def clear_caches() -> None:
+    """Drop the per-session merge-table memoization (same contract as
+    media/similarity/dedup clear_caches)."""
+    _MERGES_CACHE.clear()
+
+
+def flat_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, text): reading-order concatenation of a document's text
+    spans — narrow, one array expression per row."""
+    return docs.select("doc_id", F.expr(FLAT_TEXT_EXPR).alias("text"))
+
+
+def bpe_fit(spark: SparkSession, corpus_dir: str) -> list[tuple[str, str]]:
+    """Learn the merge table from the corpus word frequencies: distributed
+    word count -> deterministic top-V fetch (count desc, word asc — a
+    TakeOrdered, not a global sort) -> kernels.bpe.bpe_train on the
+    bounded vocabulary. Memoized per (session, corpus) like the other
+    build-once/serve-many indexes."""
+    app = spark.conf.get("spark.app.id", "?")
+    key = (app, corpus_dir)
+    if key not in _MERGES_CACHE:
+        for k in [k for k in _MERGES_CACHE if k[0] != app]:
+            del _MERGES_CACHE[k]
+        docs, _ = load_corpus(spark, corpus_dir)
+        top = (
+            flat_text(docs)
+            .select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(BPE_TOP_WORDS)
+            .collect()
+        )
+        _MERGES_CACHE[key] = bpe_train(
+            [(r.word, r.cnt) for r in top], n_merges=BPE_MERGES
+        )
+    return _MERGES_CACHE[key]
+
+
+def bpe_train_df(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """The learned merge table as a relation:
+    (merge_rank, pair_left, pair_right, merged)."""
+    merges = bpe_fit(spark, corpus_dir)
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "merge_rank bigint, pair_left string, pair_right string, merged string",
+    )
+
+
+def bpe_tokenize_df(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_tokens, tokens_md5) per document under the
+    corpus-learned vocabulary. The token sequence itself is pinned by the
+    md5 digest (exact bytes, not just counts); the encode is one
+    Arrow-batched mapInPandas over the narrow (doc_id, text) projection —
+    zero exchanges."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    merges = bpe_fit(spark, corpus_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_words", T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("tokens_md5", T.StringType(), False),
+        ]
+    )
+
+    def stage(batches):
+        for pdf in batches:
+            ids, nw, nt, dig = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = bpe_encode_text(text, merges)
+                ids.append(doc_id)
+                nw.append(len(text.split(" ")))
+                nt.append(len(toks))
+                dig.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_words": nw, "n_tokens": nt, "tokens_md5": dig}
+            )
+
+    docs, _ = load_corpus(spark, corpus_dir)
+    return flat_text(docs).mapInPandas(stage, schema=schema)

@@ -231,9 +231,11 @@ MEDIA_RESIZE_ZOOM = 0.5  # the fixed zoom the media_resize query is gated at
 # expectations INSIDE it — without it, a stale cached expectation would
 # fail the driver gate on correct code with no pointer to the cache
 # (round-4 review).
-EXPECTED_VERSION = 4  # v4: Otsu-confidence gate + illumination flattening
-                      # (no-op on clean pages — eta >= 0.98 there — but the
-                      # kernel changed, so cached expectations re-materialize)
+EXPECTED_VERSION = 5  # v5: + expected_bpe_merges/expected_bpe_tokens
+                      # (BPE tokenizer expectations join the materialized set)
+# (v4: Otsu-confidence gate + illumination flattening — no-op on clean
+# pages, eta >= 0.98 there, but the kernel changed, so cached
+# expectations re-materialized)
 # (v2: close_runs healing + normalize_gray ink-anchor gate — round-5
 # degraded-tier hardening; clean-tier recovery verified unchanged, but the
 # kernels feeding process_page changed, so re-materialize by contract)
@@ -290,8 +292,17 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
     ds_rows: list[dict] = []
     rz_rows: list[dict] = []
     dh_rows: list[dict] = []
+    flat_texts: dict[str, str] = {}  # doc_id -> reading-order text (BPE twin)
     for i in range(n_docs):
         doc, blobs = generate_doc(seed, i)
+        flat_texts[doc["doc_id"]] = " ".join(
+            t
+            for _, t in sorted(
+                (s["offset"], s["text"])
+                for s in doc["spans"]
+                if s["text"] is not None
+            )
+        )
         blob_map = {b["media_ref"]: b["image"] for b in blobs}
         for ref in sorted(blob_map):
             rz_rows.append(_expected_resize_row(ref, blob_map[ref]))
@@ -366,6 +377,50 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
             pa.field("dhash", pa.int64(), False),
         ]
     )
+    # BPE tokenizer expectations — the single-process twin of
+    # operators/tokenize.py: same Counter the distributed word count
+    # produces, same top-V tie-break, same kernels/bpe.py fit + encode
+    import hashlib as _hashlib
+    from collections import Counter
+
+    from .kernels.bpe import BPE_TOP_WORDS, bpe_encode_text, bpe_train
+
+    wc: Counter = Counter()
+    for t in flat_texts.values():
+        wc.update(t.split(" "))
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_WORDS]
+    merges = bpe_train(top)
+    bm_rows = [
+        {"merge_rank": i, "pair_left": l, "pair_right": r, "merged": l + r}
+        for i, (l, r) in enumerate(merges)
+    ]
+    bt_rows = []
+    for d in sorted(flat_texts):
+        toks = bpe_encode_text(flat_texts[d], merges)
+        bt_rows.append(
+            {
+                "doc_id": d,
+                "n_words": len(flat_texts[d].split(" ")),
+                "n_tokens": len(toks),
+                "tokens_md5": _hashlib.md5(" ".join(toks).encode()).hexdigest(),
+            }
+        )
+    bm_schema = pa.schema(
+        [
+            pa.field("merge_rank", pa.int64(), False),
+            pa.field("pair_left", pa.string(), False),
+            pa.field("pair_right", pa.string(), False),
+            pa.field("merged", pa.string(), False),
+        ]
+    )
+    bt_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.string(), False),
+            pa.field("n_words", pa.int64(), False),
+            pa.field("n_tokens", pa.int64(), False),
+            pa.field("tokens_md5", pa.string(), False),
+        ]
+    )
     # write-to-temp + atomic rename per file; the version-stamped marker
     # below is written AFTER all of them, and callers gate on the marker:
     # a crash mid-set leaves it absent and the next run re-materializes
@@ -376,6 +431,8 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
         (ds_rows, ds_schema, "expected_doc_structure.parquet"),
         (rz_rows, rz_schema, "expected_resize.parquet"),
         (dh_rows, dh_schema, "expected_dhash.parquet"),
+        (bm_rows, bm_schema, "expected_bpe_merges.parquet"),
+        (bt_rows, bt_schema, "expected_bpe_tokens.parquet"),
     ):
         tmp = os.path.join(out_dir, f".{name}.tmp.{os.getpid()}")
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)

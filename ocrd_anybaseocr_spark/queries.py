@@ -1090,6 +1090,44 @@ def q_visual_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_train",
+    oracle=f"""
+    SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair_left, pair_right, merged
+    FROM read_parquet('{_os.path.join("%QC%", "expected_bpe_merges.parquet")}')
+    """,
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer FIT over the interleaved corpus (kernels/bpe.py,
+    Sennrich et al. 2016): distributed word count → bounded top-V fetch →
+    driver merge loop over the word-frequency dict (the standard BPE
+    formulation — corpus size only touches the one partial-agg pass).
+    Oracle: the single-process twin's merge table materialized beside the
+    corpus (oracle.materialize_expected) — a full rows+schema+hash gate
+    over the count→fit chain."""
+    from .operators.tokenize import bpe_train_df
+
+    return bpe_train_df(spark, _pipeline_corpus())
+
+
+@register(
+    "bpe_tokenize",
+    oracle=f"""
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_tokens AS BIGINT) AS n_tokens, tokens_md5
+    FROM read_parquet('{_os.path.join("%QC%", "expected_bpe_tokens.parquet")}')
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenization under the corpus-learned BPE vocabulary:
+    reading-order flat text → GPT-2-style lowest-rank-first encode
+    (Arrow-batched mapInPandas, zero exchanges — plan-asserted). The md5
+    digest pins the exact token SEQUENCE, not just counts."""
+    from .operators.tokenize import bpe_tokenize_df
+
+    return bpe_tokenize_df(spark, _pipeline_corpus())
+
+
 # splice the corpus path and the hex→int arithmetic into the two oracles
 # (IHDR byte k (1-based) sits at hex chars [2k-1, 2k]: width @17-20,
 # height @21-24, bit depth @25)
@@ -1104,6 +1142,8 @@ for _qname in (
     "media_dhash",
     "media_dhash_pairs",
     "visual_doc_pairs",
+    "bpe_train",
+    "bpe_tokenize",
 ):
     ORACLE[_qname] = ORACLE[_qname].replace("%QC%", _QCORPUS_DIR)
 

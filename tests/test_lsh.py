@@ -1352,3 +1352,52 @@ def test_cdc_chunks_twin_shift_survival_and_edges(spark):
     assert sum(r.n_words for r in rows if r.doc_id == "a") == 80
     tiny = [r for r in rows if r.doc_id == "tiny"]
     assert len(tiny) == 1 and tiny[0].n_words == 2
+
+
+def test_bpe_kernel_pins():
+    """kernels/bpe.py: (1) the Sennrich worked example learns ('e','s'),
+    ('es','t'), ('est','</w>') first (tie-break = lexicographically
+    smallest pair); (2) the encoder is lowest-rank-first, NOT left-to-right
+    greedy; (3) input order never matters; (4) frequency-1 pairs stop the
+    fit (no single-word memorization); (5) unseen characters stay
+    singleton symbols."""
+    from ocrd_anybaseocr_spark.kernels.bpe import (
+        EOW,
+        bpe_encode_word,
+        bpe_train,
+    )
+
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe_train(counts, n_merges=3)
+    assert merges == [("e", "s"), ("es", "t"), ("est", EOW)]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode_word("widest", ranks) == ["w", "i", "d", "est" + EOW]
+    # rank order beats text order: ('b','c') has rank 0, so "abc" must NOT
+    # start by merging the leftmost pair ('a','b')
+    assert bpe_encode_word("abc", {("b", "c"): 0, ("a", "b"): 1}) == ["a", "bc", EOW]
+    assert bpe_train(list(reversed(counts)), n_merges=3) == merges
+    assert bpe_train([("xyz", 1)]) == []
+    assert bpe_encode_word("q#z", ranks) == ["q", "#", "z", EOW]
+
+
+def test_bpe_corpus_fit_properties(spark):
+    """The corpus-learned vocabulary really compresses: tokens-per-word on
+    the training corpus is strictly below character count, every doc's
+    token digest is stable across two runs (cache + determinism), and the
+    merge table is exactly BPE_MERGES long on this corpus."""
+    from ocrd_anybaseocr_spark.kernels.bpe import BPE_MERGES
+    from ocrd_anybaseocr_spark.operators import tokenize as tok
+    from ocrd_anybaseocr_spark.queries import QUERIES, _pipeline_corpus
+
+    tok.clear_caches()
+    merges = tok.bpe_fit(spark, _pipeline_corpus())
+    assert len(merges) == BPE_MERGES
+    rows = {r.doc_id: r for r in QUERIES["bpe_tokenize"](spark, "unused").collect()}
+    rows2 = {r.doc_id: r for r in QUERIES["bpe_tokenize"](spark, "unused").collect()}
+    assert rows.keys() == rows2.keys()
+    for d in rows:
+        assert rows[d].tokens_md5 == rows2[d].tokens_md5
+        # learned subwords beat characters: corpus words are >= 3 chars
+        # (+ EOW = >= 4 initial symbols) but encode to ~3 tokens/word
+        assert rows[d].n_tokens < rows[d].n_words * 4
+    tok.clear_caches()

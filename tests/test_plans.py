@@ -321,3 +321,10 @@ def test_cdc_chunking_narrow_until_key_agg(spark, sf_dir):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert count_exchanges(df) <= 4, explain_str(df, "simple")
+
+
+def test_bpe_tokenize_zero_exchanges(spark, sf_dir):
+    """BPE encode is embarrassingly parallel: scan → narrow flat-text
+    projection → Arrow-batched mapInPandas, no shuffle anywhere."""
+    df = QUERIES["bpe_tokenize"](spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
