@@ -1450,3 +1450,123 @@ ORACLE_QUANT_INT8 = f"""
     FROM ex JOIN rng USING (d)
     GROUP BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining (metric-learning data curation)
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    emb: DataFrame, bk: DataFrame | None = None, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """(vec_id, hard_neg_id, anchor_label, neg_label): for every vector,
+    its most similar DIFFERENTLY-LABELED neighbor among LSH bucket-mates —
+    the hard-negative mining pass of contrastive/metric-learning data
+    preparation (a random negative is trivially separable; the one that
+    looks most like the anchor is the training signal).
+
+    Scale shape: candidate generation is the capped-bucket equi-join
+    (over-cap buckets dropped BEFORE the self-join — per anchor at most
+    tables x cap candidates, never corpus-quadratic); ranking uses the
+    exact 1e4-scaled integer dots with single IEEE sqrt/divide, so the
+    top-1 decision is bit-identical across engines. Anchors with no
+    differently-labeled bucket-mate produce no row (the miss is the
+    correct answer — emitting a random fallback would poison training).
+    ``bk`` injects the cached checkpointed assignment relation; tests
+    assert plans on the raw lineage."""
+    if bk is None:
+        bk = lsh_assignments(emb.select("vec_id", "embedding"))
+    ok = (
+        bk.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= bucket_cap)
+        .select("tbl", "bucket")
+    )
+    bkc = bk.join(F.broadcast(ok), ["tbl", "bucket"])
+    cand = (
+        bkc.join(
+            bkc.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    sed = emb.select("vec_id", "label", F.expr(_SE_SPARK).alias("se"))
+    anc = sed.select(
+        "vec_id", F.col("label").alias("anchor_label"), F.col("se").alias("a_se")
+    )
+    neg = sed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("se").alias("n_se"),
+    )
+    scored = (
+        cand.join(anc, "vec_id")
+        .join(neg, "neighbor_id")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .withColumn(
+            "cos",
+            F.expr(_IDOT.format(a="a_se", b="n_se"))
+            / (
+                F.sqrt(F.expr(_IDOT.format(a="a_se", b="a_se")))
+                * F.sqrt(F.expr(_IDOT.format(a="n_se", b="n_se")))
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("neighbor_id").alias("hard_neg_id"),
+            "anchor_label",
+            "neg_label",
+        )
+    )
+
+
+def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, bk=_lsh_assign_cached(spark, sf_dir))
+
+
+q_contrastive_hard_negatives.__doc__ = hard_negatives.__doc__
+
+ORACLE_HARD_NEGATIVES = f"""
+    WITH {_bk_cte_duck()},
+    okb AS (
+      SELECT tbl, bucket FROM bk GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+    ), bkc AS (
+      SELECT bk.* FROM bk JOIN okb USING (tbl, bucket)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id, c.vec_id AS neighbor_id
+      FROM bkc a JOIN bkc c
+        ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), lab AS (
+      SELECT vec_id, label FROM embeddings
+    ), flt AS (
+      SELECT cand.vec_id, cand.neighbor_id,
+             la.label AS anchor_label, lc.label AS neg_label
+      FROM cand
+      JOIN lab la ON la.vec_id = cand.vec_id
+      JOIN lab lc ON lc.vec_id = cand.neighbor_id
+      WHERE la.label <> lc.label
+    ), scored AS (
+      SELECT f.vec_id, f.neighbor_id, f.anchor_label, f.neg_label,
+             list_dot_product(a.se, c.se)
+             / (sqrt(list_dot_product(a.se, a.se))
+                * sqrt(list_dot_product(c.se, c.se))) AS cos
+      FROM flt f
+      JOIN se0 a ON a.vec_id = f.vec_id
+      JOIN se0 c ON c.vec_id = f.neighbor_id
+    )
+    SELECT vec_id, neighbor_id AS hard_neg_id, anchor_label, neg_label FROM (
+      SELECT vec_id, neighbor_id, anchor_label, neg_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk = 1
+"""

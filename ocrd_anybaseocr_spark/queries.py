@@ -1425,6 +1425,9 @@ def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
     )
 
+register("contrastive_hard_negatives", _sim.ORACLE_HARD_NEGATIVES)(
+    _sim.q_contrastive_hard_negatives
+)
 register("dedup_embedding_cosine", _sim.ORACLE_DEDUP_EMB)(_sim.q_dedup_embedding_cosine)
 register("dedup_embedding_clusters", _sim.ORACLE_DEDUP_EMB_CLUSTERS)(
     _sim.q_dedup_embedding_clusters

@@ -1401,3 +1401,34 @@ def test_bpe_corpus_fit_properties(spark):
         # (+ EOW = >= 4 initial symbols) but encode to ~3 tokens/word
         assert rows[d].n_tokens < rows[d].n_words * 4
     tok.clear_caches()
+
+
+def test_hard_negatives_planted_mirror(spark):
+    """Hard-negative mining: each label-0 anchor's hard negative must be
+    its byte-identical label-1 mirror (cosine exactly 1 beats every other
+    candidate), and no row pairs two same-label vectors."""
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+    from ocrd_anybaseocr_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(11)
+    n = 30
+    base = rng.standard_normal((n, EMB_DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        rows.append((i + n, [float(x) for x in v], 1))  # mirror, other label
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+            T.StructField("label", T.IntegerType(), False),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    got = {r.vec_id: r for r in hard_negatives(emb).collect()}
+    for i in range(n):
+        assert got[i].hard_neg_id == i + n, got[i]
+        assert got[i + n].hard_neg_id == i, got[i + n]
+    assert all(r.anchor_label != r.neg_label for r in got.values())
+    sim.clear_caches()

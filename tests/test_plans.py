@@ -328,3 +328,14 @@ def test_bpe_tokenize_zero_exchanges(spark, sf_dir):
     projection → Arrow-batched mapInPandas, no shuffle anywhere."""
     df = QUERIES["bpe_tokenize"](spark, sf_dir)
     assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_hard_negatives_capped_broadcast_no_cartesian(spark, sf_dir):
+    """Raw-lineage hard-negative mining: the over-cap bucket filter is a
+    broadcast side of the candidate join, and nothing is cartesian."""
+    from ocrd_anybaseocr_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = explain_str(hard_negatives(emb))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
