@@ -1177,3 +1177,60 @@ ORACLE_PACK_SEQUENCES = f"""
            (off + n_tokens - 1) // {PACK_BLOCK} AS end_seq
     FROM laid
 """
+
+
+def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, target_share_ppm, weight_ppm): temperature-scaled
+    source mixture at alpha = 0.5 — the multilingual-sampling standard
+    (Conneau & Lample 2019: p'_s ∝ p_s^alpha flattens the source
+    distribution without going all the way to uniform; rare sources are
+    upsampled, dominant ones downsampled, each less aggressively than
+    source_mix_weights' uniform target).
+
+    alpha is FIXED at 0.5 by a determinism argument: x^0.5 is the single
+    correctly-rounded IEEE sqrt, so floor(sqrt(n)) over an exact count is
+    bit-identical in every engine, while pow(x, alpha) for general alpha
+    is NOT correctly rounded and may differ in the last ulp between
+    engines — exactly the class of silent cross-engine drift this repo
+    bans. The scaled mass s = floor(sqrt(n_docs)) re-enters INTEGER
+    arithmetic immediately; shares and per-doc weights are exact int64
+    rationals (safe to ~4e7 docs per mixture group at 1e6 ppm scale —
+    past that, lift the two products to decimal128; the plan is
+    unchanged). Same scale shape as source_mix_weights: one partial-agg
+    shuffle + a broadcast 1-row totals attach."""
+    docs = load_table(spark, sf_dir, "documents")
+    scaled = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)").alias("s"),
+        )
+    )
+    totals = scaled.select(
+        F.sum("n_docs").alias("n_total"), F.sum("s").alias("s_total")
+    )
+    return scaled.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.expr("cast(1000000 * s div s_total as bigint)").alias("target_share_ppm"),
+        F.expr(
+            "cast((1000000 * s * n_total) div (s_total * n_docs) as bigint)"
+        ).alias("weight_ppm"),
+    )
+
+
+ORACLE_SOURCE_MIX_TEMPERATURE = """
+    WITH scaled AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM documents GROUP BY source
+    ), totals AS (
+      SELECT SUM(n_docs) AS n_total, SUM(s) AS s_total FROM scaled
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(1000000 * s // s_total AS BIGINT) AS target_share_ppm,
+           CAST((1000000 * s * n_total) // (s_total * n_docs) AS BIGINT) AS weight_ppm
+    FROM scaled, totals
+"""

@@ -621,6 +621,9 @@ register("token_windows", _ts.ORACLE_TOKEN_WINDOWS)(_ts.q_token_windows)
 register("bm25_topk", _ts.ORACLE_BM25)(_ts.q_bm25_topk)
 register("source_mix_weights", _ts.ORACLE_SOURCE_MIX)(_ts.q_source_mix_weights)
 register("source_mix_sample", _ts.ORACLE_SOURCE_MIX_SAMPLE)(_ts.q_source_mix_sample)
+register("source_mix_temperature", _ts.ORACLE_SOURCE_MIX_TEMPERATURE)(
+    _ts.q_source_mix_temperature
+)
 register("pack_sequences", _ts.ORACLE_PACK_SEQUENCES)(_ts.q_pack_sequences)
 register("dsir_weights", _ts.ORACLE_DSIR)(_ts.q_dsir_weights)
 

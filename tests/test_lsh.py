@@ -1432,3 +1432,28 @@ def test_hard_negatives_planted_mirror(spark):
         assert got[i + n].hard_neg_id == i, got[i + n]
     assert all(r.anchor_label != r.neg_label for r in got.values())
     sim.clear_caches()
+
+
+def test_source_mix_temperature_planted_exact(spark, monkeypatch):
+    """alpha=0.5 mixture on planted counts (A=400, B=100, C=25 →
+    s=20/10/5): exact integer expectations, rare-source upsampling
+    strictly between uniform and identity."""
+    import ocrd_anybaseocr_spark.operators.textstats as ts
+
+    rows = (
+        [(f"a{i}", "x y z", "A") for i in range(400)]
+        + [(f"b{i}", "x y z", "B") for i in range(100)]
+        + [(f"c{i}", "x y z", "C") for i in range(25)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = {r.source: r for r in ts.q_source_mix_temperature(spark, "x").collect()}
+    # s_total=35, n_total=525
+    assert got["A"].weight_ppm == 1000000 * 20 * 525 // (35 * 400)  # 750000
+    assert got["B"].weight_ppm == 1000000 * 10 * 525 // (35 * 100)  # 1500000
+    assert got["C"].weight_ppm == 1000000 * 5 * 525 // (35 * 25)  # 3000000
+    assert got["A"].target_share_ppm == 1000000 * 20 // 35
+    # flattening, not uniformity: dominant source downsampled but keeps
+    # the largest share; rare source upsampled but stays the smallest
+    assert got["A"].weight_ppm < 1000000 < got["C"].weight_ppm
+    assert got["A"].target_share_ppm > got["B"].target_share_ppm > got["C"].target_share_ppm
