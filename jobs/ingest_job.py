@@ -112,7 +112,7 @@ def main() -> None:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--batch", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--cores", default="*")
     args = ap.parse_args()
     spark = spark_session(cores=args.cores)
     print(json.dumps(run(spark, args.corpus, args.batch, args.output)))
