@@ -1109,50 +1109,59 @@ PACK_BLOCK = 1024  # tokens per training sequence
 PACK_SHARDS = 8  # deterministic shard key: packing is per-shard at any scale
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shard, pos, n_tokens, start_seq, start_off, end_seq): the
-    concatenate-and-split packing plan. Docs are sharded by doc_id %
-    PACK_SHARDS and laid end-to-end within the shard in a seeded
-    deterministic order (md5 of 'pack:'||doc_id, tie doc_id — the
-    stratified_sample idiom); the token stream then splits at fixed
+def pack_plan(base: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Concatenate-and-split packing over any (``key_col``, shard,
+    n_tokens) stream: rows are laid end-to-end within each shard in a
+    seeded deterministic order (md5 of 'pack:'||key, tie key — the
+    stratified_sample idiom) and the token stream splits at fixed
     PACK_BLOCK boundaries, documents straddling freely (the GPT-style
-    loader contract). start_seq/start_off locate the doc's first token in
-    the shard's sequence space; end_seq is the sequence holding its last
-    token (single-token algebra: offset + n - 1).
+    loader contract). Adds (pos, start_seq, start_off, end_seq) and
+    preserves every other input column (jobs/curate_job.py packs an
+    epoch-expanded (doc_id, copy) stream through the same plan).
 
     Scale shape: ONE shuffle on the shard key; the running offset is a
     window cumsum inside each shard — never a global single-partition
-    sort (the shard key IS how production packs: one writer per shard).
-    Empty docs (0 tokens after split of '' -> ['']) cannot occur here —
-    split always yields >= 1 token on this corpus; the end_seq algebra
-    would still hold at n=1."""
-    docs = load_table(spark, sf_dir, "documents")
+    sort (the shard key IS how production packs: one writer per shard)."""
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy("shard")
-        .orderBy(F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")).cast("binary")), "doc_id")
+        .orderBy(
+            F.md5(F.concat(F.lit("pack:"), F.col(key_col).cast("string")).cast("binary")),
+            F.col(key_col),
+        )
     )
+    laid = base.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_off"),
+    )
+    return laid.select(
+        *[c for c in base.columns],
+        "pos",
+        F.expr(f"_off div {PACK_BLOCK}").alias("start_seq"),
+        F.expr(f"_off % {PACK_BLOCK}").alias("start_off"),
+        F.expr(f"(_off + n_tokens - 1) div {PACK_BLOCK}").alias("end_seq"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, pos, n_tokens, start_seq, start_off, end_seq): the
+    packing plan over the documents table — docs sharded by doc_id %
+    PACK_SHARDS, then pack_plan's per-shard concatenate-and-split.
+    start_seq/start_off locate the doc's first token in the shard's
+    sequence space; end_seq is the sequence holding its last token
+    (single-token algebra: offset + n - 1). Empty docs (0 tokens after
+    split of '' -> ['']) cannot occur here — split always yields >= 1
+    token on this corpus; the end_seq algebra would still hold at n=1."""
+    docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         F.expr(f"doc_id % {PACK_SHARDS}").alias("shard"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
-    laid = base.select(
-        "doc_id",
-        "shard",
-        F.row_number().over(w).cast("bigint").alias("pos"),
-        "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_off"),
-    )
-    return laid.select(
-        "doc_id",
-        "shard",
-        "pos",
-        "n_tokens",
-        F.expr(f"_off div {PACK_BLOCK}").alias("start_seq"),
-        F.expr(f"_off % {PACK_BLOCK}").alias("start_off"),
-        F.expr(f"(_off + n_tokens - 1) div {PACK_BLOCK}").alias("end_seq"),
+    return pack_plan(base).select(
+        "doc_id", "shard", "pos", "n_tokens", "start_seq", "start_off", "end_seq"
     )
 
 
@@ -1197,7 +1206,10 @@ def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationals (safe to ~4e7 docs per mixture group at 1e6 ppm scale —
     past that, lift the two products to decimal128; the plan is
     unchanged). Same scale shape as source_mix_weights: one partial-agg
-    shuffle + a broadcast 1-row totals attach."""
+    shuffle + a broadcast 1-row totals attach. Granularity caveat: at
+    single-digit source counts floor(sqrt(n)) steps can invert neighbors
+    (n=3 -> s=1 vs n=4 -> s=2); real mixture groups are orders of
+    magnitude larger, where s/n is effectively monotone."""
     docs = load_table(spark, sf_dir, "documents")
     scaled = (
         docs.groupBy("source")

@@ -566,3 +566,70 @@ def test_ingest_job_stage_order_and_audit(spark, tmp_path_factory):
     assert all(r.bloom_hit for r in audit.values() if r.exact_dup)
     acc = spark.read.parquet(os.path.join(out, "documents_accepted"))
     assert {r.doc_id for r in acc.collect()} == {"b_fresh"}
+
+
+def test_curate_job_end_to_end(spark, tmp_path_factory):
+    """jobs/curate_job.run: clean → decontaminate → mixture → packed epoch
+    plan, every stage committed and reconciling. Pins: (1) planted eval
+    docs (verbatim copies of two retained docs) are dropped at the decon
+    stage and never reach the epoch plan; (2) per-shard packing integrity
+    — positions consecutive from 1, each row's start offset equals the
+    exact cumsum of its predecessors, end_seq algebra holds; (3) packed
+    copies per doc equal the committed epoch_plan counts; (4) temperature
+    weights upsample rarer sources at least as much as dominant ones."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import curate_job
+
+    from ocrd_anybaseocr_spark.operators.textstats import PACK_BLOCK
+
+    sf_dir = "/root/testdata/sf0.001"
+    out1 = str(tmp_path_factory.mktemp("curate_base"))
+    s1 = curate_job.run(spark, sf_dir, out1, mix="temperature")
+    assert s1["docs_retained"] > 0 and s1["packed_sequences"] > 0
+
+    # build an eval set from two RETAINED docs (verbatim → contaminated)
+    kept = spark.read.parquet(os.path.join(out1, "documents_clean"))
+    planted = [(int(r.doc_id), r.text) for r in kept.select("doc_id", "text").limit(2).collect()]
+    eval_dir = str(tmp_path_factory.mktemp("curate_eval"))
+    spark.createDataFrame(
+        [(100000 + i, t) for i, (_, t) in enumerate(planted)], ["doc_id", "text"]
+    ).write.parquet(os.path.join(eval_dir, "documents.parquet"))
+
+    out = str(tmp_path_factory.mktemp("curate_full"))
+    s = curate_job.run(spark, sf_dir, out, eval_dir=eval_dir, mix="temperature")
+    assert s["docs_dropped_contaminated"] >= 2
+    epoch = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "epoch_plan")).collect()}
+    for doc_id, _ in planted:
+        assert doc_id not in epoch
+
+    packed = spark.read.parquet(os.path.join(out, "packed_plan")).collect()
+    # (3) copies per doc == committed n_copies
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in packed)
+    for d, r in epoch.items():
+        assert per_doc.get(d, 0) == r.n_copies
+    # (2) per-shard integrity
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pos)
+        off = 0
+        for i, r in enumerate(rows):
+            assert r.pos == i + 1
+            assert r.start_seq * PACK_BLOCK + r.start_off == off
+            assert r.end_seq == (off + r.n_tokens - 1) // PACK_BLOCK
+            off += r.n_tokens
+    # (4) temperature flattening between the extremes (floor(sqrt(n))
+    # granularity can legally invert neighbors at single-digit counts —
+    # n=3 → s=1 vs n=4 → s=2 — but never smallest vs largest)
+    w = sorted(
+        spark.read.parquet(os.path.join(out, "mix_weights")).collect(),
+        key=lambda r: r.n_docs,
+    )
+    assert w[0].weight_ppm >= w[-1].weight_ppm
+    assert w[0].n_docs < w[-1].n_docs
