@@ -1482,8 +1482,10 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_CDC = f"""
-    WITH w AS (
+# shared CDC chunk relation: w -> bounds -> per-chunk keyed rows — ONE
+# definition spliced into every CDC oracle (the _DHASH_PAIRS_CTE
+# convention: a hard-coded twin would silently drift on a parameter change)
+_CDC_KEYED_CTE = f"""w AS (
       SELECT doc_id, string_split(text, ' ') AS words,
              len(string_split(text, ' ')) AS n
       FROM documents
@@ -1508,7 +1510,11 @@ ORACLE_DEDUP_CDC = f"""
                words[(CASE WHEN k = 0 THEN 0 ELSE bounds[k] + 1 END) + 1:bounds[k + 1] + 1],
                ' ')) AS chunk_key
       FROM ch
-    ), cnt AS (
+    )"""
+
+
+ORACLE_DEDUP_CDC = f"""
+    WITH {_CDC_KEYED_CTE}, cnt AS (
       SELECT chunk_key, COUNT(DISTINCT doc_id) AS nd FROM keyed GROUP BY 1
     )
     SELECT keyed.doc_id,
@@ -1517,4 +1523,69 @@ ORACLE_DEDUP_CDC = f"""
            CAST((1000000 * SUM(CASE WHEN nd >= 2 THEN n_words ELSE 0 END)) // SUM(n_words) AS BIGINT) AS shared_word_ppm
     FROM keyed JOIN cnt USING (chunk_key)
     GROUP BY 1
+"""
+
+
+CDC_PAIR_DF_CAP = 16  # chunks shared by more docs are boilerplate, not
+#                       pair evidence (boilerplate_ratio's territory) — and
+#                       the cap bounds the per-chunk pair fan-out at C(16,2)
+CDC_MIN_SHARED = 2  # pairs must share >= 2 chunks (one shared chunk of a
+#                     few words is noise at the 1/CDC_D boundary density)
+
+
+def cdc_shared_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared_chunks, shared_words): document pairs
+    ranked by shared CONTENT-DEFINED chunk mass — the pairwise view of
+    cdc_chunk_rows, catching partial overlap (a copied chapter, a shared
+    appendix) that whole-doc hashing misses and exact-substring dedup
+    finds only at much higher join cost.
+
+    Scale shape: the chunk-key join is DF-capped (a chunk in >
+    CDC_PAIR_DF_CAP docs is dropped BEFORE the self-join — boilerplate
+    carries no pair evidence but would fan out quadratically), so no key
+    ever exceeds C(cap, 2) pairs; everything else is partial-agg."""
+    ch = cdc_chunk_rows(docs).select("doc_id", "chunk_key", "n_words").distinct()
+    ok = (
+        ch.groupBy("chunk_key")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= CDC_PAIR_DF_CAP))
+        .select("chunk_key")
+    )
+    chf = ch.join(ok, "chunk_key")
+    a = chf.select(F.col("doc_id").alias("doc_a"), "chunk_key", "n_words")
+    b = chf.select(F.col("doc_id").alias("doc_b"), "chunk_key")
+    return (
+        a.join(b, "chunk_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_chunks"),
+            F.sum("n_words").cast("bigint").alias("shared_words"),
+        )
+        .filter(F.col("n_shared_chunks") >= CDC_MIN_SHARED)
+    )
+
+
+def q_dedup_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_shared_pairs(docs)
+
+
+q_dedup_cdc_pairs.__doc__ = cdc_shared_pairs.__doc__
+
+ORACLE_CDC_PAIRS = f"""
+    WITH {_CDC_KEYED_CTE}, dk AS (
+      SELECT DISTINCT doc_id, chunk_key, n_words FROM keyed
+    ), ok AS (
+      SELECT chunk_key FROM dk GROUP BY chunk_key
+      HAVING COUNT(*) BETWEEN 2 AND {CDC_PAIR_DF_CAP}
+    ), chf AS (
+      SELECT dk.* FROM dk JOIN ok USING (chunk_key)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_chunks,
+           CAST(SUM(a.n_words) AS BIGINT) AS shared_words
+    FROM chf a JOIN chf b ON a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {CDC_MIN_SHARED}
 """

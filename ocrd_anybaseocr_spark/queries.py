@@ -593,6 +593,7 @@ register("dedup_incremental", _dd.ORACLE_DEDUP_INCREMENTAL)(_dd.q_dedup_incremen
 register("dedup_bloom_ingest", _dd.ORACLE_DEDUP_BLOOM)(_dd.q_dedup_bloom_ingest)
 register("dedup_jaccard_ngram", _dd.ORACLE_JACCARD)(_dd.q_dedup_jaccard)
 register("dedup_cdc_chunks", _dd.ORACLE_DEDUP_CDC)(_dd.q_dedup_cdc_chunks)
+register("dedup_cdc_pairs", _dd.ORACLE_CDC_PAIRS)(_dd.q_dedup_cdc_pairs)
 register("decontaminate_overlap", _dd.ORACLE_DECON)(_dd.q_decontaminate_overlap)
 register("dedup_exact_substring", _dd.ORACLE_SUBSTR)(_dd.q_dedup_exact_substring)
 register("repetition_ratio", _dd.ORACLE_REPETITION)(_dd.q_repetition_ratio)

@@ -1457,3 +1457,35 @@ def test_source_mix_temperature_planted_exact(spark, monkeypatch):
     # the largest share; rare source upsampled but stays the smallest
     assert got["A"].weight_ppm < 1000000 < got["C"].weight_ppm
     assert got["A"].target_share_ppm > got["B"].target_share_ppm > got["C"].target_share_ppm
+
+
+def test_cdc_shared_pairs_planted_passage_and_boilerplate_cap(spark):
+    """cdc_shared_pairs: two docs sharing a 48-word middle passage (with
+    distinct prefixes/suffixes) pair up with most of the passage's mass —
+    chunk boundaries inside the shared region are content-defined, so both
+    docs cut it identically after the first interior boundary. A passage
+    repeated across 20 docs exceeds CDC_PAIR_DF_CAP and produces NO pairs
+    (boilerplate is not pair evidence, and the cap kills the quadratic
+    fan-out)."""
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        CDC_PAIR_DF_CAP,
+        cdc_shared_pairs,
+    )
+
+    shared = " ".join(f"shr{i}" for i in range(48))
+    boiler = " ".join(f"boil{i}" for i in range(30))
+    rows = [
+        ("x", " ".join(f"px{i}" for i in range(20)) + " " + shared + " "
+         + " ".join(f"sx{i}" for i in range(15))),
+        ("y", " ".join(f"py{i}" for i in range(11)) + " " + shared + " "
+         + " ".join(f"sy{i}" for i in range(25))),
+    ] + [
+        (f"m{i:02d}", boiler + " " + " ".join(f"u{i}q{j}" for j in range(20)))
+        for i in range(20)
+    ]
+    assert 20 > CDC_PAIR_DF_CAP
+    pairs = cdc_shared_pairs(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    xy = [r for r in pairs if {r.doc_a, r.doc_b} == {"x", "y"}]
+    assert xy, pairs
+    assert xy[0].shared_words >= 24  # at least half the planted passage
+    assert not [r for r in pairs if r.doc_a.startswith("m")], pairs
