@@ -93,56 +93,17 @@ def run(
         docs = spark.read.parquet(os.path.join(out_dir, "documents_curated"))
         summary["docs_dropped_contaminated"] = before - docs.count()
 
-    # --- mixture weights over the SURVIVING corpus ---------------------
-    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    if mix == "uniform":
-        totals = per_src.select(
-            F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
-        )
-        weights = per_src.crossJoin(F.broadcast(totals)).select(
-            "source",
-            "n_docs",
-            F.expr("cast(n_total * 1000000 div (n_sources * n_docs) as bigint)").alias(
-                "weight_ppm"
-            ),
-        )
-    elif mix == "temperature":
-        scaled = per_src.select(
-            "source",
-            "n_docs",
-            F.expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)").alias("s"),
-        )
-        totals = scaled.select(
-            F.sum("n_docs").alias("n_total"), F.sum("s").alias("s_total")
-        )
-        weights = scaled.crossJoin(F.broadcast(totals)).select(
-            "source",
-            "n_docs",
-            F.expr(
-                "cast((1000000 * s * n_total) div (s_total * n_docs) as bigint)"
-            ).alias("weight_ppm"),
-        )
-    elif mix == "none":
-        weights = per_src.select("source", "n_docs", F.lit(1000000).alias("weight_ppm"))
-    else:
-        raise ValueError(f"unknown mix mode {mix!r}")
+    # --- mixture weights + epoch counts over the SURVIVING corpus ------
+    # the formulas are the SAME builders the oracled source_mix_* queries
+    # splice (textstats.MIX_*_EXPR) — the job can never drift from the
+    # driver-gated operators (review: the earlier inline copies could)
+    from ocrd_anybaseocr_spark.operators.textstats import epoch_counts, mix_weights
+
+    weights = mix_weights(docs, mode=mix)
     weights.write.mode("overwrite").parquet(os.path.join(out_dir, "mix_weights"))
     weights = spark.read.parquet(os.path.join(out_dir, "mix_weights"))
 
-    # --- per-doc epoch counts (source_mix_sample recipe) ---------------
-    draw = (
-        "cast(conv(substring(md5(cast(concat('mix:', cast(doc_id as string))"
-        " as binary)), 1, 8), 16, 10) as bigint) % 1000000"
-    )
-    epoch = docs.join(F.broadcast(weights.select("source", "weight_ppm")), "source").select(
-        "doc_id",
-        "source",
-        "weight_ppm",
-        F.expr(
-            f"cast(weight_ppm div 1000000"
-            f" + if({draw} < weight_ppm % 1000000, 1, 0) as bigint)"
-        ).alias("n_copies"),
-    )
+    epoch = epoch_counts(docs, weights)
     epoch.write.mode("overwrite").parquet(os.path.join(out_dir, "epoch_plan"))
     epoch = spark.read.parquet(os.path.join(out_dir, "epoch_plan"))
 
@@ -181,9 +142,12 @@ def run(
     agg = packed.groupBy("shard").agg(
         F.sum("n_tokens").alias("tok"), F.max("end_seq").alias("last_seq")
     )
+    # coalesce: sums over an empty packed set (everything cleaned/
+    # decontaminated away) are NULL, and the summary must report zeros,
+    # not crash after all outputs committed
     tot = agg.agg(
-        F.sum("tok").alias("n_tokens"),
-        F.sum(F.expr("last_seq + 1")).alias("n_sequences"),
+        F.coalesce(F.sum("tok"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.sum(F.expr("last_seq + 1")), F.lit(0)).alias("n_sequences"),
         F.count(F.lit(1)).alias("n_shards"),
     ).collect()[0]
     summary.update(

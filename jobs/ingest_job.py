@@ -7,24 +7,33 @@ batches land.
         --batch  <dir containing documents.parquet>  (the new batch) \
         --output <output root>
 
-Stage order (each committed before the next consumes it — decide once):
+Stage order (each committed before the next consumes it — decide once).
+Both the corpus AND the batch itself are dedup sides: a batch that
+contains its own duplicates must not plant them in the corpus, because
+later passes never generate corpus x corpus pairs (review round 6).
 
-1. Bloom pre-filter + exact verify (operators/dedup.dedup_bloom_ingest):
-   one membership probe per batch doc against the corpus filter, every
-   probe exact-verified, so the audit carries the measured false-positive
-   mass. Exact duplicates drop here.
-2. MinHash incremental near-dup (operators/dedup.dedup_incremental): the
-   exact-surviving batch docs' band keys join the CORPUS side's bands
-   only — no batch x batch or corpus x corpus pairs; verified matches at
-   >= VERIFY_JACCARD_MIN drop the batch doc (the corpus copy is the
-   canonical by arrival order).
-3. The accepted remainder is written as ``documents_accepted`` — the
+1. Within-batch exact: one canonical (min doc_id) per md5 text key.
+2. Bloom pre-filter + exact verify vs the corpus
+   (operators/dedup.dedup_bloom_ingest): one membership probe per batch
+   doc, every probe exact-verified, so the audit carries the measured
+   false-positive mass.
+3. MinHash near-dup vs the corpus (operators/dedup.dedup_incremental):
+   the exact-surviving docs' band keys join the CORPUS side's bands only
+   — no corpus x corpus pairs; verified matches at >= VERIFY_JACCARD_MIN
+   drop the batch doc (the corpus copy is canonical by arrival order).
+4. Within-batch near-dup (operators/dedup.verified_pairs over the
+   remaining survivors): of each verified pair the greater doc_id drops
+   (min-canonical, consistent with stage 1).
+5. The accepted remainder is written as ``documents_accepted`` — the
    rows an append-to-corpus commit would take.
 
-Writes under --output:
+Writes under --output (all three are COMMITTED stage outputs):
 
-- ``ingest_audit``: one row per batch doc — (doc_id, bloom_hit,
-  exact_dup, near_dup, accepted); dropped docs stay auditable and
+- ``exact_flags``: per batch doc — (doc_id, bloom_hit, exact_dup,
+  exact_dup_in_batch); committed so the filter-build lineage (corpus agg
+  + probe join) runs once for the survivor filter AND the audit.
+- ``ingest_audit``: one row per batch doc — every stage verdict plus
+  ``accepted``; dropped docs stay auditable and
   bloom_hit AND NOT exact_dup is the filter's live FP rate.
 - ``documents_accepted``: the accepted subset of the batch table.
 
@@ -50,37 +59,69 @@ def run(spark, corpus_dir: str, batch_dir: str, out_dir: str) -> dict:
     from ocrd_anybaseocr_spark.operators.dedup import (
         dedup_bloom_ingest,
         dedup_incremental,
+        verified_pairs,
     )
 
     corpus = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
     batch = spark.read.parquet(os.path.join(batch_dir, "documents.parquet"))
 
-    flags = dedup_bloom_ingest(batch, corpus)
-    # commit the membership verdicts, then re-read: the filter-build
-    # lineage (corpus agg + probe join) must not re-run for the near-dup
-    # stage's survivor filter AND the audit write (decide-once — the
-    # clean_job committed-decisions rationale)
-    tmp_flags = os.path.join(out_dir, "_bloom_flags")
-    flags.write.mode("overwrite").parquet(tmp_flags)
-    flags = spark.read.parquet(tmp_flags)
+    # stage 1: within-batch exact — min doc_id per content key is canonical
+    keyed = batch.select("doc_id", F.expr("md5(cast(text as binary))").alias("h"))
+    canon = keyed.groupBy("h").agg(F.min("doc_id").alias("_canon"))
+    in_batch = keyed.join(canon, "h").select(
+        "doc_id", (F.col("doc_id") != F.col("_canon")).alias("exact_dup_in_batch")
+    )
 
-    exact_survivor_ids = flags.filter(~F.col("exact_dup")).select("doc_id")
+    # stage 2: Bloom probe + exact verify vs the corpus (full batch — the
+    # audit reports every doc's corpus verdict even if stage 1 drops it)
+    flags = dedup_bloom_ingest(batch, corpus).join(in_batch, "doc_id")
+    flags.write.mode("overwrite").parquet(os.path.join(out_dir, "exact_flags"))
+    flags = spark.read.parquet(os.path.join(out_dir, "exact_flags"))
+
+    exact_survivor_ids = flags.filter(
+        ~F.col("exact_dup") & ~F.col("exact_dup_in_batch")
+    ).select("doc_id")
     survivors = batch.join(exact_survivor_ids, "doc_id", "leftsemi")
+
+    # stage 3: near-dup vs the corpus (batch bands x corpus bands only)
     near = (
         dedup_incremental(survivors, corpus)
         .select(F.col("doc_new").alias("doc_id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))
     )
+    # stage 4: within-batch near-dup among the remaining survivors — the
+    # greater doc_id of each verified pair drops (min-canonical)
+    survivors2 = survivors.join(
+        near.select("doc_id"), "doc_id", "left_anti"
+    )
+    near_in_batch = (
+        verified_pairs(survivors2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup_in_batch", F.lit(True))
+    )
+
     audit = (
         flags.join(near, "doc_id", "left")
+        .join(near_in_batch, "doc_id", "left")
         .select(
             "doc_id",
             "bloom_hit",
             "exact_dup",
+            "exact_dup_in_batch",
             F.coalesce(F.col("near_dup"), F.lit(False)).alias("near_dup"),
+            F.coalesce(F.col("near_dup_in_batch"), F.lit(False)).alias(
+                "near_dup_in_batch"
+            ),
         )
-        .withColumn("accepted", F.expr("NOT exact_dup AND NOT near_dup"))
+        .withColumn(
+            "accepted",
+            F.expr(
+                "NOT exact_dup AND NOT exact_dup_in_batch"
+                " AND NOT near_dup AND NOT near_dup_in_batch"
+            ),
+        )
     )
     audit.write.mode("overwrite").parquet(os.path.join(out_dir, "ingest_audit"))
     committed = spark.read.parquet(os.path.join(out_dir, "ingest_audit"))
@@ -89,33 +130,54 @@ def run(spark, corpus_dir: str, batch_dir: str, out_dir: str) -> dict:
         os.path.join(out_dir, "documents_accepted")
     )
 
+    # coalesce: sums over an EMPTY batch are NULL, and an empty batch must
+    # report all-zero counts, not crash after the outputs committed
     agg = committed.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.expr("int(exact_dup)")).alias("n_exact"),
-        F.sum(F.expr("int(near_dup)")).alias("n_near"),
-        F.sum(F.expr("int(bloom_hit AND NOT exact_dup)")).alias("n_bloom_fp"),
-        F.sum(F.expr("int(accepted)")).alias("n_accepted"),
+        F.coalesce(F.sum(F.expr("int(exact_dup)")), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum(F.expr("int(exact_dup_in_batch AND NOT exact_dup)")), F.lit(0)).alias(
+            "n_exact_in_batch"
+        ),
+        F.coalesce(F.sum(F.expr("int(near_dup)")), F.lit(0)).alias("n_near"),
+        F.coalesce(F.sum(F.expr("int(near_dup_in_batch)")), F.lit(0)).alias(
+            "n_near_in_batch"
+        ),
+        F.coalesce(F.sum(F.expr("int(bloom_hit AND NOT exact_dup)")), F.lit(0)).alias(
+            "n_bloom_fp"
+        ),
+        F.coalesce(F.sum(F.expr("int(accepted)")), F.lit(0)).alias("n_accepted"),
     ).collect()[0]
     return {
         "batch_in": int(agg.n),
         "dropped_exact": int(agg.n_exact),
+        "dropped_exact_in_batch": int(agg.n_exact_in_batch),
         "dropped_near_dup": int(agg.n_near),
+        "dropped_near_dup_in_batch": int(agg.n_near_in_batch),
         "bloom_false_positives": int(agg.n_bloom_fp),
         "accepted": int(agg.n_accepted),
     }
 
 
 def main() -> None:
-    from ocrd_anybaseocr_spark.sources.tables import spark_session
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--batch", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--cores", default="*")
     args = ap.parse_args()
-    spark = spark_session(cores=args.cores)
+
+    from pyspark.sql import SparkSession
+
+    # no .master() here — the submit command controls where this runs
+    # (clean_job/curate_job convention; a builder-set master would pin a
+    # cluster submission to local mode on the driver)
+    spark = (
+        SparkSession.builder.appName("ocrd_anybaseocr_spark.ingest")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     print(json.dumps(run(spark, args.corpus, args.batch, args.output)))
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -995,21 +995,29 @@ _DOT_E8 = (
 )
 
 
-def pairs_from_assignments(
-    bk: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
-) -> DataFrame:
-    """Distinct candidate pairs (vec_a < vec_b) colliding in >= 1 LSH table,
-    from an assignment relation, with over-cap buckets dropped before the
-    self-join (see module doc). The bucket-size relation is tiny
-    (<= tables * 2^bits rows) → broadcast. Pass a checkpointed ``bk`` (see
-    candidates_from_assignments)."""
+def capped_assignments(bk: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """The assignment relation with over-cap buckets dropped BEFORE any
+    self-join — the single definition of the cap policy (the bucket-size
+    relation is tiny, <= tables * 2^bits rows → broadcast). Shared by
+    pairs_from_assignments and hard_negatives so the cap/broadcast
+    strategy can never drift between the pair and mining paths."""
     ok = (
         bk.groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") <= bucket_cap)
         .select("tbl", "bucket")
     )
-    bkc = bk.join(F.broadcast(ok), ["tbl", "bucket"])
+    return bk.join(F.broadcast(ok), ["tbl", "bucket"])
+
+
+def pairs_from_assignments(
+    bk: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Distinct candidate pairs (vec_a < vec_b) colliding in >= 1 LSH table,
+    from an assignment relation, with over-cap buckets dropped before the
+    self-join (see module doc). Pass a checkpointed ``bk`` (see
+    candidates_from_assignments)."""
+    bkc = capped_assignments(bk, bucket_cap)
     a = bkc.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
     b = bkc.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
     return (
@@ -1477,13 +1485,7 @@ def hard_negatives(
     assert plans on the raw lineage."""
     if bk is None:
         bk = lsh_assignments(emb.select("vec_id", "embedding"))
-    ok = (
-        bk.groupBy("tbl", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= bucket_cap)
-        .select("tbl", "bucket")
-    )
-    bkc = bk.join(F.broadcast(ok), ["tbl", "bucket"])
+    bkc = capped_assignments(bk, bucket_cap)
     cand = (
         bkc.join(
             bkc.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"),

@@ -838,6 +838,65 @@ ORACLE_BM25 = f"""
 # ---------------------------------------------------------------------------
 
 
+# single-definition mixture formulas — spliced into the oracled queries
+# below AND consumed by jobs/curate_job.py via mix_weights()/epoch_counts(),
+# so a scale or salt change can never diverge between the gated operators
+# and the job composition (the _SHINGLES_FROM_WORDS convention)
+MIX_WEIGHT_UNIFORM_EXPR = "cast(n_total * 1000000 div (n_sources * n_docs) as bigint)"
+MIX_SQRT_EXPR = "cast(floor(sqrt(cast(n_docs as double))) as bigint)"
+MIX_WEIGHT_TEMPERATURE_EXPR = (
+    "cast((1000000 * s * n_total) div (s_total * n_docs) as bigint)"
+)
+MIX_DRAW_EXPR = (
+    "cast(conv(substring(md5(cast(concat('mix:', cast(doc_id as string))"
+    " as binary)), 1, 8), 16, 10) as bigint) % 1000000"
+)
+MIX_COPIES_EXPR = (
+    f"cast(weight_ppm div 1000000"
+    f" + if({MIX_DRAW_EXPR} < weight_ppm % 1000000, 1, 0) as bigint)"
+)
+
+
+def mix_weights(docs: DataFrame, mode: str = "uniform") -> DataFrame:
+    """(source, n_docs, weight_ppm) over any documents-shaped frame —
+    ``uniform`` (source_mix_weights semantics), ``temperature`` (alpha=0.5,
+    source_mix_temperature semantics) or ``none`` (weight 1e6). One
+    partial-agg shuffle + a broadcast 1-row totals attach in every mode."""
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    if mode == "uniform":
+        totals = per_src.select(
+            F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+        )
+        return per_src.crossJoin(F.broadcast(totals)).select(
+            "source", "n_docs", F.expr(MIX_WEIGHT_UNIFORM_EXPR).alias("weight_ppm")
+        )
+    if mode == "temperature":
+        scaled = per_src.select("source", "n_docs", F.expr(MIX_SQRT_EXPR).alias("s"))
+        totals = scaled.select(
+            F.sum("n_docs").alias("n_total"), F.sum("s").alias("s_total")
+        )
+        return scaled.crossJoin(F.broadcast(totals)).select(
+            "source", "n_docs", F.expr(MIX_WEIGHT_TEMPERATURE_EXPR).alias("weight_ppm")
+        )
+    if mode == "none":
+        return per_src.select(
+            "source", "n_docs", F.lit(1000000).cast("bigint").alias("weight_ppm")
+        )
+    raise ValueError(f"unknown mix mode {mode!r}")
+
+
+def epoch_counts(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """(doc_id, source, weight_ppm, n_copies): apply per-source weights as
+    per-doc epoch counts — floor epochs plus one more iff the salted-md5
+    Bernoulli draw lands under the fractional part (source_mix_sample
+    recipe; deterministic on any engine/partitioning)."""
+    return docs.select("doc_id", "source").join(
+        F.broadcast(weights.select("source", "weight_ppm")), "source"
+    ).select(
+        "doc_id", "source", "weight_ppm", F.expr(MIX_COPIES_EXPR).alias("n_copies")
+    )
+
+
 def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, n_docs, n_tokens, weight_ppm): the per-source sampling
     weight that reweights the corpus to a UNIFORM source mix — the
@@ -863,9 +922,7 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.expr("cast(n_total * 1000000 div (n_sources * n_docs) as bigint)").alias(
-            "weight_ppm"
-        ),
+        F.expr(MIX_WEIGHT_UNIFORM_EXPR).alias("weight_ppm"),
     )
 
 
@@ -899,34 +956,8 @@ def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a narrow per-doc projection — the doc stream is touched once for the
     agg and once for the scoring pass, and in a real pipeline the weights
     relation is precomputed so serving is pure scan -> project."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    per_src = (
-        load_table(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    totals = per_src.select(
-        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
-    )
-    weights = per_src.crossJoin(F.broadcast(totals)).select(
-        "source",
-        F.expr("cast(n_total * 1000000 div (n_sources * n_docs) as bigint)").alias(
-            "weight_ppm"
-        ),
-    )
-    draw = (
-        "cast(conv(substring(md5(cast(concat('mix:', cast(doc_id as string))"
-        " as binary)), 1, 8), 16, 10) as bigint) % 1000000"
-    )
-    return docs.join(F.broadcast(weights), "source").select(
-        "doc_id",
-        "source",
-        "weight_ppm",
-        F.expr(
-            f"cast(weight_ppm div 1000000"
-            f" + if({draw} < weight_ppm % 1000000, 1, 0) as bigint)"
-        ).alias("n_copies"),
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_counts(docs, mix_weights(docs, "uniform"))
 
 
 ORACLE_SOURCE_MIX_SAMPLE = f"""
@@ -1217,7 +1248,7 @@ def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)").alias("s"),
+            F.expr(MIX_SQRT_EXPR).alias("s"),
         )
     )
     totals = scaled.select(
@@ -1227,9 +1258,7 @@ def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         F.expr("cast(1000000 * s div s_total as bigint)").alias("target_share_ppm"),
-        F.expr(
-            "cast((1000000 * s * n_total) div (s_total * n_docs) as bigint)"
-        ).alias("weight_ppm"),
+        F.expr(MIX_WEIGHT_TEMPERATURE_EXPR).alias("weight_ppm"),
     )
 
 

@@ -528,14 +528,20 @@ def test_clean_job_lm_filter(spark, tmp_path_factory):
 def test_ingest_job_stage_order_and_audit(spark, tmp_path_factory):
     """jobs/ingest_job.run: exact dups drop at the Bloom+verify stage,
     near dups at the incremental-MinHash stage (batch x corpus bands
-    only), fresh docs are accepted, and the audit reconciles — including
-    the no-false-negative Bloom invariant (exact_dup => bloom_hit)."""
+    only), WITHIN-BATCH exact and near duplicates drop to their
+    min-doc_id canonical (a batch must not plant its own duplicates in
+    the corpus — round-6 review), fresh docs are accepted, and the audit
+    reconciles, including the no-false-negative Bloom invariant
+    (exact_dup => bloom_hit). An empty batch reports all-zero counts
+    instead of crashing on NULL sums."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
     import ingest_job
 
     base = " ".join(f"tok{i}" for i in range(99))
+    base2 = " ".join(f"nb{i}" for i in range(99))
+    selfdup = " ".join(f"sd{i}" for i in range(40))
     corpus_rows = [
         (f"c{i:03d}", f"corpus document {i} " + " ".join(f"w{i}x{j}" for j in range(40)))
         for i in range(30)
@@ -544,6 +550,10 @@ def test_ingest_job_stage_order_and_audit(spark, tmp_path_factory):
         ("b_exact", corpus_rows[0][1]),  # byte-identical to c000
         ("b_near", base + " twice"),     # J~0.94 vs c_near (test_minhash_band_cap pair)
         ("b_fresh", " ".join(f"fresh{j} token{j}" for j in range(50))),
+        ("b_self1", selfdup),            # within-batch exact pair
+        ("b_self2", selfdup),
+        ("b_nearself1", base2 + " again"),  # within-batch near pair
+        ("b_nearself2", base2 + " twice"),
     ]
     corpus_dir = str(tmp_path_factory.mktemp("ingest_corpus"))
     batch_dir = str(tmp_path_factory.mktemp("ingest_batch"))
@@ -553,20 +563,35 @@ def test_ingest_job_stage_order_and_audit(spark, tmp_path_factory):
         os.path.join(batch_dir, "documents.parquet"))
     out = str(tmp_path_factory.mktemp("ingest_out"))
     summary = ingest_job.run(spark, corpus_dir, batch_dir, out)
-    assert summary["batch_in"] == 3
+    assert summary["batch_in"] == 7
     assert summary["dropped_exact"] == 1
+    assert summary["dropped_exact_in_batch"] == 1
     assert summary["dropped_near_dup"] == 1
-    assert summary["accepted"] == 1
+    assert summary["dropped_near_dup_in_batch"] == 1
+    assert summary["accepted"] == 3
     audit = {r.doc_id: r for r in spark.read.parquet(
         os.path.join(out, "ingest_audit")).collect()}
     assert audit["b_exact"].exact_dup and audit["b_exact"].bloom_hit
     assert audit["b_near"].near_dup and not audit["b_near"].exact_dup
     assert audit["b_fresh"].accepted and not audit["b_fresh"].near_dup
-    # Bloom no-false-negatives: every exact dup was flagged by the filter
+    assert audit["b_self1"].accepted and audit["b_self2"].exact_dup_in_batch
+    assert audit["b_nearself1"].accepted and audit["b_nearself2"].near_dup_in_batch
+    # Bloom no-false-negatives: every corpus exact dup was flagged
     assert all(r.bloom_hit for r in audit.values() if r.exact_dup)
     acc = spark.read.parquet(os.path.join(out, "documents_accepted"))
-    assert {r.doc_id for r in acc.collect()} == {"b_fresh"}
+    assert {r.doc_id for r in acc.collect()} == {"b_fresh", "b_self1", "b_nearself1"}
 
+    # empty batch: all-zero summary, no NULL-sum crash
+    empty_dir = str(tmp_path_factory.mktemp("ingest_empty"))
+    spark.createDataFrame([], "doc_id string, text string").write.parquet(
+        os.path.join(empty_dir, "documents.parquet"))
+    out2 = str(tmp_path_factory.mktemp("ingest_out_empty"))
+    s0 = ingest_job.run(spark, corpus_dir, empty_dir, out2)
+    assert s0 == {
+        "batch_in": 0, "dropped_exact": 0, "dropped_exact_in_batch": 0,
+        "dropped_near_dup": 0, "dropped_near_dup_in_batch": 0,
+        "bloom_false_positives": 0, "accepted": 0,
+    }
 
 def test_curate_job_end_to_end(spark, tmp_path_factory):
     """jobs/curate_job.run: clean → decontaminate → mixture → packed epoch
