@@ -376,6 +376,7 @@ def clear_caches() -> None:
     acceptable for the driver-gate pass pattern, but tests and long-lived
     REPL sessions need an explicit clear)."""
     _VERIFIED_CACHE.clear()
+    _CDC_ROWS_CACHE.clear()
 
 
 def _verified_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1452,6 +1453,24 @@ def cdc_chunk_rows(docs: DataFrame) -> DataFrame:
     )
 
 
+# the chunk relation is consumed by BOTH CDC queries in one driver pass;
+# compute it once per (session, sf_dir) and truncate the lineage (the
+# _verified_cached convention — the per-window md5 chunking is the
+# expensive part, the downstream aggs are cheap)
+_CDC_ROWS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cdc_rows_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.conf.get("spark.app.id", "?")
+    key = (app, sf_dir)
+    if key not in _CDC_ROWS_CACHE:
+        for k in [k for k in _CDC_ROWS_CACHE if k[0] != app]:
+            del _CDC_ROWS_CACHE[k]
+        docs = load_table(spark, sf_dir, "documents")
+        _CDC_ROWS_CACHE[key] = cdc_chunk_rows(docs).localCheckpoint(eager=True)
+    return _CDC_ROWS_CACHE[key]
+
+
 def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc chunk-level dedup mass: how much of each document is made of
     chunks that also appear in at least one OTHER document — the exact
@@ -1459,8 +1478,7 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence doc-level exact dedup cannot see. shared_word_ppm is an exact
     integer (floor of the per-million fraction) so both engines agree
     bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
-    ch = cdc_chunk_rows(docs)
+    ch = _cdc_rows_cached(spark, sf_dir)
     cnt = ch.groupBy("chunk_key").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         ch.join(cnt, "chunk_key")
@@ -1533,7 +1551,7 @@ CDC_MIN_SHARED = 2  # pairs must share >= 2 chunks (one shared chunk of a
 #                     few words is noise at the 1/CDC_D boundary density)
 
 
-def cdc_shared_pairs(docs: DataFrame) -> DataFrame:
+def cdc_shared_pairs(docs: DataFrame, ch: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, n_shared_chunks, shared_words): document pairs
     ranked by shared CONTENT-DEFINED chunk mass — the pairwise view of
     cdc_chunk_rows, catching partial overlap (a copied chapter, a shared
@@ -1544,7 +1562,9 @@ def cdc_shared_pairs(docs: DataFrame) -> DataFrame:
     CDC_PAIR_DF_CAP docs is dropped BEFORE the self-join — boilerplate
     carries no pair evidence but would fan out quadratically), so no key
     ever exceeds C(cap, 2) pairs; everything else is partial-agg."""
-    ch = cdc_chunk_rows(docs).select("doc_id", "chunk_key", "n_words").distinct()
+    if ch is None:
+        ch = cdc_chunk_rows(docs)
+    ch = ch.select("doc_id", "chunk_key", "n_words").distinct()
     ok = (
         ch.groupBy("chunk_key")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -1567,8 +1587,7 @@ def cdc_shared_pairs(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return cdc_shared_pairs(docs)
+    return cdc_shared_pairs(None, ch=_cdc_rows_cached(spark, sf_dir))
 
 
 q_dedup_cdc_pairs.__doc__ = cdc_shared_pairs.__doc__

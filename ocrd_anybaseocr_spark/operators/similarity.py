@@ -1495,14 +1495,28 @@ def hard_negatives(
         .select("vec_id", "neighbor_id")
         .distinct()
     )
-    sed = emb.select("vec_id", "label", F.expr(_SE_SPARK).alias("se"))
+    # norms precomputed per VECTOR (materialized at the join exchange, so
+    # they evaluate once per vector per side) — inlining sqrt(a·a) into
+    # the cos expression would re-run the 64-element aggregate once per
+    # CANDIDATE row, ~3x the HOF work; sqrt on an exact int dot is a
+    # single correctly-rounded IEEE op either way, so the value is
+    # bit-identical to the oracle's per-row form
+    sed = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_SE_SPARK).alias("se"),
+    ).withColumn("nrm", F.sqrt(F.expr(_IDOT.format(a="se", b="se"))))
     anc = sed.select(
-        "vec_id", F.col("label").alias("anchor_label"), F.col("se").alias("a_se")
+        "vec_id",
+        F.col("label").alias("anchor_label"),
+        F.col("se").alias("a_se"),
+        F.col("nrm").alias("a_nrm"),
     )
     neg = sed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neg_label"),
         F.col("se").alias("n_se"),
+        F.col("nrm").alias("n_nrm"),
     )
     scored = (
         cand.join(anc, "vec_id")
@@ -1511,10 +1525,7 @@ def hard_negatives(
         .withColumn(
             "cos",
             F.expr(_IDOT.format(a="a_se", b="n_se"))
-            / (
-                F.sqrt(F.expr(_IDOT.format(a="a_se", b="a_se")))
-                * F.sqrt(F.expr(_IDOT.format(a="n_se", b="n_se")))
-            ),
+            / (F.col("a_nrm") * F.col("n_nrm")),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

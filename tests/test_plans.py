@@ -316,11 +316,20 @@ def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
 def test_cdc_chunking_narrow_until_key_agg(spark, sf_dir):
     """CDC chunking is a per-doc array expression: no cartesian, and the
     only exchanges are the chunk-key count, its join back, and the final
-    per-doc agg."""
-    df = QUERIES["dedup_cdc_chunks"](spark, sf_dir)
-    plan = explain_str(df)
+    per-doc agg. Asserts on the RAW builders (the registered queries ride
+    the checkpointed _cdc_rows_cached relation, whose explain is a scan —
+    the CLAUDE.md cached-lineage rule)."""
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        cdc_chunk_rows,
+        cdc_shared_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunk_rows(docs)
+    assert count_exchanges(ch) == 0, explain_str(ch, "simple")
+    pairs = cdc_shared_pairs(docs)
+    plan = explain_str(pairs)
     assert "CartesianProduct" not in plan, plan
-    assert count_exchanges(df) <= 4, explain_str(df, "simple")
 
 
 def test_bpe_tokenize_zero_exchanges(spark, sf_dir):
