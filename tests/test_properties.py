@@ -322,3 +322,96 @@ def test_close_runs_matches_bruteforce_mask_closing():
         assert [x.tolist() for x in got] == [x.tolist() for x in want]
 
     check()
+
+
+_bpe_word = st.text(alphabet="abcde<>/", min_size=0, max_size=12)
+
+
+@given(
+    st.lists(st.tuples(_bpe_word, st.integers(1, 50)), min_size=1, max_size=12),
+    _bpe_word,
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_round_trip_any_vocab(counts, probe):
+    """BPE losslessness: for ANY trained merge table, encoding any word —
+    including words never seen in training and words containing the EOW
+    marker characters themselves — concatenates back to exactly
+    word + EOW. (The marker is appended as a SYMBOL, not by string
+    concat, so 'a</w>b' as input text cannot collide with a merged
+    suffix.) Also: training never emits a merge whose pair count was
+    below 2, and re-encoding the training words is deterministic."""
+    from ocrd_anybaseocr_spark.kernels.bpe import (
+        EOW,
+        bpe_encode_word,
+        bpe_train,
+    )
+
+    merges = bpe_train(counts, n_merges=16)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in [probe] + [w for w, _ in counts]:
+        toks = bpe_encode_word(w, ranks)
+        assert "".join(toks) == w + EOW
+        assert toks == bpe_encode_word(w, ranks)
+
+
+@given(
+    st.lists(st.sampled_from(["aa", "ab", "bb", "ba", "abc"]), min_size=1, max_size=60),
+    st.integers(0, 3),
+)
+@settings(max_examples=60, deadline=None)
+def test_cdc_twin_partition_property(words, drop):
+    """CDC chunking twin (the same algebra the Spark expressions and the
+    DuckDB CTE implement, pinned against them in test_lsh): for any word
+    list, chunks PARTITION the text — every word in exactly one chunk,
+    boundaries strictly increasing, last boundary at the final word —
+    and deleting a PREFIX preserves every chunk after the first surviving
+    content-defined boundary (shift survival, the property fixed-size
+    blocking lacks)."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators.dedup import CDC_D, CDC_W
+
+    def bounds(ws):
+        ends = []
+        for s in range(0, len(ws) - CDC_W):
+            h = int(hashlib.md5(" ".join(ws[s:s + CDC_W]).encode()).hexdigest()[:8], 16)
+            if h % CDC_D == 0:
+                ends.append(s + CDC_W - 1)
+        ends.append(len(ws) - 1)
+        return ends
+
+    def chunks(ws):
+        out, stt = [], 0
+        for e in bounds(ws):
+            out.append(tuple(ws[stt:e + 1]))
+            stt = e + 1
+        return out
+
+    def _chunks_pos(ws):
+        out, stt = [], 0
+        for e in bounds(ws):
+            out.append((stt, tuple(ws[stt:e + 1])))
+            stt = e + 1
+        return out
+
+    ch = chunks(words)
+    assert [w for c in ch for w in c] == words  # exact partition
+    bs = bounds(words)
+    assert bs == sorted(set(bs)) and bs[-1] == len(words) - 1
+    if drop and drop < len(words):
+        # EXACT shift-survival: deleting a `drop`-word prefix keeps every
+        # content-defined boundary whose window lies fully past the cut
+        # (same window content, shifted index) and creates no new ones —
+        # so all original chunks starting after the first surviving
+        # boundary reappear verbatim in the shifted chunking.
+        surv = [
+            e for e in bounds(words)
+            if e - CDC_W + 1 >= drop and e < len(words) - 1
+        ]
+        if surv:
+            b0 = surv[0]
+            orig_tail = [c for st_, c in _chunks_pos(words) if st_ >= b0 + 1]
+            shifted_tail = [
+                c for st_, c in _chunks_pos(words[drop:]) if st_ >= b0 + 1 - drop
+            ]
+            assert shifted_tail == orig_tail
