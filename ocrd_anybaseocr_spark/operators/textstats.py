@@ -1131,6 +1131,70 @@ def _oracle_dsir() -> str:
 ORACLE_DSIR = _oracle_dsir()
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lw_e6, g_e6, selected): APPLY the DSIR importance weights
+    as an actual selection — Poisson (Bernoulli-per-doc) importance
+    resampling anchored at the corpus mean: a doc survives with
+    probability min(1, 2^(lw - tau)) where tau is the mean log-weight,
+    realized deterministically as g_e6 < lw_e6 - tau_e6 with
+    g_e6 = micro-rounded log2(u) of a salted md5 draw ('dsir:'||doc_id —
+    its own stream, independent of the 'mix:' sampler). Docs at or above
+    the mean always survive; below-mean docs thin out exponentially —
+    the with-replacement-free sibling of the paper's Gumbel top-k that
+    needs NO global ranking (a global top-K is a driver-side collect or a
+    single-partition window at 10^12 docs; this is scan-speed narrow
+    after one mean agg).
+
+    Exactness: u = (2*draw + 1) / 2^33 is an exact double strictly inside
+    (0,1); log2 differs ~1ulp cross-engine and the 1e6 micro-rounding
+    boundary argument (lm_cross_entropy) absorbs it; tau uses explicit
+    FLOOR division (Spark's div truncates toward zero, DuckDB's //
+    floors — they disagree exactly when the mean is negative, which a
+    mostly-raw corpus makes the common case)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = dsir_score(docs, dsir_log_ratios(docs)).select("doc_id", "lw_e6")
+    tau = sc.agg(
+        F.expr(
+            "CASE WHEN sum(lw_e6) % count(*) = 0 OR sum(lw_e6) >= 0"
+            " THEN sum(lw_e6) div count(*)"
+            " ELSE sum(lw_e6) div count(*) - 1 END"
+        ).alias("tau_e6")
+    )
+    g = (
+        "cast(floor(log2((2 * cast(conv(substring(md5(cast(concat('dsir:',"
+        " cast(doc_id as string)) as binary)), 1, 8), 16, 10) as bigint) + 1)"
+        " / 8589934592.0) * 1000000 + 0.5) as bigint)"
+    )
+    return sc.crossJoin(F.broadcast(tau)).select(
+        "doc_id",
+        "lw_e6",
+        F.expr(g).alias("g_e6"),
+        F.expr(f"{g} < lw_e6 - tau_e6").alias("selected"),
+    )
+
+
+def _oracle_dsir_resample() -> str:
+    from .dedup import _hexn_to_int_duck
+
+    draw = _hexn_to_int_duck("md5('dsir:' || CAST(doc_id AS VARCHAR))", 8)
+    g = (
+        f"CAST(floor(log2((2 * {draw} + 1)"
+        f" / 8589934592.0) * 1000000 + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH dsir AS ({ORACLE_DSIR}
+    ), tau AS (
+      SELECT SUM(lw_e6) // COUNT(*) AS tau_e6 FROM dsir
+    )
+    SELECT doc_id, lw_e6, {g} AS g_e6,
+           ({g} < lw_e6 - tau_e6) AS selected
+    FROM dsir, tau
+"""
+
+
+ORACLE_DSIR_RESAMPLE = _oracle_dsir_resample()
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing: GPT-style concatenate-and-split — the step between
 # token counting (token_windows) and the training data loader

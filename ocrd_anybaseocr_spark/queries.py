@@ -627,6 +627,7 @@ register("source_mix_temperature", _ts.ORACLE_SOURCE_MIX_TEMPERATURE)(
 )
 register("pack_sequences", _ts.ORACLE_PACK_SEQUENCES)(_ts.q_pack_sequences)
 register("dsir_weights", _ts.ORACLE_DSIR)(_ts.q_dsir_weights)
+register("dsir_resample", _ts.ORACLE_DSIR_RESAMPLE)(_ts.q_dsir_resample)
 
 
 # ---------------------------------------------------------------------------

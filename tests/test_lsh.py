@@ -1489,3 +1489,42 @@ def test_cdc_shared_pairs_planted_passage_and_boilerplate_cap(spark):
     assert xy, pairs
     assert xy[0].shared_words >= 24  # at least half the planted passage
     assert not [r for r in pairs if r.doc_a.startswith("m")], pairs
+
+
+def test_dsir_resample_mean_anchor_and_twin(spark, monkeypatch):
+    """dsir_resample semantics: every doc at or above the floor-mean
+    log-weight survives (p = 1 branch), below-mean docs thin out (some
+    planted off-target docs drop), and the Gumbel-free draw matches an
+    exact hashlib+math twin including the FLOOR-division tau (Spark's
+    truncating div corrected for the negative-mean case)."""
+    import hashlib
+    import math
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    rng = np.random.default_rng(13)
+    voc_a = [f"alpha{i}" for i in range(30)]
+    voc_b = [f"beta{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        voc = voc_a if d < 8 else voc_b
+        lang = "en" if d < 8 else "zh"
+        rows.append((d, " ".join(rng.choice(voc, 40)), lang, "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: df)
+    got = {r.doc_id: r for r in ts.q_dsir_resample(spark, "x").collect()}
+    assert len(got) == 40
+    lws = [got[d].lw_e6 for d in got]
+    tau = sum(lws) // len(lws)  # python // floors — the oracle semantics
+    for d, r in got.items():
+        # twin draw: u = (2*draw+1)/2^33, g = half-up micro log2
+        h = int(hashlib.md5(f"dsir:{d}".encode()).hexdigest()[:8], 16)
+        g = math.floor(math.log2((2 * h + 1) / 8589934592.0) * 1e6 + 0.5)
+        assert r.g_e6 == g
+        assert r.selected == (g < r.lw_e6 - tau)
+        if r.lw_e6 >= tau:
+            assert r.selected  # at-or-above-mean docs always survive
+    kept = sum(1 for r in got.values() if r.selected)
+    assert 8 <= kept < 40  # all target docs survive; some off-target drop
