@@ -658,3 +658,52 @@ def test_curate_job_end_to_end(spark, tmp_path_factory):
     )
     assert w[0].weight_ppm >= w[-1].weight_ppm
     assert w[0].n_docs < w[-1].n_docs
+
+
+def test_index_job_persisted_relations_serve_identically(spark, tmp_path_factory):
+    """jobs/index_job.run: the persisted LSH/IVF/PQ relations equal the
+    in-session builds row-for-row, the manifest carries the exact derived
+    parameters + codebooks, and SERVING from the persisted LSH relation
+    (candidates_from_assignments over the parquet) produces the identical
+    candidate set to the raw-lineage path."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import index_job
+
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("ann_index"))
+    summary = index_job.run(spark, sf_dir, out)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    assert summary["n_vectors"] == n
+    man = _json.load(open(os.path.join(out, "manifest.json")))
+    assert man["lsh_bits"] == sim.derive_bits(n)
+    assert man["ivf_k"] == sim.derive_ivf_k(n)
+
+    def rows(df, *key):
+        return sorted(map(tuple, df.collect()))
+
+    persisted_lsh = spark.read.parquet(os.path.join(out, "lsh_index"))
+    live_lsh = sim.lsh_assignments(
+        emb.select("vec_id", "embedding"), sim.LSH_TABLES, man["lsh_bits"]
+    )
+    assert rows(persisted_lsh.select("vec_id", "tbl", "bucket")) == rows(
+        live_lsh.select("vec_id", "tbl", "bucket")
+    )
+    assert rows(spark.read.parquet(os.path.join(out, "ivf_index")).select("vec_id", "cell")) == rows(
+        sim.ivf_assignments(emb, man["ivf_k"]).select("vec_id", "cell")
+    )
+    books = [
+        [(cid, cent) for cid, cent in book] for book in man["pq_codebooks"]
+    ]
+    assert rows(
+        spark.read.parquet(os.path.join(out, "pq_index")).select("vec_id", "m", "code")
+    ) == rows(sim.pq_codes(emb, books).select("vec_id", "m", "code"))
+    # serving equivalence: candidate generation from the PERSISTED relation
+    cand_persisted = rows(sim.candidates_from_assignments(persisted_lsh))
+    cand_live = rows(sim.candidates_from_assignments(live_lsh))
+    assert cand_persisted == cand_live and len(cand_persisted) > 0
