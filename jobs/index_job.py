@@ -14,9 +14,14 @@ Writes under --output:
 - ``lsh_index``:  (vec_id, tbl, bucket)   — hyperplane-LSH assignments
 - ``ivf_index``:  (vec_id, cell)          — IVF-Flat cell per vector
 - ``pq_index``:   (vec_id, m, code)       — PQ code per (vector, subspace)
-- ``manifest.json``: derived parameters (n_vectors, lsh_bits, lsh_tables,
-  ivf_k, pq codebooks) — everything a serving job needs to interpret the
-  relations, including the exact codebooks (bounded: M x K x subdim ints).
+- ``manifest``:   one-row JSON dataset with the derived parameters
+  (n_vectors, lsh_bits, lsh_tables, ivf_k, exact PQ codebooks) and a
+  ``complete`` flag. The manifest is TWO-PHASE: it is overwritten with
+  complete=false BEFORE the index relations are rebuilt and with the
+  real payload only after all three commit, so a rebuild or a crash can
+  never leave an old manifest describing new relations (round-6 review);
+  and it is written through Spark like the relations, so hdfs://s3a://
+  outputs work identically to local paths.
 
 Serving equivalence is pinned in pytest: candidates generated from the
 persisted LSH relation are row-identical to the session-cached path, and
@@ -42,10 +47,18 @@ def run(spark, input_dir: str, out_dir: str) -> dict:
         pq_codes,
     )
 
+    def write_manifest(payload: dict) -> None:
+        spark.createDataFrame(
+            [(json.dumps(payload),)], "manifest_json string"
+        ).coalesce(1).write.mode("overwrite").json(os.path.join(out_dir, "manifest"))
+
     emb = spark.read.parquet(os.path.join(input_dir, "embeddings.parquet"))
     n = emb.count()
     bits = derive_bits(n)
     k = derive_ivf_k(n)
+
+    # phase 1: invalidate any previous manifest before touching relations
+    write_manifest({"complete": False})
 
     lsh_assignments(emb.select("vec_id", "embedding"), LSH_TABLES, bits).write.mode(
         "overwrite"
@@ -58,21 +71,22 @@ def run(spark, input_dir: str, out_dir: str) -> dict:
         os.path.join(out_dir, "pq_index")
     )
 
-    manifest = {
-        "n_vectors": int(n),
-        "lsh_tables": int(LSH_TABLES),
-        "lsh_bits": int(bits),
-        "ivf_k": int(k),
-        "pq_codebooks": [
-            [[cid, [int(v) for v in cent]] for cid, cent in book] for book in books
-        ],
-    }
-    # manifest last: its presence marks a complete index set (the
-    # expected-marker convention)
-    tmp = os.path.join(out_dir, ".manifest.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    # phase 2: publish the real manifest only after all three relations
+    # committed — a reader finding complete=false (or a parse failure)
+    # rejects the index set
+    write_manifest(
+        {
+            "complete": True,
+            "n_vectors": int(n),
+            "lsh_tables": int(LSH_TABLES),
+            "lsh_bits": int(bits),
+            "ivf_k": int(k),
+            "pq_codebooks": [
+                [[cid, [int(v) for v in cent]] for cid, cent in book]
+                for book in books
+            ],
+        }
+    )
     return {
         "n_vectors": int(n),
         "lsh_bits": int(bits),

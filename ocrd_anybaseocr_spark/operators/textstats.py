@@ -1152,24 +1152,36 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors — they disagree exactly when the mean is negative, which a
     mostly-raw corpus makes the common case)."""
     docs = load_table(spark, sf_dir, "documents")
-    sc = dsir_score(docs, dsir_log_ratios(docs)).select("doc_id", "lw_e6")
-    tau = sc.agg(
-        F.expr(
-            "CASE WHEN sum(lw_e6) % count(*) = 0 OR sum(lw_e6) >= 0"
-            " THEN sum(lw_e6) div count(*)"
-            " ELSE sum(lw_e6) div count(*) - 1 END"
-        ).alias("tau_e6")
+    # checkpoint the scored relation: tau and the final projection both
+    # consume it, and without truncation the per-ngram md5 scoring pass
+    # would run once per consumer (the _cdc_rows_cached rationale); tau
+    # itself is a bounded 2-int driver fetch, floored in Python (// is
+    # true floor, matching DuckDB's // — Spark's div truncates toward
+    # zero and disagrees exactly when the mean is negative, the common
+    # case on a mostly-raw corpus)
+    sc = (
+        dsir_score(docs, dsir_log_ratios(docs))
+        .select("doc_id", "lw_e6")
+        .localCheckpoint(eager=True)
     )
+    row = sc.agg(
+        F.sum("lw_e6").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    tau = (int(row.s) // int(row.n)) if row.n else 0
     g = (
         "cast(floor(log2((2 * cast(conv(substring(md5(cast(concat('dsir:',"
         " cast(doc_id as string)) as binary)), 1, 8), 16, 10) as bigint) + 1)"
         " / 8589934592.0) * 1000000 + 0.5) as bigint)"
     )
-    return sc.crossJoin(F.broadcast(tau)).select(
+    # the explicit lw_e6 >= tau disjunct makes the p = 1 branch EXACT:
+    # ~1489 of the 2^32 draws have u so close to 1 that g_e6 rounds to 0,
+    # and (0 < 0) would wrongly drop a doc sitting exactly at the mean
+    # (round-6 review)
+    return sc.select(
         "doc_id",
         "lw_e6",
         F.expr(g).alias("g_e6"),
-        F.expr(f"{g} < lw_e6 - tau_e6").alias("selected"),
+        F.expr(f"lw_e6 >= {tau} OR {g} < lw_e6 - {tau}").alias("selected"),
     )
 
 
@@ -1187,7 +1199,7 @@ def _oracle_dsir_resample() -> str:
       SELECT SUM(lw_e6) // COUNT(*) AS tau_e6 FROM dsir
     )
     SELECT doc_id, lw_e6, {g} AS g_e6,
-           ({g} < lw_e6 - tau_e6) AS selected
+           (lw_e6 >= tau_e6 OR {g} < lw_e6 - tau_e6) AS selected
     FROM dsir, tau
 """
 

@@ -1523,8 +1523,9 @@ def test_dsir_resample_mean_anchor_and_twin(spark, monkeypatch):
         h = int(hashlib.md5(f"dsir:{d}".encode()).hexdigest()[:8], 16)
         g = math.floor(math.log2((2 * h + 1) / 8589934592.0) * 1e6 + 0.5)
         assert r.g_e6 == g
-        assert r.selected == (g < r.lw_e6 - tau)
+        assert r.selected == (r.lw_e6 >= tau or g < r.lw_e6 - tau)
         if r.lw_e6 >= tau:
-            assert r.selected  # at-or-above-mean docs always survive
+            assert r.selected  # at-or-above-mean docs always survive (exact
+            # p=1 branch — g_e6 can round to 0 for u near 1, round-6 review)
     kept = sum(1 for r in got.values() if r.selected)
     assert 8 <= kept < 40  # all target docs survive; some off-target drop

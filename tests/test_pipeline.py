@@ -680,7 +680,10 @@ def test_index_job_persisted_relations_serve_identically(spark, tmp_path_factory
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
     assert summary["n_vectors"] == n
-    man = _json.load(open(os.path.join(out, "manifest.json")))
+    man_rows = spark.read.json(os.path.join(out, "manifest")).collect()
+    assert len(man_rows) == 1
+    man = _json.loads(man_rows[0].manifest_json)
+    assert man["complete"] is True
     assert man["lsh_bits"] == sim.derive_bits(n)
     assert man["ivf_k"] == sim.derive_ivf_k(n)
 

@@ -330,6 +330,10 @@ def test_cdc_chunking_narrow_until_key_agg(spark, sf_dir):
     pairs = cdc_shared_pairs(docs)
     plan = explain_str(pairs)
     assert "CartesianProduct" not in plan, plan
+    # regression ceiling: distinct + DF-cap agg + cap join + keyed
+    # self-join sides + per-pair agg — a repartition/window sneaking in
+    # pushes past this (review: the rewrite had dropped the bound)
+    assert count_exchanges(pairs) <= 7, explain_str(pairs, "simple")
 
 
 def test_bpe_tokenize_zero_exchanges(spark, sf_dir):
