@@ -36,7 +36,11 @@ from .fold import fold_structure
 # PAGE_RESULTS plus the in-flight metrics column (dropped from final output)
 from pyspark.sql import types as T  # noqa: E402
 
-_STAGE_SCHEMA = S.PAGE_RESULTS.add("proc_ms", T.LongType())
+# + error: the per-row quarantine channel — a corrupt blob yields a row
+# with error set and every kernel field NULL instead of killing the whole
+# Arrow batch task (and with it the job, after Spark's retries) — at
+# corpus scale corrupt bytes are a certainty, not an edge case
+_STAGE_SCHEMA = S.PAGE_RESULTS.add("proc_ms", T.LongType()).add("error", T.StringType())
 
 N_BUCKETS_MIN = 16  # floor for output partition buckets
 N_BUCKETS_MAX = 4096  # cap: at 100 TB this is ~25 GB of output per commit unit
@@ -97,11 +101,20 @@ _STAGE_COLS = [f.name for f in _STAGE_SCHEMA.fields]
 
 
 def _process_rows(process_page, params, rows) -> list[dict]:
-    """Shared per-row kernel loop of both batch transports."""
+    """Shared per-row kernel loop of both batch transports. Per-ROW
+    error isolation: a blob the kernels cannot process quarantines as a
+    row with ``error`` set and NULL kernel fields — the rest of the batch
+    (and the task) is unaffected. The r5 unshear finding was this exact
+    failure class; the guard is structural now, not per-kernel."""
     out = []
     for doc_id, media_ref, page_no, png in rows:
         t0 = time.monotonic()
-        r = process_page(bytes(png), params)
+        try:
+            r = process_page(bytes(png), params)
+            r["error"] = None
+        except Exception as e:  # noqa: BLE001 — any kernel failure quarantines
+            r = {f.name: None for f in S.PAGE_RESULTS.fields}
+            r["error"] = f"{type(e).__name__}: {e}"
         r.update(
             doc_id=doc_id,
             media_ref=media_ref,
@@ -428,6 +441,7 @@ def run_pipeline(
         return {
             "docs": 0,
             "pages": 0,
+            "quarantined_pages": 0,
             "resumed_buckets": sorted(done),
             "elapsed_s": 0.0,
             "kernel_ms": 0,
@@ -491,18 +505,24 @@ def run_pipeline(
         pr_obs = Observation("pr_rows")
         pr_out = (
             page_results.withColumn("part_bucket", bucket)
-            .observe(pr_obs, F.count(F.lit(1)).alias("rows"))
+            .observe(
+                pr_obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.expr("int(error is not null)")).alias("bad"),
+            )
             .repartition(n_buckets, "part_bucket")
         )
         io.overwrite_partitioned(pr_out, "page_results")
         try:
             n_new_rows = int(pr_obs.get["rows"])
+            n_bad = int(pr_obs.get["bad"] or 0)
         except Exception:
             # the optimizer collapses an all-remaining-buckets-empty resume plan
             # to an empty relation, so the CollectMetrics row never materializes
             # and Observation.get raises; fall back to counting the commit (that
             # count is trivially cheap exactly in this near-empty case)
             n_new_rows = None
+            n_bad = None
         _t("page_results_write", t_pr)
         ext_thread.join()
         if ext_err:
@@ -518,6 +538,18 @@ def run_pipeline(
 
         if n_new_rows is None:
             n_new_rows = written_pr.count()
+        if n_bad is None:
+            n_bad = written_pr.filter(F.col("error").isNotNull()).count()
+        if n_bad:
+            # auditable quarantine relation from the COMMITTED parquet (a
+            # scan, no re-decode); written only when nonempty — the clean
+            # common case pays zero extra jobs
+            io.overwrite_partitioned(
+                written_pr.filter(F.col("error").isNotNull()).select(
+                    "doc_id", "media_ref", "page_no", "error", "part_bucket"
+                ),
+                "quarantine",
+            )
         n_fold = derive_fold_buckets(
             n_new_rows, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         )
@@ -559,7 +591,11 @@ def run_pipeline(
         m_thread = threading.Thread(target=_metrics_target, daemon=True)
         m_thread.start()
         t_fold = time.monotonic()
-        structure = fold_structure(written_pr, n_fold_buckets=n_fold)
+        # quarantined pages contribute nothing to structure (their kernel
+        # fields are NULL); the doc keeps its healthy pages
+        structure = fold_structure(
+            written_pr.filter(F.col("error").isNull()), n_fold_buckets=n_fold
+        )
         io.overwrite_partitioned(
             structure.withColumn("part_bucket", bucket)
             .repartition(n_buckets, "part_bucket"),
@@ -581,6 +617,7 @@ def run_pipeline(
     return {
         "docs": sum(r.doc_count for r in new_rows),
         "pages": pages,
+        "quarantined_pages": int(n_bad),
         "resumed_buckets": sorted(done),
         "elapsed_s": elapsed_ms / 1000.0,
         # pure in-UDF kernel CPU time (decode→classify), summed from the

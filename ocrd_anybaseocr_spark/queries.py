@@ -752,7 +752,9 @@ def q_pipeline_page_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.tables import load_corpus
 
     docs, blobs = load_corpus(spark, _pipeline_corpus())
-    pr = build_page_results(docs, blobs, n_parts=8)
+    # error IS NULL: the quarantine channel never fires on the clean query
+    # corpus, but the gated output must stay exact on any input
+    pr = build_page_results(docs, blobs, n_parts=8).filter(F.col("error").isNull())
     return pr.select(
         "doc_id", "media_ref", "page_no",
         F.col("border")[0].alias("bx1"), F.col("border")[1].alias("by1"),

@@ -710,3 +710,50 @@ def test_index_job_persisted_relations_serve_identically(spark, tmp_path_factory
     cand_persisted = rows(sim.candidates_from_assignments(persisted_lsh))
     cand_live = rows(sim.candidates_from_assignments(live_lsh))
     assert cand_persisted == cand_live and len(cand_persisted) > 0
+
+
+def test_quarantine_corrupt_blob_does_not_kill_batch(spark, corpus_dir, tmp_path_factory):
+    """One corrupt page blob must quarantine as a single row (doc_id,
+    media_ref, error) — not kill its Arrow batch task: page_results keeps
+    every healthy page including the damaged doc's OTHER pages, the fold
+    still emits the doc's structure, checkpoints still reconcile against
+    the committed rows, and the summary reports the quarantined count."""
+    import pyarrow as pa
+
+    src_docs = pq.read_table(os.path.join(corpus_dir, "documents.parquet"))
+    src_blobs = pq.read_table(os.path.join(corpus_dir, "page_blobs.parquet")).to_pylist()
+    victim = src_blobs[3]["media_ref"]
+    for b in src_blobs:
+        if b["media_ref"] == victim:
+            b["image"] = b"this is not a png"
+    bad_dir = str(tmp_path_factory.mktemp("corrupt_corpus"))
+    pq.write_table(src_docs, os.path.join(bad_dir, "documents.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(
+            src_blobs,
+            schema=pq.read_table(os.path.join(corpus_dir, "page_blobs.parquet")).schema,
+        ),
+        os.path.join(bad_dir, "page_blobs.parquet"),
+    )
+    out = str(tmp_path_factory.mktemp("quarantine_out"))
+    summary = run_pipeline(spark, bad_dir, out, n_parts=8)
+    assert summary["quarantined_pages"] == 1
+    pr = spark.read.parquet(os.path.join(out, "page_results"))
+    ok = pr.filter("error is null")
+    assert ok.filter(f"media_ref = '{victim}'").count() == 0
+    bad = pr.filter("error is not null").collect()
+    assert len(bad) == 1 and bad[0].media_ref == victim and bad[0].error
+    assert bad[0].border is None  # kernel fields NULL on the quarantine row
+    q = spark.read.parquet(os.path.join(out, "quarantine")).collect()
+    assert len(q) == 1 and q[0].media_ref == victim
+    # the damaged doc keeps its healthy pages and still folds
+    doc = bad[0].doc_id
+    n_doc_pages_total = sum(1 for b in src_blobs if b["media_ref"].startswith(doc))
+    if n_doc_pages_total > 1:
+        assert ok.filter(f"doc_id = '{doc}'").count() == n_doc_pages_total - 1
+    st = spark.read.parquet(os.path.join(out, "doc_structure"))
+    assert st.filter(f"doc_id = '{doc}'").count() == (1 if n_doc_pages_total > 1 else 0)
+    # checkpoint row counts reconcile over ALL committed rows (incl. the
+    # quarantined one — it was processed and committed)
+    ck = spark.read.parquet(os.path.join(out, "checkpoints")).toPandas()
+    assert ck["row_count"].sum() == pr.count()
