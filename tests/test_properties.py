@@ -415,3 +415,29 @@ def test_cdc_twin_partition_property(words, drop):
                 c for st_, c in _chunks_pos(words[drop:]) if st_ >= b0 + 1 - drop
             ]
             assert shifted_tail == orig_tail
+
+
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 3))
+@settings(max_examples=150, deadline=None)
+def test_quarantine_wrapper_never_raises(blob, variant):
+    """The per-row quarantine wrapper must turn ANY kernel failure into an
+    error row — arbitrary bytes, truncated PNG headers, or a valid
+    signature with garbage chunks can never raise out of _process_rows
+    (one bad blob killing the Arrow batch task is the r5 failure class)."""
+    from ocrd_anybaseocr_spark.operators.pipeline import _process_rows
+    from ocrd_anybaseocr_spark.oracle import process_page
+
+    if variant == 1:
+        blob = b"\x89PNG\r\n\x1a\n" + blob  # valid signature, garbage body
+    elif variant == 2:
+        blob = blob[:7]  # shorter than any signature
+    from ocrd_anybaseocr_spark.config import DEFAULT_PARAMS
+
+    out = _process_rows(process_page, DEFAULT_PARAMS, [("d0", "d0_p000", 0, blob)])
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == "d0" and r["media_ref"] == "d0_p000"
+    # random bytes are (essentially) never a valid PNG — every variant
+    # here must quarantine, with NULL kernel fields
+    assert r["error"] is not None
+    assert r["border"] is None
