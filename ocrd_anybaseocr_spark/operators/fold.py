@@ -45,6 +45,14 @@ def fold_structure(page_results: DataFrame, n_fold_buckets: int | None = None) -
     """
     from pyspark.sql import functions as F
 
+    # quarantine boundary: a pipeline frame carries an `error` column whose
+    # non-null rows have NULL labels — they contribute nothing to structure
+    # and would crash the per-doc fold (list(None)); filtering HERE is the
+    # single definition for every consumer (run_pipeline, the gated query,
+    # ad-hoc callers). Streaming/test frames without the column pass through.
+    if "error" in page_results.columns:
+        page_results = page_results.filter(F.col("error").isNull())
+
     if n_fold_buckets is None:
         n_fold_buckets = derive_fold_buckets(
             None,

@@ -279,6 +279,14 @@ class _PathIO:
         (df.write.mode("overwrite").partitionBy("part_bucket")
             .parquet(self._path(name)))
 
+    def overwrite_full(self, df: DataFrame, name: str) -> None:
+        # WHOLE-table rewrite (unpartitioned): dynamic partition-overwrite
+        # semantics only apply to partitioned writes, so this truncates
+        df.write.mode("overwrite").parquet(self._path(name))
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self._path(name))
 
@@ -373,6 +381,32 @@ class _CatalogIO:
             if not self._is_v1_capability_error(e):
                 raise
             self._aligned(df, tbl).write.mode("append").insertInto(tbl)
+
+    @staticmethod
+    def _is_replace_capability_error(e) -> bool:
+        # REPLACE TABLE AS SELECT on a non-atomic catalog raises
+        # UNSUPPORTED_FEATURE.TABLE_OPERATION (verified on the session
+        # catalog), not the v1 insert class — both mean "this catalog
+        # can't do the v2 op", nothing else qualifies
+        get = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        cls = get() if get else None
+        return cls in ("UNSUPPORTED_FEATURE.TABLE_OPERATION", "_LEGACY_ERROR_TEMP_1012")
+
+    def overwrite_full(self, df: DataFrame, name: str) -> None:
+        from pyspark.errors import AnalysisException
+
+        tbl = self._tbl(name)
+        try:
+            df.writeTo(tbl).using(self.provider).createOrReplace()
+        except AnalysisException as e:
+            if not (
+                self._is_replace_capability_error(e) or self._is_v1_capability_error(e)
+            ):
+                raise
+            df.write.mode("overwrite").saveAsTable(tbl)
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._tbl(name))
 
     def read(self, name: str, read_schema=None) -> DataFrame:
         return self.spark.read.table(self._tbl(name))
@@ -540,14 +574,18 @@ def run_pipeline(
             n_new_rows = written_pr.count()
         if n_bad is None:
             n_bad = written_pr.filter(F.col("error").isNotNull()).count()
-        if n_bad:
-            # auditable quarantine relation from the COMMITTED parquet (a
-            # scan, no re-decode); written only when nonempty — the clean
-            # common case pays zero extra jobs
-            io.overwrite_partitioned(
-                written_pr.filter(F.col("error").isNotNull()).select(
-                    "doc_id", "media_ref", "page_no", "error", "part_bucket"
-                ),
+        if n_bad or io.exists("quarantine"):
+            # auditable quarantine relation derived from the FULL committed
+            # parquet (a scan of small rows, no re-decode) and rewritten as
+            # a WHOLE table: dynamic partition overwrite cannot clear a
+            # bucket whose re-run came back clean, so a stale row would
+            # outlive the fixed blob (round-6 review — the index-manifest
+            # staleness class). A run with no bad rows and no existing
+            # table still pays zero extra jobs.
+            io.overwrite_full(
+                io.read("page_results")
+                .filter(F.col("error").isNotNull())
+                .select("doc_id", "media_ref", "page_no", "error", "part_bucket"),
                 "quarantine",
             )
         n_fold = derive_fold_buckets(
@@ -591,11 +629,9 @@ def run_pipeline(
         m_thread = threading.Thread(target=_metrics_target, daemon=True)
         m_thread.start()
         t_fold = time.monotonic()
-        # quarantined pages contribute nothing to structure (their kernel
-        # fields are NULL); the doc keeps its healthy pages
-        structure = fold_structure(
-            written_pr.filter(F.col("error").isNull()), n_fold_buckets=n_fold
-        )
+        # fold_structure itself drops quarantined rows (single definition
+        # of the boundary — the gated doc-structure query shares it)
+        structure = fold_structure(written_pr, n_fold_buckets=n_fold)
         io.overwrite_partitioned(
             structure.withColumn("part_bucket", bucket)
             .repartition(n_buckets, "part_bucket"),
@@ -616,6 +652,9 @@ def run_pipeline(
     pages = sum(r.row_count for r in new_rows)
     return {
         "docs": sum(r.doc_count for r in new_rows),
+        # pages is GROSS of quarantine: every committed row, including the
+        # error stubs (checkpoint row_counts reconcile against it); healthy
+        # pages = pages - quarantined_pages
         "pages": pages,
         "quarantined_pages": int(n_bad),
         "resumed_buckets": sorted(done),

@@ -757,3 +757,48 @@ def test_quarantine_corrupt_blob_does_not_kill_batch(spark, corpus_dir, tmp_path
     # quarantined one — it was processed and committed)
     ck = spark.read.parquet(os.path.join(out, "checkpoints")).toPandas()
     assert ck["row_count"].sum() == pr.count()
+    # the gated doc-structure query path survives corrupt input too: the
+    # fold boundary drops quarantined rows (round-6 review — the sibling
+    # page-results filter alone left this path crashing on labels=None)
+    from ocrd_anybaseocr_spark.operators.fold import fold_structure
+    from ocrd_anybaseocr_spark.operators.pipeline import build_page_results
+    from ocrd_anybaseocr_spark.sources.tables import load_corpus
+
+    d2, b2 = load_corpus(spark, bad_dir)
+    st2 = fold_structure(build_page_results(d2, b2, n_parts=8))
+    assert st2.filter(f"doc_id = '{doc}'").count() == (1 if n_doc_pages_total > 1 else 0)
+    # quarantine freshness: fix the blob, re-run into the same out_dir with
+    # resume=False — the stale quarantine row must clear
+    good_dir = str(tmp_path_factory.mktemp("fixed_corpus"))
+    pq.write_table(src_docs, os.path.join(good_dir, "documents.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(
+            pq.read_table(os.path.join(corpus_dir, "page_blobs.parquet")).to_pylist(),
+            schema=pq.read_table(os.path.join(corpus_dir, "page_blobs.parquet")).schema,
+        ),
+        os.path.join(good_dir, "page_blobs.parquet"),
+    )
+    s2 = run_pipeline(spark, good_dir, out, n_parts=8, resume=False)
+    assert s2["quarantined_pages"] == 0
+    assert spark.read.parquet(os.path.join(out, "quarantine")).count() == 0
+
+
+def test_catalog_overwrite_full_capability_fallback(spark):
+    """_CatalogIO.overwrite_full: the quarantine freshness rewrite must
+    work on a catalog that rejects v2 REPLACE TABLE AS SELECT (the session
+    catalog raises UNSUPPORTED_FEATURE.TABLE_OPERATION — a different class
+    than the v1 insert error) — create, full-replace with EMPTY data
+    (the clear-stale-rows case), and exists() all green."""
+    from ocrd_anybaseocr_spark.operators.pipeline import _CatalogIO
+
+    io = _CatalogIO(spark, "qtest_ofull")
+    schema = "doc_id string, media_ref string, page_no int, error string, part_bucket int"
+    io.overwrite_full(
+        spark.createDataFrame([("d0", "m0", 0, "boom", 3)], schema), "quarantine"
+    )
+    assert io.read("quarantine").count() == 1
+    io.overwrite_full(spark.createDataFrame([], schema), "quarantine")
+    assert io.read("quarantine").count() == 0
+    assert io.exists("quarantine")
+    spark.sql("DROP TABLE IF EXISTS qtest_ofull.quarantine")
+    spark.sql("DROP DATABASE IF EXISTS qtest_ofull")

@@ -37,9 +37,20 @@ def main() -> int:
         with open(runs[-1]) as f:
             data = json.load(f)
         # the driver records per-query entries; accept either a top-level
-        # mapping or a nested "queries" object
+        # mapping or a nested "queries" object. Only HASH-GREEN entries
+        # count as checked — a sampled-but-failed query must reappear in
+        # the complement (round-6 review), and a rows-only record (no
+        # hash) is the weaker check, so it reappears too.
         qmap = data.get("queries", data)
-        checked = {k for k in qmap if k in QUERIES}
+
+        def green(v) -> bool:
+            return (
+                isinstance(v, dict)
+                and bool(v.get("hash_match"))
+                and not v.get("err")
+            )
+
+        checked = {k for k, v in qmap.items() if k in QUERIES and green(v)}
         print(
             f"# newest: {os.path.basename(runs[-1])} covers {len(checked)} of "
             f"{len(QUERIES)} registered queries",
