@@ -1351,3 +1351,37 @@ ORACLE_SOURCE_MIX_TEMPERATURE = """
            CAST((1000000 * s * n_total) // (s_total * n_docs) AS BIGINT) AS weight_ppm
     FROM scaled, totals
 """
+
+
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus card — the release-notes health report every dataset
+    ships (docs, token mass, source/language breadth, exact-dup mass,
+    mean length): all exact integers (mean in centitokens) so the row is
+    bit-identical cross-engine. One pass, partial aggs; the distinct
+    counts expand to the standard count-distinct shuffle shapes."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("nt"),
+        F.expr("md5(cast(text as binary))").alias("h"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("bigint").alias("n_exact_dup_docs"),
+        F.expr("CAST(100 * sum(nt) DIV count(*) AS BIGINT)").alias("mean_tokens_e2"),
+    )
+
+
+ORACLE_CORPUS_SUMMARY = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs,
+           CAST(100 * SUM(len(string_split(text, ' '))) // COUNT(*) AS BIGINT) AS mean_tokens_e2
+    FROM documents
+"""

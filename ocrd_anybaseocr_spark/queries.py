@@ -622,6 +622,7 @@ register("token_windows", _ts.ORACLE_TOKEN_WINDOWS)(_ts.q_token_windows)
 register("bm25_topk", _ts.ORACLE_BM25)(_ts.q_bm25_topk)
 register("source_mix_weights", _ts.ORACLE_SOURCE_MIX)(_ts.q_source_mix_weights)
 register("source_mix_sample", _ts.ORACLE_SOURCE_MIX_SAMPLE)(_ts.q_source_mix_sample)
+register("corpus_summary", _ts.ORACLE_CORPUS_SUMMARY)(_ts.q_corpus_summary)
 register("source_mix_temperature", _ts.ORACLE_SOURCE_MIX_TEMPERATURE)(
     _ts.q_source_mix_temperature
 )
