@@ -169,7 +169,7 @@ def degraded_kernel_bench(n_docs: int = 60) -> dict:
     return out
 
 
-def run_queries(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, float]]:
+def run_queries(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
     from ocrd_anybaseocr_spark.operators.similarity import build_ann_indexes
     from ocrd_anybaseocr_spark.queries import QUERIES
     from ocrd_anybaseocr_spark.sources.tables import load_table, spark_session
@@ -194,8 +194,19 @@ def run_queries(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, fl
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
+    # compile-heavy queries: the first execution of a wide expression tree
+    # (64-aggregate SimHash, PQ literal LUTs) is dominated by whole-stage
+    # codegen/janino compile (measured 10.1 s first vs 2.0 s steady for
+    # dedup_simhash) — report a WARM second execution alongside so readers
+    # can split the compile tail from the data path
+    warm: dict[str, float] = {}
+    for name in ("dedup_simhash", "dedup_simhash_pairs", "ann_pq_adc"):
+        if name in QUERIES:
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.monotonic() - t0, 3)
     spark.stop()
-    return times, builds
+    return times, builds, warm
 
 
 def raw_kernel_sweep(corpus_dir: str, procs=(2, 8, 32)) -> dict[int, float]:
@@ -448,7 +459,7 @@ def main() -> None:
     out_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     os.makedirs(out_root, exist_ok=True)
 
-    qt, ann_builds = run_queries(sf_dir, cpus)
+    qt, ann_builds, warm = run_queries(sf_dir, cpus)
     pipe = run_pipeline_bench(cpus, out_root)
     # same-window kernel floor: measured immediately after the probe so the
     # ratio reflects the probe's host window, not a different one
@@ -467,6 +478,10 @@ def main() -> None:
         # ANN index construction (build-once-serve-many), timed apart from
         # the ann_* query rows, which serve the warm index
         "ann_index_build": ann_builds,
+        # warm SECOND execution of the compile-heavy queries: the per-query
+        # rows above sample first-execution codegen (the simhash 10 s tail);
+        # these are the steady-state data-path numbers
+        "queries_warm_second_exec": warm,
         # kernel ms/page on the adversarial degraded tier vs clean
         # (single-process, same drawn pages)
         "degraded_tier": degraded_kernel_bench(),
