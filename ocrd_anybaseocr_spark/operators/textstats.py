@@ -1385,3 +1385,51 @@ ORACLE_CORPUS_SUMMARY = """
            CAST(100 * SUM(len(string_split(text, ' '))) // COUNT(*) AS BIGINT) AS mean_tokens_e2
     FROM documents
 """
+
+
+EVAL_SPLIT_BP = 200  # eval fraction in basis points (2%)
+
+
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content_h, split): leakage-safe held-out split assignment.
+    The split draw keys on the CONTENT hash, not the doc id — two
+    byte-identical documents land on the same side by construction, so an
+    exact duplicate can never leak eval content into train (the classic
+    id-keyed-split bug that decontaminate_overlap then has to mop up).
+    Salted draw ('split:'||content_h — its own md5 stream, like 'mix:'
+    and 'dsir:'): eval iff draw mod 10000 < EVAL_SPLIT_BP, uniform to
+    0.005% (2^32 mod 10^4 wrap). Narrow scan-speed projection; the
+    fraction is exact in expectation per CONTENT, and near-dup leakage
+    remains decontaminate_overlap's job."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = (
+        "cast(conv(substring(md5(cast(concat('split:', content_h) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 10000"
+    )
+    return docs.select(
+        "doc_id", F.expr("md5(cast(text as binary))").alias("content_h")
+    ).select(
+        "doc_id",
+        "content_h",
+        F.expr(
+            f"CASE WHEN {draw} < {EVAL_SPLIT_BP} THEN 'eval' ELSE 'train' END"
+        ).alias("split"),
+    )
+
+
+def _oracle_train_eval_split() -> str:
+    from .dedup import _hexn_to_int_duck
+
+    draw = _hexn_to_int_duck("md5('split:' || content_h)", 8)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS content_h FROM documents
+    )
+    SELECT doc_id, content_h,
+           CASE WHEN ({draw}) % 10000 < {EVAL_SPLIT_BP}
+                THEN 'eval' ELSE 'train' END AS split
+    FROM h
+"""
+
+
+ORACLE_TRAIN_EVAL_SPLIT = _oracle_train_eval_split()

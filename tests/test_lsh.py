@@ -1529,3 +1529,37 @@ def test_dsir_resample_mean_anchor_and_twin(spark, monkeypatch):
             # p=1 branch — g_e6 can round to 0 for u near 1, round-6 review)
     kept = sum(1 for r in got.values() if r.selected)
     assert 8 <= kept < 40  # all target docs survive; some off-target drop
+
+
+def test_train_eval_split_dup_colocation_and_twin(spark, monkeypatch):
+    """Leakage-safe split: byte-identical docs ALWAYS share a split (the
+    content-hash keying — an id-keyed draw puts ~2% of dup pairs across
+    the boundary), the assignment matches an exact hashlib twin, and both
+    splits are nonempty on a corpus sized well past 1/fraction."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for d in range(400):
+        rows.append((d, " ".join(f"w{d}x{j}" for j in range(12)), "en", "s", 1))
+    # 50 exact-dup pairs: ids 1000+i duplicate doc i's text
+    for d in range(50):
+        rows.append((1000 + d, rows[d][1], "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: df)
+    got = {r.doc_id: r for r in ts.q_train_eval_split(spark, "x").collect()}
+    assert len(got) == 450
+    for d in range(50):
+        assert got[d].split == got[1000 + d].split  # dup co-location
+    text_by_id = {i: t for i, t, *_ in rows}
+    for d, r in got.items():
+        h = hashlib.md5(text_by_id[d].encode()).hexdigest()
+        draw = int(hashlib.md5(f"split:{h}".encode()).hexdigest()[:8], 16) % 10000
+        assert r.content_h == h
+        assert r.split == ("eval" if draw < ts.EVAL_SPLIT_BP else "train")
+    splits = {r.split for r in got.values()}
+    assert splits == {"train", "eval"}
