@@ -1608,3 +1608,40 @@ ORACLE_CDC_PAIRS = f"""
     GROUP BY 1, 2
     HAVING COUNT(*) >= {CDC_MIN_SHARED}
 """
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs, n_removable): the dedup IMPACT
+    report — the cluster-size histogram of the verified near-dup graph,
+    with the doc mass a keep-one-per-cluster pass removes (size-1 per
+    cluster). Singletons dominate a healthy corpus; a fat tail here is
+    the go-look signal. Rides the cached verified edge set and cluster
+    relation (one LSH+verify pass per driver session), then two tiny
+    partial aggs."""
+    cl = q_dedup_clusters(spark, sf_dir)
+    sz = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sz.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            F.expr("CAST(cluster_size * n_clusters AS BIGINT)").alias("n_docs"),
+            F.expr("CAST((cluster_size - 1) * n_clusters AS BIGINT)").alias(
+                "n_removable"
+            ),
+        )
+    )
+
+
+ORACLE_DEDUP_CLUSTER_STATS = f"""
+    WITH c AS ({ORACLE_DEDUP_CLUSTERS}
+    ), sz AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM c GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM sz GROUP BY cluster_size
+"""

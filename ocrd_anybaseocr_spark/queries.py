@@ -584,6 +584,9 @@ from .operators import textstats as _ts  # noqa: E402
 register("dedup_minhash_lsh", _dd.ORACLE_MINHASH)(_dd.q_dedup_minhash_lsh)
 register("dedup_minhash_verified", _dd.ORACLE_MINHASH_VERIFIED)(_dd.q_dedup_minhash_verified)
 register("dedup_clusters", _dd.ORACLE_DEDUP_CLUSTERS)(_dd.q_dedup_clusters)
+register("dedup_cluster_stats", _dd.ORACLE_DEDUP_CLUSTER_STATS)(
+    _dd.q_dedup_cluster_stats
+)
 register("dedup_simhash", _dd.ORACLE_SIMHASH)(_dd.q_dedup_simhash)
 register("dedup_simhash_pairs", _dd.ORACLE_SIMHASH_PAIRS)(_dd.q_dedup_simhash_pairs)
 register("dedup_simhash_dropped_bands", _dd.ORACLE_SIMHASH_DROPPED_BANDS)(
