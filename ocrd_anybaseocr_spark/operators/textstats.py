@@ -1433,3 +1433,73 @@ def _oracle_train_eval_split() -> str:
 
 
 ORACLE_TRAIN_EVAL_SPLIT = _oracle_train_eval_split()
+
+
+# split draw over raw text (content_h inlined) — the SINGLE definition
+# consumed by q_train_eval_split's sibling below and the leakage audit;
+# identical value to the content_h-column form in q_train_eval_split
+SPLIT_DRAW_TEXT_EXPR = (
+    "cast(conv(substring(md5(cast(concat('split:', md5(cast(text as binary)))"
+    " as binary)), 1, 8), 16, 10) as bigint) % 10000"
+)
+
+
+def q_decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, eval_id, shared): the SELF-CONTAINED leakage audit —
+    derive the content-keyed train/eval split (train_eval_split rule),
+    then flag train docs sharing >= DECON_MIN_SHARED distinct 3-grams
+    with any derived-eval doc (decontamination_overlap machinery: train
+    shingles DF-capped, eval side broadcast). Because the split keys on
+    the content hash, a byte-identical duplicate can NEVER appear here —
+    every flagged row is genuinely a near-dup leak, which is exactly the
+    class an id-keyed split would silently bury under exact-dup noise
+    (pinned in pytest: planted exact-dup pairs produce zero rows, a
+    planted straddling near-dup pair is flagged)."""
+    from .dedup import decontamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"CASE WHEN {SPLIT_DRAW_TEXT_EXPR} < {EVAL_SPLIT_BP}"
+            " THEN 'eval' ELSE 'train' END"
+        ).alias("split"),
+    )
+    ev = d.filter(F.col("split") == "eval").select("doc_id", "text")
+    tr = d.filter(F.col("split") == "train").select("doc_id", "text")
+    return decontamination_overlap(tr, ev).select(
+        "doc_id", "eval_id", F.col("shared").cast("bigint").alias("shared")
+    )
+
+
+def _oracle_decontaminate_splits() -> str:
+    from .dedup import (
+        DECON_MIN_SHARED,
+        MAX_SHINGLE_DF,
+        _hexn_to_int_duck,
+        shingles_cte_duck,
+    )
+
+    draw = _hexn_to_int_duck("md5('split:' || md5(text))", 8)
+    ev_w = f"({draw}) % 10000 < {EVAL_SPLIT_BP}"
+    tr_w = f"({draw}) % 10000 >= {EVAL_SPLIT_BP}"
+    return f"""
+    WITH shc0 AS ({shingles_cte_duck(where=tr_w)}
+    ), shc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM (SELECT DISTINCT doc_id, shingle FROM shc0)
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ), she0 AS ({shingles_cte_duck(where=ev_w)}
+    ), she AS (
+      SELECT DISTINCT doc_id AS eval_id, shingle FROM she0
+    )
+    SELECT c.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM shc c JOIN she e USING (shingle)
+    GROUP BY c.doc_id, e.eval_id
+    HAVING COUNT(*) >= {DECON_MIN_SHARED}
+"""
+
+
+ORACLE_DECONTAMINATE_SPLITS = _oracle_decontaminate_splits()

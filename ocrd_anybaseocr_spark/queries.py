@@ -627,6 +627,9 @@ register("source_mix_weights", _ts.ORACLE_SOURCE_MIX)(_ts.q_source_mix_weights)
 register("source_mix_sample", _ts.ORACLE_SOURCE_MIX_SAMPLE)(_ts.q_source_mix_sample)
 register("corpus_summary", _ts.ORACLE_CORPUS_SUMMARY)(_ts.q_corpus_summary)
 register("train_eval_split", _ts.ORACLE_TRAIN_EVAL_SPLIT)(_ts.q_train_eval_split)
+register("decontaminate_splits", _ts.ORACLE_DECONTAMINATE_SPLITS)(
+    _ts.q_decontaminate_splits
+)
 register("source_mix_temperature", _ts.ORACLE_SOURCE_MIX_TEMPERATURE)(
     _ts.q_source_mix_temperature
 )

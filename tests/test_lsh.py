@@ -1563,3 +1563,43 @@ def test_train_eval_split_dup_colocation_and_twin(spark, monkeypatch):
         assert r.split == ("eval" if draw < ts.EVAL_SPLIT_BP else "train")
     splits = {r.split for r in got.values()}
     assert splits == {"train", "eval"}
+
+
+def test_decontaminate_splits_exact_dups_never_leak(spark, monkeypatch):
+    """The content-keyed split makes exact-dup leakage structurally zero:
+    planted byte-identical pairs NEVER appear in the audit (they co-locate
+    by construction), while a near-dup pair whose sides draw different
+    splits (found deterministically with the hashlib twin) IS flagged."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    def side(text: str) -> str:
+        h = hashlib.md5(text.encode()).hexdigest()
+        draw = int(hashlib.md5(f"split:{h}".encode()).hexdigest()[:8], 16) % 10000
+        return "eval" if draw < ts.EVAL_SPLIT_BP else "train"
+
+    # find a near-dup pair straddling the split: variant in eval, base in
+    # train (deterministic search over seeded texts)
+    straddle = None
+    for i in range(4000):
+        base = " ".join(f"leak{i}w{j}" for j in range(40))
+        var = base + " tail"
+        if side(base) == "train" and side(var) == "eval":
+            straddle = (base, var)
+            break
+    assert straddle is not None
+    rows = [(0, straddle[0], "en", "s", 1), (1, straddle[1], "en", "s", 1)]
+    # 30 exact-dup pairs (ids 100+i / 200+i share text): structurally safe
+    for d in range(30):
+        t = " ".join(f"dup{d}w{j}" for j in range(40))
+        rows += [(100 + d, t, "en", "s", 1), (200 + d, t, "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: df)
+    got = ts.q_decontaminate_splits(spark, "x").collect()
+    flagged = {(r.doc_id, r.eval_id) for r in got}
+    assert (0, 1) in flagged  # the straddling near-dup leak IS caught
+    # no exact-dup pair can appear: both copies share every draw input
+    assert not [p for p in flagged if p[0] >= 100 and p[1] >= 100]
