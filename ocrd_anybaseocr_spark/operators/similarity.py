@@ -1162,8 +1162,44 @@ ORACLE_DEDUP_EMB_CLUSTERS = f"""
 # Deterministic k-means clustering (topic/domain bucketing for curation)
 # ---------------------------------------------------------------------------
 
-KMEANS_K = 8
+KMEANS_K = 8  # floor (and the value every <=step oracled corpus uses)
 KMEANS_ITERS = 2
+KMEANS_STEP_N = 1000  # corpora up to this keep the KMEANS_K floor
+# ~rows per cluster above the step: bounds the SemDeDup within-cluster
+# gram at O(TARGET^2) per cluster instead of O((N/k)^2) with fixed k
+SEMDEDUP_TARGET_CLUSTER = 200
+
+
+def derive_semantic_k(n_rows: int) -> int:
+    """Bucket count for k-means/SemDeDup from corpus size — the
+    derive_ivf_k shape (VERDICT r6 item 2): floor below KMEANS_STEP_N
+    (where the sf=0.01 driver gate lives), ~n/SEMDEDUP_TARGET_CLUSTER
+    above, capped at IVF_MAX_K (the centroid literals ship in the plan;
+    past the cap swap the argmin literal for the min_by shuffle, see
+    derive_ivf_k). With k growing linearly in N, the SemDeDup
+    within-cluster O(c^2) gram stays O(TARGET^2) per cluster — the paper
+    runs ~0.1%*N clusters for exactly this reason. Mirrored in SQL by
+    _SEMK_CTE_DUCK; parity above the step pinned by
+    test_dynamic_semantic_k_parity_above_step."""
+    import math
+
+    if n_rows <= KMEANS_STEP_N:
+        return KMEANS_K
+    return min(
+        IVF_MAX_K,
+        max(KMEANS_K, math.ceil(n_rows / SEMDEDUP_TARGET_CLUSTER)),
+    )
+
+
+# semk replicates derive_semantic_k in SQL: same <=step floor, same
+# ceil-of-IEEE-division — identical k in both engines at every corpus size
+_SEMK_CTE_DUCK = f"""semk AS (
+      SELECT CASE WHEN COUNT(*) <= {KMEANS_STEP_N} THEN {KMEANS_K}
+                  ELSE least({IVF_MAX_K}, greatest({KMEANS_K},
+                       CAST(ceil(COUNT(*) * 1.0 / {SEMDEDUP_TARGET_CLUSTER}) AS INTEGER)))
+             END AS k
+      FROM embeddings
+    )"""
 
 
 def kmeans_centroids(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
@@ -1211,22 +1247,24 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster): corpus bucketing by embedding — the curation
     pass that stratifies training data by topic/domain before sampling or
     per-bucket quality rules. Final assignment is one narrow scan→project
-    over the refined centroid literals (plan-asserted)."""
+    over the refined centroid literals (plan-asserted); ``k`` derives from
+    the corpus size (derive_semantic_k, shared session-cached count)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb)
+    cents = kmeans_centroids(emb, derive_semantic_k(_emb_count_cached(spark, sf_dir)))
     v = emb.select("vec_id", F.expr(_SE_SPARK).alias("v_se"))
     return v.select(
         "vec_id", F.expr(_argmin_cell_expr(cents)).alias("cluster")
     )
 
 
-def _kmeans_iter_ctes(k: int, iters: int, dim: int) -> str:
+def _kmeans_iter_ctes(k_sql: str, iters: int, dim: int) -> str:
     """Chained Lloyd-iteration CTEs ending in cbN(cid, c) — the DuckDB
-    mirror of kmeans_centroids, term for term."""
+    mirror of kmeans_centroids, term for term. ``k_sql`` is spliced as the
+    seed-count predicate (a literal int or '(SELECT k FROM semk)')."""
     d2 = ("list_sum(list_transform(list_zip(s.v_se, c.c),"
           " t -> (t[1] - t[2]) * (t[1] - t[2])))")
     sql = f"""cb0 AS (
-      SELECT vec_id AS cid, v_se AS c FROM se WHERE vec_id < {k}
+      SELECT vec_id AS cid, v_se AS c FROM se WHERE vec_id < {k_sql}
     )"""
     prev = "cb0"
     for i in range(1, iters + 1):
@@ -1251,7 +1289,7 @@ def _kmeans_iter_ctes(k: int, iters: int, dim: int) -> str:
 ORACLE_KMEANS = f"""
     WITH se AS (
       SELECT vec_id, {_SE_DUCK} AS v_se FROM embeddings
-    ), {_kmeans_iter_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)}
+    ), {_SEMK_CTE_DUCK}, {_kmeans_iter_ctes("(SELECT k FROM semk)", KMEANS_ITERS, EMB_DIM)}
     SELECT vec_id, cluster FROM (
       SELECT s.vec_id, c.cid AS cluster,
              row_number() OVER (PARTITION BY s.vec_id ORDER BY
@@ -1294,10 +1332,11 @@ def semantic_dedup_decisions(asg: DataFrame) -> DataFrame:
 
     Scale shape: this is the paper's O(c^2)-within-cluster step — safe
     exactly because k grows with the corpus (SemDeDup runs ~0.1%*N
-    clusters; our KMEANS_K would be derived upward the same way
-    derive_ivf_k grows IVF cells, with the min_by fallback past
-    IVF_MAX_K). Work never crosses clusters; everything compared is
-    exact int64, so kept/dropped is partition-order-free.
+    clusters; q_dedup_semantic derives k via derive_semantic_k —
+    ~n/SEMDEDUP_TARGET_CLUSTER above the step, so per-cluster work stays
+    O(TARGET^2), with the min_by fallback documented past IVF_MAX_K).
+    Work never crosses clusters; everything compared is exact int64, so
+    kept/dropped is partition-order-free.
 
     ``asg`` must carry (vec_id, v_se, cluster, d2) — the expanded form of
     semantic_assignments, materialized first.
@@ -1350,13 +1389,13 @@ def semantic_dedup_decisions(asg: DataFrame) -> DataFrame:
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic Lloyd k-means
-    buckets (the kmeans_clusters recipe), then the triangular
-    within-cluster cosine rule. One linear pass: scan -> narrow argmin
-    projection -> single exchange on cluster -> grouped Arrow batch (no
-    checkpoint needed — the decisions pass consumes the assignment
-    exactly once, unlike the old self-join form)."""
+    buckets (the kmeans_clusters recipe, k from derive_semantic_k), then
+    the triangular within-cluster cosine rule. One linear pass: scan ->
+    narrow argmin projection -> single exchange on cluster -> grouped
+    Arrow batch (no checkpoint needed — the decisions pass consumes the
+    assignment exactly once, unlike the old self-join form)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb)
+    cents = kmeans_centroids(emb, derive_semantic_k(_emb_count_cached(spark, sf_dir)))
     raw = semantic_assignments(emb, cents)
     asg = raw.select(
         "vec_id", "v_se", F.col("ac.c").alias("cluster"), F.col("ac.d").alias("d2")
@@ -1372,7 +1411,7 @@ _SEMDEDUP_D2 = (
 ORACLE_SEMDEDUP = f"""
     WITH se AS (
       SELECT vec_id, {_SE_DUCK} AS v_se FROM embeddings
-    ), {_kmeans_iter_ctes(KMEANS_K, KMEANS_ITERS, EMB_DIM)}, asg AS (
+    ), {_SEMK_CTE_DUCK}, {_kmeans_iter_ctes("(SELECT k FROM semk)", KMEANS_ITERS, EMB_DIM)}, asg AS (
       -- list_sum yields HUGEINT (pandas float64); the emitted d2 must be
       -- BIGINT to hash-match Spark's exact int64
       SELECT vec_id, CAST(d2 AS BIGINT) AS d2, cluster, v_se FROM (

@@ -384,6 +384,62 @@ def test_dynamic_bits_and_k_parity_above_step(spark):
     assert got_asg == want_asg
 
 
+def test_dynamic_semantic_k_parity_above_step(spark):
+    """Spark vs DuckDB parity ON the dynamic k-means/SemDeDup path
+    (VERDICT r6 item 2): every oracled corpus sits under KMEANS_STEP_N,
+    so the derive_semantic_k branch of the semk CTE was never executed
+    against Spark. Build a 2000-row corpus — derive_semantic_k leaves the
+    KMEANS_K floor (k=10) — and assert the k-means assignment AND the full
+    SemDeDup decision table match the oracles row-for-row."""
+    import duckdb
+    import pyarrow as pa
+
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+
+    n = 2000
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((n, EMB_DIM)).astype(np.float32)
+    # plant near-dup pairs so kept=False rows exercise the shadow rule
+    vecs[1::97] = vecs[0::97][: len(vecs[1::97])] + 0.001
+    df = _emb_df(spark, vecs)
+    k = sim.derive_semantic_k(n)
+    assert k > sim.KMEANS_K
+
+    cents = sim.kmeans_centroids(df, k)
+    assert len(cents) <= k and max(c for c, _ in cents) < k
+    v = df.select("vec_id", F.expr(sim._SE_SPARK).alias("v_se"))
+    got_km = sorted(
+        (r.vec_id, r.cluster)
+        for r in v.select(
+            "vec_id", F.expr(sim._argmin_cell_expr(cents)).alias("cluster")
+        ).collect()
+    )
+    raw = sim.semantic_assignments(df, cents)
+    asg = raw.select(
+        "vec_id", "v_se", F.col("ac.c").alias("cluster"), F.col("ac.d").alias("d2")
+    )
+    got_sd = sorted(
+        (r.vec_id, r.cluster, r.d2, r.kept)
+        for r in sim.semantic_dedup_decisions(asg).collect()
+    )
+    assert any(not kept for _, _, _, kept in got_sd)  # planted dups dropped
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    want_km = sorted(map(tuple, con.execute(sim.ORACLE_KMEANS).fetchall()))
+    want_sd = sorted(map(tuple, con.execute(sim.ORACLE_SEMDEDUP).fetchall()))
+    assert got_km == want_km
+    assert got_sd == want_sd
+
+
 def test_decontamination_planted_overlap(spark):
     """A training doc embedding a verbatim eval passage must be flagged
     against exactly that eval doc (>= DECON_MIN_SHARED shared 3-grams);
