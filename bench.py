@@ -482,6 +482,15 @@ def main() -> None:
         # rows above sample first-execution codegen (the simhash 10 s tail);
         # these are the steady-state data-path numbers
         "queries_warm_second_exec": warm,
+        # ADVICE r6: warm rows are SAME-SESSION reruns — for ann_pq_adc both
+        # the cold row and the warm row serve the pre-built cached index
+        # (build_s is separate), so cold-vs-warm isolates the whole-stage
+        # codegen compile tail, never index-build cost
+        "queries_warm_second_exec_note": (
+            "same-session rerun; ANN rows include per-session index-cache "
+            "hits on BOTH passes (builds timed separately in "
+            "ann_index_build) — the cold-warm delta is codegen compile"
+        ),
         # kernel ms/page on the adversarial degraded tier vs clean
         # (single-process, same drawn pages)
         "degraded_tier": degraded_kernel_bench(),

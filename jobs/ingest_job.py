@@ -59,14 +59,22 @@ def run(spark, corpus_dir: str, batch_dir: str, out_dir: str) -> dict:
     from ocrd_anybaseocr_spark.operators.dedup import (
         dedup_bloom_ingest,
         dedup_incremental,
+        keyed_docs,
         verified_pairs,
     )
 
     corpus = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
     batch = spark.read.parquet(os.path.join(batch_dir, "documents.parquet"))
 
+    # md5 key relations computed ONCE per pass and checkpointed (ADVICE r6
+    # item 4): the corpus keys feed BOTH the Bloom filter build and the
+    # exact-verify side, the batch keys feed stage 1 AND the Bloom probe —
+    # without the checkpoint each consumer re-runs the corpus-wide
+    # md5+scan, the dominant cost of the stage at real corpus scale
+    corpus_keyed = keyed_docs(corpus).localCheckpoint(eager=True)
+    keyed = keyed_docs(batch).localCheckpoint(eager=True)
+
     # stage 1: within-batch exact — min doc_id per content key is canonical
-    keyed = batch.select("doc_id", F.expr("md5(cast(text as binary))").alias("h"))
     canon = keyed.groupBy("h").agg(F.min("doc_id").alias("_canon"))
     in_batch = keyed.join(canon, "h").select(
         "doc_id", (F.col("doc_id") != F.col("_canon")).alias("exact_dup_in_batch")
@@ -74,7 +82,9 @@ def run(spark, corpus_dir: str, batch_dir: str, out_dir: str) -> dict:
 
     # stage 2: Bloom probe + exact verify vs the corpus (full batch — the
     # audit reports every doc's corpus verdict even if stage 1 drops it)
-    flags = dedup_bloom_ingest(batch, corpus).join(in_batch, "doc_id")
+    flags = dedup_bloom_ingest(
+        batch, corpus, new_keyed=keyed, corpus_keyed=corpus_keyed
+    ).join(in_batch, "doc_id")
     flags.write.mode("overwrite").parquet(os.path.join(out_dir, "exact_flags"))
     flags = spark.read.parquet(os.path.join(out_dir, "exact_flags"))
 

@@ -1289,7 +1289,23 @@ def bloom_filter_words(corpus_keyed: DataFrame) -> DataFrame:
     )
 
 
-def dedup_bloom_ingest(new_docs: DataFrame, corpus_docs: DataFrame) -> DataFrame:
+def keyed_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): the md5 content-key relation of a documents frame —
+    the relation a production ingest computes ONCE per pass (checkpointed
+    or persisted) and feeds to both the Bloom filter build and the exact
+    verify. ADVICE r6 item 4: building it independently on each side
+    doubles the corpus-wide md5+scan, the dominant cost of the stage at
+    real corpus scale; jobs/ingest_job.py passes a checkpointed instance
+    into dedup_bloom_ingest via new_keyed/corpus_keyed."""
+    return docs.select("doc_id", F.expr("md5(cast(text as binary))").alias("h"))
+
+
+def dedup_bloom_ingest(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    new_keyed: DataFrame | None = None,
+    corpus_keyed: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, bloom_hit, exact_dup) per NEW-batch doc: probe the corpus
     Bloom filter with the batch's text-md5 keys, then exact-verify every
     probe against the corpus key set. bloom_hit=false GUARANTEES
@@ -1306,16 +1322,17 @@ def dedup_bloom_ingest(new_docs: DataFrame, corpus_docs: DataFrame) -> DataFrame
     deployment the per-batch pipeline is: probe (drops ~99% of novel
     keys with 0 corpus I/O when the filter is cached) -> exact verify of
     the hits only; here both flags are emitted for every batch doc so the
-    FP rate is directly queryable."""
-    nw = corpus_docs.select(
-        F.expr(_bloom_word_count_expr("count(*)")).alias("words")
-    )
-    ck = corpus_docs.select(
-        "doc_id", F.expr("md5(cast(text as binary))").alias("h")
-    ).crossJoin(F.broadcast(nw))
-    pk = new_docs.select(
-        "doc_id", F.expr("md5(cast(text as binary))").alias("h")
-    ).crossJoin(F.broadcast(nw))
+    FP rate is directly queryable.
+
+    ``new_keyed``/``corpus_keyed`` inject pre-computed (doc_id, h) key
+    relations (keyed_docs shape) so a caller that already holds them —
+    checkpointed, or persisted between batches — avoids re-running the
+    corpus-wide md5+scan on both consuming sides (ADVICE r6 item 4)."""
+    ck0 = corpus_keyed if corpus_keyed is not None else keyed_docs(corpus_docs)
+    pk0 = new_keyed if new_keyed is not None else keyed_docs(new_docs)
+    nw = ck0.select(F.expr(_bloom_word_count_expr("count(*)")).alias("words"))
+    ck = ck0.crossJoin(F.broadcast(nw))
+    pk = pk0.crossJoin(F.broadcast(nw))
     fw = bloom_filter_words(ck)
     probe = (
         _bloom_positions(pk)

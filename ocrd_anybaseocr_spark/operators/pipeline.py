@@ -285,7 +285,16 @@ class _PathIO:
         df.write.mode("overwrite").parquet(self._path(name))
 
     def exists(self, name: str) -> bool:
-        return os.path.isdir(self._path(name))
+        # Resolve through the Hadoop FileSystem API, not os.path: out_dir
+        # may be an hdfs:// or s3a:// URI (the Spark writes above already
+        # accept those), and a local-only isdir would let a stale quarantine
+        # table survive a clean re-run on a remote FS (ADVICE r6 item 2 —
+        # the n_bad==0 rewrite at the quarantine call site gates on this).
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        path = jvm.org.apache.hadoop.fs.Path(self._path(name))
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
 
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self._path(name))

@@ -54,40 +54,65 @@ def flat_text(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(FLAT_TEXT_EXPR).alias("text"))
 
 
-def bpe_fit(spark: SparkSession, corpus_dir: str) -> list[tuple[str, str]]:
-    """Learn the merge table from the corpus word frequencies: distributed
-    word count -> deterministic top-V fetch (count desc, word asc — a
-    TakeOrdered, not a global sort) -> kernels.bpe.bpe_train on the
-    bounded vocabulary. Memoized per (session, corpus) like the other
-    build-once/serve-many indexes."""
+def bpe_fit_stats(
+    spark: SparkSession, corpus_dir: str
+) -> tuple[list[tuple[str, str]], int]:
+    """(merges, fit_coverage_ppm): learn the merge table from the corpus
+    word frequencies — distributed word count -> deterministic top-V fetch
+    (count desc, word asc — a TakeOrdered, not a global sort) ->
+    kernels.bpe.bpe_train on the bounded vocabulary. Memoized per
+    (session, corpus) like the other build-once/serve-many indexes.
+
+    BPE_TOP_WORDS is a CAP, and the repo convention is no silent caps
+    (VERDICT r6 item 5): fit_coverage_ppm = exact parts-per-million of
+    corpus word OCCURRENCES whose word type made the fitted top-V —
+    the fraction of the corpus the learned merges actually saw. The
+    total-occurrence count is a narrow per-doc size() partial agg (no
+    second word shuffle); covered mass is summed from the already-fetched
+    top rows; the division is exact int (x * 1e6 div total), identical in
+    the single-process oracle twin."""
     app = spark.conf.get("spark.app.id", "?")
     key = (app, corpus_dir)
     if key not in _MERGES_CACHE:
         for k in [k for k in _MERGES_CACHE if k[0] != app]:
             del _MERGES_CACHE[k]
         docs, _ = load_corpus(spark, corpus_dir)
+        ft = flat_text(docs)
         top = (
-            flat_text(docs)
-            .select(F.explode(F.split("text", " ")).alias("word"))
+            ft.select(F.explode(F.split("text", " ")).alias("word"))
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("word"))
             .limit(BPE_TOP_WORDS)
             .collect()
         )
-        _MERGES_CACHE[key] = bpe_train(
-            [(r.word, r.cnt) for r in top], n_merges=BPE_MERGES
+        total = ft.agg(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).collect()[0]["t"]
+        covered = sum(int(r.cnt) for r in top)
+        cov_ppm = (covered * 1_000_000) // int(total) if total else 0
+        _MERGES_CACHE[key] = (
+            bpe_train([(r.word, r.cnt) for r in top], n_merges=BPE_MERGES),
+            cov_ppm,
         )
     return _MERGES_CACHE[key]
 
 
+def bpe_fit(spark: SparkSession, corpus_dir: str) -> list[tuple[str, str]]:
+    """The merge table alone (bpe_fit_stats' first element)."""
+    return bpe_fit_stats(spark, corpus_dir)[0]
+
+
 def bpe_train_df(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    """The learned merge table as a relation:
-    (merge_rank, pair_left, pair_right, merged)."""
-    merges = bpe_fit(spark, corpus_dir)
+    """The learned merge table as a relation: (merge_rank, pair_left,
+    pair_right, merged, fit_coverage_ppm). The coverage stat rides every
+    row (constant) so the top-V cap's observed corpus coverage is
+    impossible to miss wherever the merge table goes."""
+    merges, cov_ppm = bpe_fit_stats(spark, corpus_dir)
     return spark.createDataFrame(
-        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
-        "merge_rank bigint, pair_left string, pair_right string, merged string",
+        [(i, l, r, l + r, cov_ppm) for i, (l, r) in enumerate(merges)],
+        "merge_rank bigint, pair_left string, pair_right string,"
+        " merged string, fit_coverage_ppm bigint",
     )
 
 

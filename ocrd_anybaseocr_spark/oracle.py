@@ -231,7 +231,7 @@ MEDIA_RESIZE_ZOOM = 0.5  # the fixed zoom the media_resize query is gated at
 # expectations INSIDE it — without it, a stale cached expectation would
 # fail the driver gate on correct code with no pointer to the cache
 # (round-4 review).
-EXPECTED_VERSION = 5  # v5: + expected_bpe_merges/expected_bpe_tokens
+EXPECTED_VERSION = 6  # v6: bpe_merges + fit_coverage_ppm (no-silent-caps)
                       # (BPE tokenizer expectations join the materialized set)
 # (v4: Otsu-confidence gate + illumination flattening — no-op on clean
 # pages, eta >= 0.98 there, but the kernel changed, so cached
@@ -390,8 +390,18 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
         wc.update(t.split(" "))
     top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_WORDS]
     merges = bpe_train(top)
+    # exact-int coverage of the top-V cap (no silent caps, VERDICT r6
+    # item 5) — same x*1e6 div total as operators/tokenize.bpe_fit_stats
+    total_occ = sum(wc.values())
+    cov_ppm = (sum(c for _, c in top) * 1_000_000) // total_occ if total_occ else 0
     bm_rows = [
-        {"merge_rank": i, "pair_left": l, "pair_right": r, "merged": l + r}
+        {
+            "merge_rank": i,
+            "pair_left": l,
+            "pair_right": r,
+            "merged": l + r,
+            "fit_coverage_ppm": cov_ppm,
+        }
         for i, (l, r) in enumerate(merges)
     ]
     bt_rows = []
@@ -411,6 +421,7 @@ def materialize_expected(out_dir: str, n_docs: int, seed: int = 42,
             pa.field("pair_left", pa.string(), False),
             pa.field("pair_right", pa.string(), False),
             pa.field("merged", pa.string(), False),
+            pa.field("fit_coverage_ppm", pa.int64(), False),
         ]
     )
     bt_schema = pa.schema(

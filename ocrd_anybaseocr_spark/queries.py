@@ -1108,7 +1108,8 @@ def q_visual_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bpe_train",
     oracle=f"""
-    SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair_left, pair_right, merged
+    SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair_left, pair_right, merged,
+           CAST(fit_coverage_ppm AS BIGINT) AS fit_coverage_ppm
     FROM read_parquet('{_os.path.join("%QC%", "expected_bpe_merges.parquet")}')
     """,
 )

@@ -1446,8 +1446,25 @@ def test_bpe_corpus_fit_properties(spark):
     from ocrd_anybaseocr_spark.queries import QUERIES, _pipeline_corpus
 
     tok.clear_caches()
-    merges = tok.bpe_fit(spark, _pipeline_corpus())
+    merges, cov_ppm = tok.bpe_fit_stats(spark, _pipeline_corpus())
     assert len(merges) == BPE_MERGES
+    # fit coverage (no-silent-caps, VERDICT r6 item 5): exact equality
+    # with an independent Counter twin over the same flat texts, and it
+    # rides every bpe_train row
+    from collections import Counter
+
+    from ocrd_anybaseocr_spark.kernels.bpe import BPE_TOP_WORDS
+    from ocrd_anybaseocr_spark.sources.tables import load_corpus
+
+    docs, _ = load_corpus(spark, _pipeline_corpus())
+    wc = Counter()
+    for r in tok.flat_text(docs).collect():
+        wc.update(r.text.split(" "))
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_WORDS]
+    want = (sum(c for _, c in top) * 1_000_000) // sum(wc.values())
+    assert cov_ppm == want and 0 < cov_ppm <= 1_000_000
+    tr = QUERIES["bpe_train"](spark, "unused").collect()
+    assert {r.fit_coverage_ppm for r in tr} == {cov_ppm}
     rows = {r.doc_id: r for r in QUERIES["bpe_tokenize"](spark, "unused").collect()}
     rows2 = {r.doc_id: r for r in QUERIES["bpe_tokenize"](spark, "unused").collect()}
     assert rows.keys() == rows2.keys()
@@ -1457,6 +1474,37 @@ def test_bpe_corpus_fit_properties(spark):
         # (+ EOW = >= 4 initial symbols) but encode to ~3 tokens/word
         assert rows[d].n_tokens < rows[d].n_words * 4
     tok.clear_caches()
+
+
+def test_bpe_fit_coverage_below_cap(spark, monkeypatch):
+    """A corpus with more word types than BPE_TOP_WORDS must report the
+    cap's true coverage: rare tail types outside the top-V are excluded
+    from the ppm numerator, exactly (constructed twin)."""
+    from ocrd_anybaseocr_spark.kernels.bpe import BPE_TOP_WORDS
+    from ocrd_anybaseocr_spark.operators import tokenize as tok
+
+    n_common, n_rare = 20, BPE_TOP_WORDS
+    # 20 common words x 100 occurrences + BPE_TOP_WORDS rare singletons:
+    # top-V = 20 common + (V-20) rare -> covered = 2000 + V - 20
+    words = [f"common{i:02d}" for i in range(n_common)] * 100 + [
+        f"rareword{i:04d}" for i in range(n_rare)
+    ]
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [("d0", [{"kind": "text", "text": text, "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    monkeypatch.setattr(tok, "load_corpus", lambda s, d: (docs, None))
+    tok.clear_caches()
+    try:
+        _, cov_ppm = tok.bpe_fit_stats(spark, "synthetic-cap-corpus")
+        covered = n_common * 100 + (BPE_TOP_WORDS - n_common)
+        total = n_common * 100 + n_rare
+        assert cov_ppm == (covered * 1_000_000) // total
+        assert cov_ppm < 1_000_000
+    finally:
+        tok.clear_caches()
 
 
 def test_hard_negatives_planted_mirror(spark):
