@@ -400,6 +400,37 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_minhash_verified.__doc__ = verified_pairs.__doc__
 
 
+def q_dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_pairs, j_min, j_max): similarity distribution of the
+    verified near-dup pairs in tenth-wide buckets — the observability
+    surface for the VERIFY_JACCARD_MIN threshold (is the mass hugging the
+    cutoff, i.e. the banding operating point is tight, or bimodal near
+    1.0, i.e. mostly true dups?). bucket = floor(jaccard*10) over the
+    SAME 6dp-rounded double both engines already hash-match in
+    dedup_minhash_verified, so the boundary decision is bit-identical by
+    construction. Rides the per-session checkpointed verify lineage —
+    another consumer of the one LSH+verify pass, zero extra corpus work;
+    the agg is 6 groups."""
+    ve = _verified_cached(spark, sf_dir)
+    return (
+        ve.select(F.expr("cast(floor(jaccard * 10) as int)").alias("bucket"), "jaccard")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("j_min"),
+            F.max("jaccard").alias("j_max"),
+        )
+    )
+
+
+ORACLE_JACCARD_HISTOGRAM = f"""
+    WITH {_verified_cte()}
+    SELECT CAST(floor(jaccard * 10) AS INTEGER) AS bucket,
+           COUNT(*) AS n_pairs, MIN(jaccard) AS j_min, MAX(jaccard) AS j_max
+    FROM ve GROUP BY bucket
+""".replace("{H32}", _H24_DUCK)
+
+
 def simhash_signatures_df(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash — per-bit majority vote over word
     hashes, assembled into one signed bigint (bit 63 = sign bit, see

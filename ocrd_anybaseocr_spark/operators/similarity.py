@@ -314,6 +314,58 @@ ORACLE_ANN_LSH = f"""
 """
 
 
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_true, n_hits, recall_ppm): measured recall@3 of the
+    LSH-bucketed ANN against the exact brute-force top-3 — approximate
+    search quality as a QUERYABLE relation, not a one-off test assert
+    (the no-silent-quality-caps convention: bits/tables tuning changes
+    recall, and this is the surface that shows it). n_true < 3 only on
+    degenerate corpora (< 4 vectors); recall_ppm = n_hits*1e6 div n_true
+    is exact int. Scale shape: both sides are the already-bounded
+    N_QUERIES-row ANN outputs; the audit join is trivial on top of them
+    (the brute side is the only corpus-linear pass, and it IS the ground
+    truth — there is no cheaper oracle)."""
+    truth = (
+        q_ann_brute_force(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = q_ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
+    tt = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hh = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        tt.join(hh, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div n_true"))
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+    WITH t AS (
+      SELECT query_id, neighbor_id FROM ({ORACLE_ANN_BRUTE}) b WHERE rank <= 3
+    ), l AS (
+      SELECT query_id, neighbor_id FROM ({ORACLE_ANN_LSH}) a
+    ), tt AS (
+      SELECT query_id, COUNT(*) AS n_true FROM t GROUP BY query_id
+    ), hh AS (
+      SELECT t.query_id, COUNT(*) AS n_hits
+      FROM t JOIN l USING (query_id, neighbor_id) GROUP BY t.query_id
+    )
+    SELECT tt.query_id, CAST(n_true AS BIGINT) AS n_true,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(n_hits, 0) * 1000000 // n_true AS BIGINT) AS recall_ppm
+    FROM tt LEFT JOIN hh ON hh.query_id = tt.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-Flat ANN (the second scale path besides hyperplane LSH)
 # ---------------------------------------------------------------------------

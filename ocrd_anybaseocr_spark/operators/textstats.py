@@ -833,6 +833,87 @@ ORACLE_BM25 = f"""
 """
 
 
+TFIDF_TOPK = 5  # terms reported per source
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, term, tf, df, score_e12, rk): the TFIDF_TOPK most
+    characteristic terms per source — the corpus-card keyword probe a
+    curation pipeline runs per slice (what IS src3?). tf counts term
+    occurrences within the source; idf = ln(N/df) over document frequency
+    corpus-wide, micro-rounded HALF-UP to exact idf_e6 (the bm25/lm
+    convention: ln disagrees ~1 ulp cross-engine, the 1e6 scale makes
+    rounding boundaries ~1e-9 wide); score_e12 = tf * idf_e6 is exact
+    int64. Ties break (score DESC, term ASC) in both engines.
+
+    Scale shape: the token stream partial-aggs on (source, term) for tf
+    and on term (after a (doc_id, term) distinct) for df — wordcount
+    shuffles, the canonical map-side-combine shape; the idf relation is
+    vocabulary-sized and broadcast; the final top-k window partitions by
+    source (bounded groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "df",
+        F.expr(
+            "cast(floor(ln(cast(n_docs as double) / df) * 1000000 + 0.5) as bigint)"
+        ).alias("idf_e6"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "source", "term", "tf", "df", (F.col("tf") * F.col("idf_e6")).alias("score_e12")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("score_e12"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("source", "term", "tf", "df", "score_e12", "rk")
+    )
+
+
+ORACLE_TFIDF_TOPK = f"""
+    WITH toks AS (
+      SELECT doc_id, source, t.term
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+    ), tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY source, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+    ), stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT term, CAST(df AS BIGINT) AS df,
+             CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+                  AS BIGINT) AS idf_e6
+      FROM df, stats
+    ), scored AS (
+      SELECT source, tf.term, tf, df, tf * idf_e6 AS score_e12
+      FROM tf JOIN idf ON tf.term = idf.term
+    )
+    SELECT source, term, tf, df, CAST(score_e12 AS BIGINT) AS score_e12,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score_e12 DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= {TFIDF_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Data-mixture reweighting: per-source sampling weights toward a target mix
 # ---------------------------------------------------------------------------
@@ -1292,6 +1373,53 @@ ORACLE_PACK_SEQUENCES = f"""
            off % {PACK_BLOCK} AS start_off,
            (off + n_tokens - 1) // {PACK_BLOCK} AS end_seq
     FROM laid
+"""
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, n_seqs, used_tokens, waste_ppm): per-shard packing
+    audit over the pack_sequences plan — the no-silent-caps companion of
+    the packing operator. Concatenate-and-split wastes ONLY the tail of
+    each shard's last sequence (docs straddle boundaries), so
+    n_seqs = max(end_seq)+1, capacity = n_seqs*PACK_BLOCK and
+    waste_ppm = (capacity - used)*1e6 div capacity — exact ints both
+    engines. A skewed shard key shows up here as one shard's n_seqs
+    outrunning the others; the agg is PACK_SHARDS groups on top of the
+    plan's one shuffle."""
+    p = q_pack_sequences(spark, sf_dir)
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("end_seq") + 1).alias("n_seqs"),
+            F.sum("n_tokens").alias("used_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_seqs",
+            "used_tokens",
+            F.expr(
+                f"(n_seqs * {PACK_BLOCK} - used_tokens) * 1000000"
+                f" div (n_seqs * {PACK_BLOCK})"
+            ).alias("waste_ppm"),
+        )
+    )
+
+
+ORACLE_PACK_EFFICIENCY = f"""
+    WITH p AS ({ORACLE_PACK_SEQUENCES}),
+    agg AS (
+      SELECT shard, COUNT(*) AS n_docs, MAX(end_seq) + 1 AS n_seqs,
+             SUM(n_tokens) AS used_tokens
+      FROM p GROUP BY shard
+    )
+    SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_seqs AS BIGINT) AS n_seqs,
+           CAST(used_tokens AS BIGINT) AS used_tokens,
+           CAST((n_seqs * {PACK_BLOCK} - used_tokens) * 1000000
+                // (n_seqs * {PACK_BLOCK}) AS BIGINT) AS waste_ppm
+    FROM agg
 """
 
 

@@ -595,6 +595,9 @@ register("dedup_simhash_dropped_bands", _dd.ORACLE_SIMHASH_DROPPED_BANDS)(
 register("dedup_incremental", _dd.ORACLE_DEDUP_INCREMENTAL)(_dd.q_dedup_incremental)
 register("dedup_bloom_ingest", _dd.ORACLE_DEDUP_BLOOM)(_dd.q_dedup_bloom_ingest)
 register("dedup_jaccard_ngram", _dd.ORACLE_JACCARD)(_dd.q_dedup_jaccard)
+register("dedup_jaccard_histogram", _dd.ORACLE_JACCARD_HISTOGRAM)(
+    _dd.q_dedup_jaccard_histogram
+)
 register("dedup_cdc_chunks", _dd.ORACLE_DEDUP_CDC)(_dd.q_dedup_cdc_chunks)
 register("dedup_cdc_pairs", _dd.ORACLE_CDC_PAIRS)(_dd.q_dedup_cdc_pairs)
 register("decontaminate_overlap", _dd.ORACLE_DECON)(_dd.q_decontaminate_overlap)
@@ -602,6 +605,7 @@ register("dedup_exact_substring", _dd.ORACLE_SUBSTR)(_dd.q_dedup_exact_substring
 register("repetition_ratio", _dd.ORACLE_REPETITION)(_dd.q_repetition_ratio)
 register("ann_brute_force", _sim.ORACLE_ANN_BRUTE)(_sim.q_ann_brute_force)
 register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
+register("ann_recall_audit", _sim.ORACLE_ANN_RECALL)(_sim.q_ann_recall_audit)
 register("ann_ivf_flat", _sim.ORACLE_ANN_IVF)(_sim.q_ann_ivf_flat)
 register("ann_pq_adc", _sim.ORACLE_ANN_PQ)(_sim.q_ann_pq_adc)
 register("kmeans_clusters", _sim.ORACLE_KMEANS)(_sim.q_kmeans_clusters)
@@ -623,6 +627,7 @@ register("stratified_sample", _ts.ORACLE_STRATIFIED)(_ts.q_stratified_sample)
 register("dedup_exact_normalized", _ts.ORACLE_DEDUP_NORM)(_ts.q_dedup_exact_normalized)
 register("token_windows", _ts.ORACLE_TOKEN_WINDOWS)(_ts.q_token_windows)
 register("bm25_topk", _ts.ORACLE_BM25)(_ts.q_bm25_topk)
+register("tfidf_topk", _ts.ORACLE_TFIDF_TOPK)(_ts.q_tfidf_topk)
 register("source_mix_weights", _ts.ORACLE_SOURCE_MIX)(_ts.q_source_mix_weights)
 register("source_mix_sample", _ts.ORACLE_SOURCE_MIX_SAMPLE)(_ts.q_source_mix_sample)
 register("corpus_summary", _ts.ORACLE_CORPUS_SUMMARY)(_ts.q_corpus_summary)
@@ -634,6 +639,7 @@ register("source_mix_temperature", _ts.ORACLE_SOURCE_MIX_TEMPERATURE)(
     _ts.q_source_mix_temperature
 )
 register("pack_sequences", _ts.ORACLE_PACK_SEQUENCES)(_ts.q_pack_sequences)
+register("pack_efficiency", _ts.ORACLE_PACK_EFFICIENCY)(_ts.q_pack_efficiency)
 register("dsir_weights", _ts.ORACLE_DSIR)(_ts.q_dsir_weights)
 register("dsir_resample", _ts.ORACLE_DSIR_RESAMPLE)(_ts.q_dsir_resample)
 

@@ -1707,3 +1707,118 @@ def test_decontaminate_splits_exact_dups_never_leak(spark, monkeypatch):
     assert (0, 1) in flagged  # the straddling near-dup leak IS caught
     # no exact-dup pair can appear: both copies share every draw input
     assert not [p for p in flagged if p[0] >= 100 and p[1] >= 100]
+
+
+def test_jaccard_histogram_consistency(spark, monkeypatch):
+    """dedup_jaccard_histogram must be exactly the groupBy of the verified
+    pairs it rides on: bucket counts re-derivable from
+    dedup_minhash_verified rows, every bucket's [j_min, j_max] inside its
+    tenth, and a planted exact-dup pair landing in bucket 10."""
+    import math
+
+    from ocrd_anybaseocr_spark.operators import dedup as dd
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = near_a + " lambda"  # high-jaccard near pair
+    docs = spark.createDataFrame(
+        [
+            (0, near_a, "en", "s", 1),
+            (1, near_b, "en", "s", 1),
+            (2, "one two three four five six seven eight nine ten", "en", "s", 1),
+            (3, "one two three four five six seven eight nine ten", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    dd.clear_caches()
+    try:
+        ve = QUERIES["dedup_minhash_verified"](spark, "hist-twin").collect()
+        hist = {r.bucket: r for r in
+                QUERIES["dedup_jaccard_histogram"](spark, "hist-twin").collect()}
+        assert ve, "fixture must produce verified pairs"
+        want: dict[int, list[float]] = {}
+        for r in ve:
+            want.setdefault(math.floor(r.jaccard * 10), []).append(r.jaccard)
+        assert set(hist) == set(want)
+        for b, js in want.items():
+            assert hist[b].n_pairs == len(js)
+            assert hist[b].j_min == min(js) and hist[b].j_max == max(js)
+            assert b / 10 <= hist[b].j_min and hist[b].j_max < (b + 1) / 10 + 1e-9
+        assert 10 in hist  # the exact-dup pair (jaccard == 1.0)
+    finally:
+        dd.clear_caches()
+
+
+def test_ann_recall_audit_matches_components(spark, sf_dir):
+    """ann_recall_audit must equal the set algebra over its two component
+    queries' own outputs (which are independently DuckDB-hash-gated), and
+    every query gets a row even at recall 0."""
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    sim.clear_caches()
+    truth: dict[int, set[int]] = {}
+    for r in QUERIES["ann_brute_force"](spark, sf_dir).collect():
+        if r.rank <= 3:
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict[int, set[int]] = {}
+    for r in QUERIES["ann_lsh_bucketed"](spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {r.query_id: r for r in
+           QUERIES["ann_recall_audit"](spark, sf_dir).collect()}
+    assert set(got) == set(truth)  # a row per query, even at 0 hits
+    for q, t in truth.items():
+        hits = len(t & approx.get(q, set()))
+        assert got[q].n_true == len(t)
+        assert got[q].n_hits == hits
+        assert got[q].recall_ppm == hits * 1_000_000 // len(t)
+
+
+def test_tfidf_topk_planted_keyword(spark, monkeypatch):
+    """A term frequent in ONE source and absent elsewhere must top that
+    source's tf-idf ranking; a term present in every document (idf = 0)
+    must score 0 and lose to any source-specific term."""
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+
+    rows = [
+        (0, "common zebra zebra zebra common apple", "en", "srcA", 1),
+        (1, "common zebra zebra banana common cherry", "en", "srcA", 1),
+        (2, "common yak yak yak common apple", "en", "srcB", 1),
+        (3, "common yak grape common melon plum", "en", "srcB", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = ts.q_tfidf_topk(spark, "unused").collect()
+    top = {r.source: r.term for r in got if r.rk == 1}
+    assert top == {"srcA": "zebra", "srcB": "yak"}
+    for r in got:
+        if r.term == "common":  # df == N -> idf 0 -> score 0
+            assert r.score_e12 == 0
+        assert r.rk <= ts.TFIDF_TOPK
+
+
+def test_pack_efficiency_tail_only_waste(spark, sf_dir):
+    """pack_efficiency must aggregate the pack plan exactly, and
+    concatenate-and-split can only waste the tail of each shard's last
+    sequence: capacity - used < PACK_BLOCK, waste_ppm exact."""
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    plan = QUERIES["pack_sequences"](spark, sf_dir).collect()
+    eff = {r.shard: r for r in QUERIES["pack_efficiency"](spark, sf_dir).collect()}
+    shards: dict[int, list] = {}
+    for r in plan:
+        shards.setdefault(r.shard, []).append(r)
+    assert set(eff) == set(shards)
+    for s, rs in shards.items():
+        used = sum(r.n_tokens for r in rs)
+        n_seqs = max(r.end_seq for r in rs) + 1
+        cap = n_seqs * ts.PACK_BLOCK
+        assert eff[s].n_docs == len(rs)
+        assert eff[s].n_seqs == n_seqs
+        assert eff[s].used_tokens == used
+        assert 0 <= cap - used < ts.PACK_BLOCK  # tail-only waste
+        assert eff[s].waste_ppm == (cap - used) * 1_000_000 // cap
