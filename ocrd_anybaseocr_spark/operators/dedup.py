@@ -939,6 +939,122 @@ ORACLE_REPETITION = f"""
 
 
 # ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style: drop repeated passages, keep one copy)
+# ---------------------------------------------------------------------------
+
+PARA_WORDS = 8  # passage unit: non-overlapping 8-word chunks (+ partial tail)
+# packed (doc_id, chunk_no) key: chunk_no < 2^20 holds to ~8.4M-word docs,
+# far past any web-crawl document; lets both engines take MIN over one int64
+# instead of a struct (DuckDB struct MIN ordering is not guaranteed portable)
+_PARA_PK = 1 << 20
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """CCNet-style passage dedup (Wenzek et al. 2020): split each doc into
+    non-overlapping PARA_WORDS-word chunks (the paragraph proxy — the
+    corpus has no newlines), hash each, and keep exactly ONE copy of every
+    distinct chunk corpus-wide — the copy with the smallest (doc_id,
+    chunk_no). Emits per doc: chunk counts kept/dropped and an md5 over
+    the RETAINED text in chunk order, pinning the exact surviving bytes.
+
+    Scale shape: chunk hashes go through a groupBy partial agg (map-side
+    combine — a boilerplate chunk repeated 10^8 times never concentrates
+    raw rows the way a row_number window over the hash would), then a
+    hash-equi join back; AQE handles residual join skew. Two shuffles
+    total (hash, then doc_id re-agg). No UDF, no driver fetch."""
+    w = docs.where(F.length("text") > 0).select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    # ceil(n/8) via int arithmetic; n >= 1 here so sequence() is ascending
+    ch = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(words) + {PARA_WORDS - 1})"
+                f" div {PARA_WORDS} - 1),"
+                f" i -> array_join(slice(words, i * {PARA_WORDS} + 1,"
+                f" {PARA_WORDS}), ' '))"
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    keyed = ch.select(
+        "doc_id",
+        "chunk_no",
+        "chunk",
+        F.md5("chunk").alias("h"),
+        (F.col("doc_id") * F.lit(_PARA_PK) + F.col("chunk_no")).alias("pk"),
+    )
+    canon = keyed.groupBy("h").agg(F.min("pk").alias("canon_pk"))
+    return (
+        keyed.join(canon, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("pk") == F.col("canon_pk"), 1).otherwise(0)).alias(
+                "kept_chunks"
+            ),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "  case when pk = canon_pk then struct(chunk_no, chunk) end)),"
+                        " x -> x.chunk)"
+                    ),
+                    " ",
+                )
+            ).alias("retained_md5"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "kept_chunks",
+            (F.col("n_chunks") - F.col("kept_chunks")).alias("dropped_chunks"),
+            "retained_md5",
+        )
+    )
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+q_dedup_paragraph.__doc__ = paragraph_dedup.__doc__
+
+
+ORACLE_DEDUP_PARAGRAPH = f"""
+    WITH wds AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE len(text) > 0
+    ), ch AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_no,
+             array_to_string(
+               words[(t.i * {PARA_WORDS} + 1):(t.i * {PARA_WORDS} + {PARA_WORDS})],
+               ' ') AS chunk
+      FROM wds, UNNEST(range((len(words) + {PARA_WORDS - 1}) // {PARA_WORDS}))
+           AS t(i)
+    ), k AS (
+      SELECT doc_id, chunk_no, chunk, md5(chunk) AS h,
+             doc_id * {_PARA_PK} + chunk_no AS pk
+      FROM ch
+    ), c AS (
+      SELECT h, MIN(pk) AS canon_pk FROM k GROUP BY h
+    )
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN pk = canon_pk THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_chunks,
+           CAST(COUNT(*) - SUM(CASE WHEN pk = canon_pk THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_chunks,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_no)
+                          FILTER (WHERE pk = canon_pk), '')) AS retained_md5
+    FROM k JOIN c USING (h)
+    GROUP BY k.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash hamming-distance pair generation (pigeonhole banding)
 # ---------------------------------------------------------------------------
 

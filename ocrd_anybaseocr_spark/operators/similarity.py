@@ -1678,3 +1678,84 @@ ORACLE_HARD_NEGATIVES = f"""
       FROM scored
     ) WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid-distance outliers (curation: mislabeled / noise vectors)
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOP_N = 5  # per-label outlier shortlist size
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N farthest vectors from their own label's centroid — the cheap
+    label-noise audit (a vector far from its class centroid is a
+    mislabeling/outlier candidate; curation pipelines route these to
+    review before contrastive training).
+
+    Shape: centroid = one (label x dim) partial agg over the exploded
+    scaled embedding (64 rows per vector, map-side combined to labels*64
+    groups), re-agged to an ordered array and BROADCAST back onto the
+    scan — the distance projection is then narrow. Top-N per label is a
+    rank<=N filter directly over row_number, which Spark rewrites to
+    WindowGroupLimit (per-partition group limit BEFORE the exchange), so
+    a 10^9-row label never materializes sorted in one task.
+
+    Exactness: embeddings as 1e4-scaled ints (_SE_SPARK); centroid
+    coordinates are floor(sum/n + 0.5) — the kmeans_clusters recipe, a
+    single correctly-rounded IEEE division identical in both engines;
+    dist2 is an exact int64 (<= 64 * (2e4)^2 ~ 2.6e10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    se = emb.select("vec_id", "label", F.expr(_SE_SPARK).alias("se"))
+    sums = (
+        se.select("label", F.posexplode("se").alias("d", "v"))
+        .groupBy("label", "d")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cents = sums.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d,"
+            " cast(floor(s * 1.0 / n + 0.5) as bigint) as c))), x -> x.c)"
+        ).alias("cvec")
+    )
+    dist = se.join(F.broadcast(cents), "label").select(
+        "label",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(se, cvec, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= OUTLIER_TOP_N)
+        .select("label", "rank", "vec_id", "dist2")
+    )
+
+
+ORACLE_EMB_OUTLIERS = f"""
+    WITH se AS (
+      SELECT vec_id, label, {_SE_DUCK} AS se FROM embeddings
+    ), ex AS (
+      SELECT label, t.d, se[t.d + 1] AS v
+      FROM se CROSS JOIN generate_series(0, {EMB_DIM - 1}) AS t(d)
+    ), sums AS (
+      SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM ex GROUP BY label, d
+    ), cents AS (
+      SELECT label,
+             list(CAST(floor(s * 1.0 / n + 0.5) AS BIGINT) ORDER BY d) AS cvec
+      FROM sums GROUP BY label
+    ), dist AS (
+      SELECT se.label, se.vec_id,
+             CAST(list_sum(list_transform(list_zip(se.se, c.cvec),
+                  t -> (t[1] - t[2]) * (t[1] - t[2]))) AS BIGINT) AS dist2
+      FROM se JOIN cents c USING (label)
+    )
+    SELECT label, CAST(rank AS INTEGER) AS rank, vec_id, dist2 FROM (
+      SELECT label, vec_id, dist2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rank
+      FROM dist
+    ) WHERE rank <= {OUTLIER_TOP_N}
+"""

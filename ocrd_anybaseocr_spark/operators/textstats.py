@@ -532,6 +532,79 @@ ORACLE_LM_CE = f"""
 """
 
 
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (word) entropy — the diversity complement of
+    lm_cross_entropy's corpus-model surprisal: a doc whose own word
+    distribution has near-zero entropy is degenerate repetition (spam /
+    keyword stuffing), one near log2(n_tokens) is maximally diverse.
+    Quality filters cut the low tail alongside repetition_ratio.
+
+    Shape: explode -> (doc, word) partial-agg count -> per-doc totals via
+    a second partial agg joined back on doc_id (both combine map-side, so
+    a hot word inside one doc never concentrates raw rows). No UDF.
+
+    Cross-engine determinism: per-word surprisal log2(n/c) is rounded
+    HALF-UP to MICRO-bit ints before the c-weighted sum — the same
+    boundary argument as lm_cross_entropy (log2 disagrees ~1 ulp across
+    engines, a 1e6-scale rounding boundary is ~1e-9 wide), so
+    entropy_sum_e6 is an exact order-independent int64."""
+    docs = load_table(spark, sf_dir, "documents")
+    dwc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = dwc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("distinct_words")
+    )
+    return (
+        dwc.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_words",
+            F.expr(
+                f"c * cast(floor(log2(cast(n_tokens as double) / cast(c as double))"
+                f" * {LM_SUP_SCALE} + 0.5) as bigint)"
+            ).alias("term_e6"),
+        )
+        .groupBy("doc_id", "n_tokens", "distinct_words")
+        .agg(F.sum("term_e6").alias("entropy_sum_e6"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_words",
+            "entropy_sum_e6",
+            # per-token mean in exact micro-bits: a rounded double here hit
+            # a REAL half-tie (141199297/34 = 4152920.5 -> Spark HALF_UP,
+            # DuckDB HALF_EVEN); integer floor-div is identical everywhere
+            F.expr("entropy_sum_e6 div n_tokens").alias("entropy_e6_per_token"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_ENTROPY = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), d AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+    ), t AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS distinct_words
+      FROM d GROUP BY doc_id
+    ), s AS (
+      SELECT d.doc_id, t.n_tokens, t.distinct_words,
+             d.c * CAST(floor(log2(CAST(t.n_tokens AS DOUBLE) / CAST(d.c AS DOUBLE))
+                  * {LM_SUP_SCALE} + 0.5) AS BIGINT) AS term_e6
+      FROM d JOIN t USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, distinct_words,
+           CAST(SUM(term_e6) AS BIGINT) AS entropy_sum_e6,
+           CAST(SUM(term_e6) // n_tokens AS BIGINT) AS entropy_e6_per_token
+    FROM s GROUP BY doc_id, n_tokens, distinct_words
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction (training-data scrubbing pass)
 # ---------------------------------------------------------------------------

@@ -603,6 +603,7 @@ register("dedup_cdc_pairs", _dd.ORACLE_CDC_PAIRS)(_dd.q_dedup_cdc_pairs)
 register("decontaminate_overlap", _dd.ORACLE_DECON)(_dd.q_decontaminate_overlap)
 register("dedup_exact_substring", _dd.ORACLE_SUBSTR)(_dd.q_dedup_exact_substring)
 register("repetition_ratio", _dd.ORACLE_REPETITION)(_dd.q_repetition_ratio)
+register("dedup_paragraph", _dd.ORACLE_DEDUP_PARAGRAPH)(_dd.q_dedup_paragraph)
 register("ann_brute_force", _sim.ORACLE_ANN_BRUTE)(_sim.q_ann_brute_force)
 register("ann_lsh_bucketed", _sim.ORACLE_ANN_LSH)(_sim.q_ann_lsh_bucketed)
 register("ann_recall_audit", _sim.ORACLE_ANN_RECALL)(_sim.q_ann_recall_audit)
@@ -614,6 +615,7 @@ register("embedding_quantize_int8", _sim.ORACLE_QUANT_INT8)(
     _sim.q_embedding_quantize_int8
 )
 register("embedding_stats", _sim.ORACLE_EMB_STATS)(_sim.q_embedding_stats)
+register("embedding_outliers", _sim.ORACLE_EMB_OUTLIERS)(_sim.q_embedding_outliers)
 register("lang_id", _ts.ORACLE_LANG_ID)(_ts.q_lang_id)
 register("corpus_clean_filter", _ts.ORACLE_CLEAN_FILTER)(_ts.q_corpus_clean_filter)
 register("quality_score", _ts.ORACLE_QUALITY)(_ts.q_quality_score)
@@ -622,6 +624,7 @@ register("fingerprint", _ts.ORACLE_FINGERPRINT)(_ts.q_fingerprint)
 register("fingerprint_winnow", _ts.ORACLE_FINGERPRINT_WINNOW)(_ts.q_fingerprint_winnow)
 register("boilerplate_ratio", _ts.ORACLE_BOILERPLATE)(_ts.q_boilerplate_ratio)
 register("lm_cross_entropy", _ts.ORACLE_LM_CE)(_ts.q_lm_cross_entropy)
+register("unigram_entropy", _ts.ORACLE_UNIGRAM_ENTROPY)(_ts.q_unigram_entropy)
 register("pii_scrub", _ts.ORACLE_PII)(_ts.q_pii_scrub)
 register("stratified_sample", _ts.ORACLE_STRATIFIED)(_ts.q_stratified_sample)
 register("dedup_exact_normalized", _ts.ORACLE_DEDUP_NORM)(_ts.q_dedup_exact_normalized)

@@ -1822,3 +1822,108 @@ def test_pack_efficiency_tail_only_waste(spark, sf_dir):
         assert eff[s].used_tokens == used
         assert 0 <= cap - used < ts.PACK_BLOCK  # tail-only waste
         assert eff[s].waste_ppm == (cap - used) * 1_000_000 // cap
+
+
+def test_dedup_paragraph_planted(spark, monkeypatch):
+    """Paragraph dedup must keep exactly the (min doc_id, min chunk_no)
+    copy of every repeated 8-word chunk — across docs AND within a doc —
+    and retained_md5 must pin the exact surviving bytes."""
+    import hashlib
+
+    from ocrd_anybaseocr_spark.operators import dedup as dd
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    w = [f"w{i}" for i in range(8)]  # the shared chunk (8 words)
+    uniq = [f"u{i}" for i in range(8)]
+    solo = [f"s{i}" for i in range(8)]
+    rows = [
+        (0, " ".join(w + uniq), "en", "s", 1),       # owns the shared chunk
+        (1, " ".join(w), "en", "s", 1),              # pure dup of doc 0 chunk 0
+        (2, " ".join(solo + solo), "en", "s", 1),    # within-doc repeat
+        (3, " ".join(uniq[:3]), "en", "s", 1),       # partial tail chunk only
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    got = {r.doc_id: r for r in QUERIES["dedup_paragraph"](spark, "para-twin").collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (got[0].n_chunks, got[0].kept_chunks, got[0].dropped_chunks) == (2, 2, 0)
+    assert got[0].retained_md5 == md5(" ".join(w) + " " + " ".join(uniq))
+    # doc 1's only chunk is owned by doc 0 -> nothing survives
+    assert (got[1].n_chunks, got[1].kept_chunks, got[1].dropped_chunks) == (1, 0, 1)
+    assert got[1].retained_md5 == md5("")
+    # within-doc repeat: first copy kept, second dropped
+    assert (got[2].n_chunks, got[2].kept_chunks, got[2].dropped_chunks) == (2, 1, 1)
+    assert got[2].retained_md5 == md5(" ".join(solo))
+    # a 3-word doc is one partial tail chunk, unique -> kept whole; it is
+    # NOT claimed by doc 0 (doc 0's chunks are full 8-word windows)
+    assert (got[3].n_chunks, got[3].kept_chunks) == (1, 1)
+    assert got[3].retained_md5 == md5(" ".join(uniq[:3]))
+
+
+def test_unigram_entropy_bounds_and_order_invariance(spark, monkeypatch):
+    """All-distinct doc reads exactly micro(log2 n) per token; a one-word
+    doc reads 0; shuffling word order changes nothing."""
+    import math
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    distinct = " ".join(f"d{i}" for i in range(16))
+    shuffled = " ".join(f"d{i}" for i in reversed(range(16)))
+    rows = [
+        (0, distinct, "en", "s", 1),
+        (1, "same same same same", "en", "s", 1),
+        (2, shuffled, "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = {r.doc_id: r for r in QUERIES["unigram_entropy"](spark, "ent-twin").collect()}
+    micro_log2_16 = math.floor(math.log2(16.0) * 1_000_000 + 0.5)  # 4e6 exact
+    assert got[0].n_tokens == 16 and got[0].distinct_words == 16
+    assert got[0].entropy_sum_e6 == 16 * micro_log2_16
+    assert got[0].entropy_e6_per_token == micro_log2_16
+    assert got[1].entropy_sum_e6 == 0 and got[1].entropy_e6_per_token == 0
+    assert got[1].distinct_words == 1
+    # word order never matters: per-word counts are identical
+    assert (got[2].entropy_sum_e6, got[2].entropy_e6_per_token) == (
+        got[0].entropy_sum_e6, got[0].entropy_e6_per_token,
+    )
+
+
+def test_embedding_outliers_planted(spark, monkeypatch):
+    """A planted far vector must be its label's rank-1 outlier, with dist2
+    exactly reproducing the scaled-int floor-mean centroid recipe."""
+    import math
+
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    dim = sim.EMB_DIM
+    base = [0.1] * dim
+    far = [0.9] * dim
+    rows = [(i, base, 0) for i in range(4)] + [(9, far, 0)]
+    rows += [(20 + i, [0.2] * dim, 1) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: emb)
+    got = QUERIES["embedding_outliers"](spark, "outlier-twin").collect()
+    by_label = {}
+    for r in got:
+        by_label.setdefault(r.label, []).append(r)
+    # label 0: centroid = floor((4*1000 + 9000)/5 + 0.5) = 2600 per dim
+    s = lambda x: math.floor(x * 10000 + 0.5)
+    cent = math.floor((4 * s(0.1) + s(0.9)) / 5 + 0.5)
+    top0 = sorted(by_label[0], key=lambda r: r.rank)
+    assert top0[0].vec_id == 9 and top0[0].rank == 1
+    assert top0[0].dist2 == dim * (s(0.9) - cent) ** 2
+    assert top0[1].dist2 == dim * (s(0.1) - cent) ** 2
+    assert [r.vec_id for r in top0[1:]] == [0, 1, 2, 3]  # tie -> vec_id order
+    assert len(by_label[0]) == sim.OUTLIER_TOP_N
+    # label 1 has 3 identical vectors: all dist2 0, all emitted (n < N)
+    assert [(r.rank, r.vec_id, r.dist2) for r in sorted(by_label[1], key=lambda r: r.rank)] == [
+        (1, 20, 0), (2, 21, 0), (3, 22, 0),
+    ]

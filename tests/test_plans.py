@@ -352,3 +352,25 @@ def test_hard_negatives_capped_broadcast_no_cartesian(spark, sf_dir):
     plan = explain_str(hard_negatives(emb))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_outliers_broadcast_and_group_limit(spark, sf_dir):
+    """Outlier ranking: centroids ride a broadcast join (labels x dim is
+    tiny) and the rank<=N filter must rewrite to WindowGroupLimit so a
+    hot label is pre-limited per partition BEFORE the exchange."""
+    df = QUERIES["embedding_outliers"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_paragraph_partial_agg_no_window(spark, sf_dir):
+    """Paragraph dedup's canonical-copy pass must be a partial-aggregable
+    min (map-side combine absorbs a 10^8-copy boilerplate chunk), never a
+    row_number window over the raw chunk stream, and never a cartesian."""
+    df = QUERIES["dedup_paragraph"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
