@@ -1,16 +1,18 @@
-"""One A/B window: mapInPandas vs mapInArrow fused-stage transport.
+"""A/B the fused-UDF transport (mapInPandas vs mapInArrow) in ONE window.
 
-VERDICT r6 item 3 orders the default flip to 'arrow' only after best-of-2
-validation in >=3 SEPARATE windows (the host's documented +/-30% noise band
-makes a single-window delta meaningless). Each invocation of this script is
-one window: it measures the same-window raw-kernel floor (window-quality
-tag), then runs the full pipeline probe best-of-2 for each transport in its
-own subprocess/JVM (CLAUDE.md: never two Spark configs in one process), and
-appends one JSON row to .bench/ab_transport.jsonl.
+VERDICT r6 item 3 wants the arrow default validated best-of-2 in >=3
+separate windows before (and after) flipping the default. Each
+invocation = one window: pandas/arrow at 8 and 32 cores, each config a
+fresh subprocess (bench.run_pipeline_bench), plus the same-window raw
+mp.Pool kernel floor so a contended window self-identifies
+(kernel_floor_ratio > ~1.5 => rerun, don't conclude).
 
-Run it >=3 times spread across the session, then read the ledger: flip the
-default only if arrow >= pandas in every window.
+Usage: python tools/ab_transport.py [n_docs]   # default 9600
+Appends one JSON line per window to BENCH/ab_transport.jsonl.
 """
+
+from __future__ import annotations
+
 import json
 import os
 import sys
@@ -18,45 +20,50 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import bench
+import bench  # noqa: E402
 
 
-def main() -> None:
-    docs = int(os.environ.get("SPARK_GRAFT_AB_DOCS", str(bench.SCALING_DOCS)))
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    out_root = os.path.join(bench._ROOT, ".bench")
-    os.makedirs(out_root, exist_ok=True)
-    corpus = bench.ensure_corpus(docs)
-
-    floor = bench.raw_kernel_floor(corpus, cores)
-    row = {"window_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-           "docs": docs, "cores": cores, "kernel_floor": floor}
+def run_window(n_docs: int) -> dict:
+    out_root = os.path.join(bench._ROOT, ".bench", "ab_out")
+    corpus = bench.ensure_corpus(n_docs)
+    rows = {}
     saved = os.environ.get("SPARK_GRAFT_UDF_IMPL")
     try:
         for impl in ("pandas", "arrow"):
             os.environ["SPARK_GRAFT_UDF_IMPL"] = impl
-            r = bench.run_pipeline_bench(cores, out_root, n_docs=docs, reps=2)
-            row[impl] = {k: r[k] for k in
-                         ("wall_s", "pages_per_sec", "kernel_cpu_s",
-                          "ms_per_page", "kernel_util")}
-            print(json.dumps({impl: row[impl]}), file=sys.stderr)
+            for cores in (8, 32):
+                r = bench.run_pipeline_bench(cores, out_root, n_docs=n_docs, reps=2)
+                rows[f"{impl}_{cores}"] = {
+                    "pages_per_sec": r["pages_per_sec"],
+                    "kernel_util": r["kernel_util"],
+                    "ms_per_page": r["ms_per_page"],
+                }
+                print(f"{impl} local[{cores}]: {r['pages_per_sec']} pages/s",
+                      file=sys.stderr)
     finally:
         if saved is None:
             os.environ.pop("SPARK_GRAFT_UDF_IMPL", None)
         else:
             os.environ["SPARK_GRAFT_UDF_IMPL"] = saved
-    row["arrow_over_pandas"] = round(
-        row["arrow"]["pages_per_sec"] / row["pandas"]["pages_per_sec"], 3)
-    # window-quality ratio from the SLOWER impl's kernel ms/page would mix
-    # transport cost into the tag; use pandas (the incumbent) for continuity
-    row["kernel_floor_ratio_pandas"] = (
-        round(row["pandas"]["ms_per_page"] / floor["cpu_ms_per_page"], 2)
-        if floor.get("cpu_ms_per_page") else None)
-    ledger = os.path.join(out_root, "ab_transport.jsonl")
-    with open(ledger, "a") as f:
-        f.write(json.dumps(row) + "\n")
-    print(json.dumps(row))
+    floor = bench.raw_kernel_floor(corpus, 32)
+    win = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "n_docs": n_docs,
+        "floor_cpu_ms_per_page": floor.get("cpu_ms_per_page"),
+        **rows,
+    }
+    for cores in (8, 32):
+        p, a = rows[f"pandas_{cores}"], rows[f"arrow_{cores}"]
+        win[f"arrow_vs_pandas_{cores}"] = round(
+            a["pages_per_sec"] / p["pages_per_sec"], 3
+        )
+    return win
 
 
 if __name__ == "__main__":
-    main()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 9600
+    w = run_window(n)
+    os.makedirs(os.path.join(bench._ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(bench._ROOT, "BENCH", "ab_transport.jsonl"), "a") as f:
+        f.write(json.dumps(w) + "\n")
+    print(json.dumps(w))
