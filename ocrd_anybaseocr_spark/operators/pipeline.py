@@ -66,14 +66,17 @@ def process_pages(
     frozen params dataclass ships in the UDF closure (analogous to the
     reference's validated parameter JSON, ocrd-tool.json:17-132).
 
-    ``impl`` (or env SPARK_GRAFT_UDF_IMPL): 'pandas' (mapInPandas,
-    default) or 'arrow' (mapInArrow — skips the pandas Series/Block
-    wrapping of the binary column on both sides of the hop; identical
-    results, pytest-asserted). Both are vectorized batch transports; the
-    knob exists because the 8→32 scaling gap needed a measured Arrow-hop
-    attribution (VERDICT round 2, item 6).
+    ``impl`` (or env SPARK_GRAFT_UDF_IMPL): 'arrow' (mapInArrow, DEFAULT
+    since round 7 — skips the pandas Series/Block wrapping of the binary
+    column on both sides of the hop; identical results, pytest-asserted)
+    or 'pandas' (mapInPandas — the escape hatch). The flip (VERDICT r6
+    item 3) was validated best-of-2 in five separate windows
+    (BENCH/ab_transport.jsonl): arrow/pandas at 32 cores =
+    1.095 / 1.429 / 1.35 / 1.384 / 0.922 — geomean 1.22, arrow ahead in
+    4 of 5 windows and the one inversion sits inside the documented ±30%
+    single-window noise band; at 8 cores 0.876 / 0.996 / 1.172 — parity.
     """
-    impl = impl or os.environ.get("SPARK_GRAFT_UDF_IMPL", "pandas")
+    impl = impl or os.environ.get("SPARK_GRAFT_UDF_IMPL", "arrow")
     if impl not in ("pandas", "arrow"):
         # a typo'd SPARK_GRAFT_UDF_IMPL during an A/B sweep must fail, not
         # silently measure pandas against itself under the wrong label

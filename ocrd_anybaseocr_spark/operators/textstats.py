@@ -5,7 +5,7 @@ counting, document fingerprinting — all JVM-side column expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
 
@@ -1704,3 +1704,133 @@ def _oracle_decontaminate_splits() -> str:
 
 
 ORACLE_DECONTAMINATE_SPLITS = _oracle_decontaminate_splits()
+
+
+# ---------------------------------------------------------------------------
+# cleaning-pass observability: per-source retention report
+# ---------------------------------------------------------------------------
+
+_CLEAN_REASONS = ("too_short", "low_stop", "bad_tok_len", "repetitive", "duplicate")
+
+
+def q_clean_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of the corpus_clean_filter verdicts — the report a
+    curation run reads before committing a cleaning pass (which source is
+    being gutted, and by WHICH rule). Rides the one oracled rule stack
+    (q_corpus_clean_filter) verbatim — never a second copy of the rules —
+    plus one broadcast-friendly join back to (doc_id, source) and a
+    per-source partial agg. Counts are exact ints; retained share in ppm
+    (exact integer division)."""
+    verdicts = q_corpus_clean_filter(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_reason = [
+        F.sum(
+            F.when(
+                F.array_contains(F.split("reasons", ","), r), F.lit(1)
+            ).otherwise(0)
+        ).alias(f"n_{r}")
+        for r in _CLEAN_REASONS
+    ]
+    return (
+        verdicts.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("retained"), 1).otherwise(0)).alias("n_retained"),
+            *per_reason,
+        )
+        .withColumn("retained_ppm", F.expr("n_retained * 1000000 div n_docs"))
+    )
+
+
+def _oracle_clean_report() -> str:
+    reason_cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN list_contains(string_split(reasons, ','), '{r}')"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_{r}"
+        for r in _CLEAN_REASONS
+    )
+    return f"""
+    WITH cf AS ({ORACLE_CLEAN_FILTER}
+    )
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           {reason_cols},
+           CAST(SUM(CASE WHEN retained THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS retained_ppm
+    FROM cf JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""
+
+
+ORACLE_CLEAN_REPORT = _oracle_clean_report()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary head: global top-k words with cumulative corpus coverage
+# ---------------------------------------------------------------------------
+
+ZIPF_TOPK = 50
+
+
+def q_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K vocabulary head with cumulative corpus coverage — the
+    Zipf-curve health check (tokenizer/vocab planning reads this: how much
+    of the corpus do the K most frequent words cover?).
+
+    Shape: one word-count partial agg; the global rank<=K filter sits
+    directly over row_number so Spark rewrites it to WindowGroupLimit
+    (each partition pre-emits its own top-K before the single-partition
+    merge — the merge sees n_partitions*K rows, never the vocabulary).
+    The cumulative sum runs AFTER the filter, over K rows. Totals ride a
+    broadcast 1-row crossJoin (the scalar-attach pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = wc.agg(F.sum("c").alias("tot"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("word"))
+    top = (
+        wc.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= ZIPF_TOPK)
+    )
+    w_cum = (
+        Window.orderBy(F.desc("c"), F.asc("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("cum_c", F.sum("c").over(w_cum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "word",
+            "c",
+            F.expr("c * 1000000 div tot").alias("freq_ppm"),
+            F.expr("cum_c * 1000000 div tot").alias("cum_ppm"),
+        )
+    )
+
+
+ORACLE_ZIPF_TOPK = f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ), t AS (
+      SELECT SUM(c) AS tot FROM wc
+    ), r AS (
+      SELECT word, c,
+             row_number() OVER (ORDER BY c DESC, word) AS rank
+      FROM wc
+    ), topk AS (
+      SELECT rank, word, c,
+             SUM(c) OVER (ORDER BY c DESC, word
+                          ROWS UNBOUNDED PRECEDING) AS cum_c
+      FROM r WHERE rank <= {ZIPF_TOPK}
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, word, c,
+           CAST(c * 1000000 // tot AS BIGINT) AS freq_ppm,
+           CAST(cum_c * 1000000 // tot AS BIGINT) AS cum_ppm
+    FROM topk, t
+"""

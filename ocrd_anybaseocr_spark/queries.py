@@ -625,6 +625,8 @@ register("fingerprint_winnow", _ts.ORACLE_FINGERPRINT_WINNOW)(_ts.q_fingerprint_
 register("boilerplate_ratio", _ts.ORACLE_BOILERPLATE)(_ts.q_boilerplate_ratio)
 register("lm_cross_entropy", _ts.ORACLE_LM_CE)(_ts.q_lm_cross_entropy)
 register("unigram_entropy", _ts.ORACLE_UNIGRAM_ENTROPY)(_ts.q_unigram_entropy)
+register("clean_filter_report", _ts.ORACLE_CLEAN_REPORT)(_ts.q_clean_filter_report)
+register("zipf_topk", _ts.ORACLE_ZIPF_TOPK)(_ts.q_zipf_topk)
 register("pii_scrub", _ts.ORACLE_PII)(_ts.q_pii_scrub)
 register("stratified_sample", _ts.ORACLE_STRATIFIED)(_ts.q_stratified_sample)
 register("dedup_exact_normalized", _ts.ORACLE_DEDUP_NORM)(_ts.q_dedup_exact_normalized)

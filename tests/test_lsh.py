@@ -1927,3 +1927,58 @@ def test_embedding_outliers_planted(spark, monkeypatch):
     assert [(r.rank, r.vec_id, r.dist2) for r in sorted(by_label[1], key=lambda r: r.rank)] == [
         (1, 20, 0), (2, 21, 0), (3, 22, 0),
     ]
+
+
+def test_clean_filter_report_matches_verdicts(spark, sf_dir):
+    """The per-source report must be EXACTLY the groupBy of the oracled
+    corpus_clean_filter verdicts it rides on — no second rule copy."""
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+    from ocrd_anybaseocr_spark.sources.tables import load_table
+
+    verd = {r.doc_id: r for r in QUERIES["corpus_clean_filter"](spark, sf_dir).collect()}
+    src = {r.doc_id: r.source for r in
+           load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()}
+    got = {r.source: r for r in QUERIES["clean_filter_report"](spark, sf_dir).collect()}
+    want: dict[str, dict] = {}
+    for d, r in verd.items():
+        w = want.setdefault(src[d], {"n": 0, "ret": 0, **{k: 0 for k in ts._CLEAN_REASONS}})
+        w["n"] += 1
+        w["ret"] += int(r.retained)
+        for reason in (r.reasons.split(",") if r.reasons else []):
+            w[reason] += 1
+    assert set(got) == set(want)
+    for s, w in want.items():
+        assert got[s].n_docs == w["n"] and got[s].n_retained == w["ret"]
+        assert got[s].retained_ppm == w["ret"] * 1_000_000 // w["n"]
+        for reason in ts._CLEAN_REASONS:
+            assert getattr(got[s], f"n_{reason}") == w[reason], (s, reason)
+
+
+def test_zipf_topk_planted_head(spark, monkeypatch):
+    """The most frequent word must be rank 1; counts non-increasing, ranks
+    contiguous, cumulative coverage exact and monotone, ties broken by
+    word order."""
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    rows = [
+        (0, "zz zz zz zz aa aa bb", "en", "s", 1),
+        (1, "zz zz aa cc cc", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = sorted(QUERIES["zipf_topk"](spark, "zipf-twin").collect(),
+                 key=lambda r: r.rank)
+    tot = 12
+    assert [r.word for r in got] == ["zz", "aa", "cc", "bb"]  # 6,3,2,1
+    assert [r.rank for r in got] == [1, 2, 3, 4]
+    cum = 0
+    for r, c in zip(got, (6, 3, 2, 1)):
+        assert r.c == c
+        cum += c
+        assert r.freq_ppm == c * 1_000_000 // tot
+        assert r.cum_ppm == cum * 1_000_000 // tot
+    assert got[-1].cum_ppm == 1_000_000

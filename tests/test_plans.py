@@ -374,3 +374,15 @@ def test_dedup_paragraph_partial_agg_no_window(spark, sf_dir):
     assert "partial_min" in plan or "partial min" in plan.lower(), plan[:3000]
     assert "Window" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_topk_window_group_limit(spark, sf_dir):
+    """The global top-K must pre-limit per partition BEFORE the
+    single-partition merge — Catalyst compiles the rank<=K filter to
+    TakeOrderedAndProject (per-partition top-K heap + merge; on an empty
+    window spec it beats even WindowGroupLimit) — so the merge sees
+    n_parts*K rows, never the vocabulary."""
+    df = QUERIES["zipf_topk"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
