@@ -949,6 +949,40 @@ PARA_WORDS = 8  # passage unit: non-overlapping 8-word chunks (+ partial tail)
 _PARA_PK = 1 << 20
 
 
+def chunk_relation(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [extra...], chunk_no, chunk, h): the ONE passage-chunk
+    definition — non-overlapping PARA_WORDS-word windows (+ partial tail)
+    with md5 chunk hashes — shared by the batch paragraph_dedup and the
+    streaming passage pass so both always see identical chunk boundaries
+    and keys. Narrow: split -> posexplode, no shuffle. ``extra_cols``
+    pass through untouched (the stream threads its event-time column for
+    the watermark; doc_id may be string there, so the packed int64 pk is
+    added by the batch caller, not here)."""
+    w = docs.where(F.length("text") > 0).select(
+        "doc_id", *extra_cols, F.split("text", " ").alias("words")
+    )
+    # ceil(n/8) via int arithmetic; n >= 1 here so sequence() is ascending
+    ch = w.select(
+        "doc_id",
+        *extra_cols,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(words) + {PARA_WORDS - 1})"
+                f" div {PARA_WORDS} - 1),"
+                f" i -> array_join(slice(words, i * {PARA_WORDS} + 1,"
+                f" {PARA_WORDS}), ' '))"
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    return ch.select(
+        "doc_id",
+        *extra_cols,
+        "chunk_no",
+        "chunk",
+        F.md5("chunk").alias("h"),
+    )
+
+
 def paragraph_dedup(docs: DataFrame) -> DataFrame:
     """CCNet-style passage dedup (Wenzek et al. 2020): split each doc into
     non-overlapping PARA_WORDS-word chunks (the paragraph proxy — the
@@ -962,27 +996,8 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     raw rows the way a row_number window over the hash would), then a
     hash-equi join back; AQE handles residual join skew. Two shuffles
     total (hash, then doc_id re-agg). No UDF, no driver fetch."""
-    w = docs.where(F.length("text") > 0).select(
-        "doc_id", F.split("text", " ").alias("words")
-    )
-    # ceil(n/8) via int arithmetic; n >= 1 here so sequence() is ascending
-    ch = w.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, (size(words) + {PARA_WORDS - 1})"
-                f" div {PARA_WORDS} - 1),"
-                f" i -> array_join(slice(words, i * {PARA_WORDS} + 1,"
-                f" {PARA_WORDS}), ' '))"
-            )
-        ).alias("chunk_no", "chunk"),
-    )
-    keyed = ch.select(
-        "doc_id",
-        "chunk_no",
-        "chunk",
-        F.md5("chunk").alias("h"),
-        (F.col("doc_id") * F.lit(_PARA_PK) + F.col("chunk_no")).alias("pk"),
+    keyed = chunk_relation(docs).withColumn(
+        "pk", F.col("doc_id") * F.lit(_PARA_PK) + F.col("chunk_no")
     )
     canon = keyed.groupBy("h").agg(F.min("pk").alias("canon_pk"))
     return (
@@ -1809,3 +1824,78 @@ ORACLE_DEDUP_CLUSTER_STATS = f"""
            CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
     FROM sz GROUP BY cluster_size
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit: the banding's empirically-measured S-curve
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical MinHash-LSH recall per Jaccard tenth — the measured
+    S-curve of the 4x4 banding against the exact (capped, within-source)
+    Jaccard ground truth, the audit that tells an operator whether
+    VERIFY_JACCARD_MIN sits on the curve's safe plateau. For each truth
+    pair (jaccard_pairs, the oracled exact join), membership in the LSH
+    candidate set (lsh_pairs — same banding the dedup family serves) is
+    tested by a LEFT join on the pair key; per bucket = floor(j*10):
+    n_true, n_caught, recall_ppm (exact ints). High-jaccard buckets must
+    sit near 1e6; low buckets near the banding's theoretical miss floor.
+
+    Scale: both sides are the already-banded/capped family relations (no
+    new all-pairs anything); the audit join is pair-key equi. Mirrors
+    ann_recall_audit's shape for the ANN family."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs(docs).select(
+        "doc_a", "doc_b", F.expr("cast(floor(jaccard * 10) as int)").alias("bucket")
+    )
+    cand = (
+        lsh_pairs(minhash_signatures(docs))
+        .select("doc_a", "doc_b")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_caught"),
+        )
+        .withColumn("recall_ppm", F.expr("n_caught * 1000000 div n_true"))
+    )
+
+
+ORACLE_LSH_RECALL_CURVE = f"""
+    WITH {_minhash_pairs_cte()},
+    sh0 AS ({shingles_cte_duck("source")}
+    ), shs AS (
+      SELECT DISTINCT doc_id, source, shingle FROM sh0
+    ), shf AS (
+      SELECT doc_id, source, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY source, shingle) AS df FROM shs
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id
+    ), inter2 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shf a JOIN shf b
+        ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+      SELECT doc_a, doc_b,
+             CAST(floor(round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6)
+                  * 10) AS INTEGER) AS bucket
+      FROM inter2
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.05
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM truth t LEFT JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    GROUP BY bucket
+"""
+ORACLE_LSH_RECALL_CURVE = ORACLE_LSH_RECALL_CURVE.replace("{H32}", _H24_DUCK)

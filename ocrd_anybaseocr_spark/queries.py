@@ -598,6 +598,7 @@ register("dedup_jaccard_ngram", _dd.ORACLE_JACCARD)(_dd.q_dedup_jaccard)
 register("dedup_jaccard_histogram", _dd.ORACLE_JACCARD_HISTOGRAM)(
     _dd.q_dedup_jaccard_histogram
 )
+register("lsh_recall_curve", _dd.ORACLE_LSH_RECALL_CURVE)(_dd.q_lsh_recall_curve)
 register("dedup_cdc_chunks", _dd.ORACLE_DEDUP_CDC)(_dd.q_dedup_cdc_chunks)
 register("dedup_cdc_pairs", _dd.ORACLE_CDC_PAIRS)(_dd.q_dedup_cdc_pairs)
 register("decontaminate_overlap", _dd.ORACLE_DECON)(_dd.q_decontaminate_overlap)

@@ -429,6 +429,63 @@ def stream_dedup_near(
     return {"state_rows": ops[0].get("numRowsTotal") if ops else None}
 
 
+def passage_claims_stream(docs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming CCNet passage dedup — the chunk-level twin of
+    ``dedup_exact_stream``: explode each incoming document into the batch
+    paragraph_dedup's EXACT chunk relation (operators/dedup.chunk_relation
+    — one shared definition, so boundaries and hashes are value-identical
+    to the batch pass, pytest-asserted), then
+    ``dropDuplicatesWithinWatermark`` on the chunk hash holds ONE state
+    entry per live passage and EVICTS it when the watermark passes.
+
+    Output rows are FIRST-SEEN PASSAGE CLAIMS (doc_id, ts, chunk_no, h):
+    the stream-side retained set. Within a micro-batch the claimant among
+    simultaneous copies is partition-order-arbitrary (the
+    dedup_exact_stream contract: one-per-hash, not which row); the batch
+    paragraph_dedup (min-(doc_id,chunk_no) canonical) remains the exact
+    backstop — the same cheap-filter/exact-backstop division of labor as
+    the exact and near streaming passes."""
+    from ..operators.dedup import chunk_relation
+
+    chunks = chunk_relation(docs, extra_cols=("ts",)).select(
+        "doc_id", "ts", "chunk_no", "h"
+    )
+    return chunks.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["h"])
+
+
+def stream_dedup_passages(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "30 minutes",
+) -> dict:
+    """Incremental passage-claim pass over a growing directory of document
+    parquet drops (DEDUP_STREAM schema) → first-seen passage claims,
+    append exactly-once; state and watermark ride the checkpoint across
+    runs. Returns {"state_rows": N} from the final state-operator metrics
+    so tests can assert the bounded-state contract."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_passage_checkpoint")
+    docs = (
+        spark.readStream.schema(DEDUP_STREAM)
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+    q = (
+        passage_claims_stream(docs, watermark)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "passage_claims_stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    prog = q.lastProgress or {}
+    ops = prog.get("stateOperators") or []
+    return {"state_rows": ops[0].get("numRowsTotal") if ops else None}
+
+
 MEDIA_STREAM = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),

@@ -1982,3 +1982,30 @@ def test_zipf_topk_planted_head(spark, monkeypatch):
         assert r.freq_ppm == c * 1_000_000 // tot
         assert r.cum_ppm == cum * 1_000_000 // tot
     assert got[-1].cum_ppm == 1_000_000
+
+
+def test_lsh_recall_curve_consistency(spark, sf_dir):
+    """The recall curve must be exactly the bucket algebra over its two
+    component relations' own outputs (each independently DuckDB-gated),
+    and every caught pair must actually be an LSH candidate."""
+    import math
+
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    truth = QUERIES["dedup_jaccard_ngram"](spark, sf_dir).collect()
+    cand = {(r.doc_a, r.doc_b)
+            for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()}
+    got = {r.bucket: r for r in QUERIES["lsh_recall_curve"](spark, sf_dir).collect()}
+    want: dict[int, list[bool]] = {}
+    for r in truth:
+        want.setdefault(math.floor(r.jaccard * 10), []).append(
+            (r.doc_a, r.doc_b) in cand
+        )
+    assert set(got) == set(want)
+    for b, hits in want.items():
+        assert got[b].n_true == len(hits)
+        assert got[b].n_caught == sum(hits)
+        assert got[b].recall_ppm == sum(hits) * 1_000_000 // len(hits)
+    # the S-curve's top: near-identical pairs (j >= 0.9) must be caught
+    if 10 in got:
+        assert got[10].recall_ppm == 1_000_000

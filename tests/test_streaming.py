@@ -500,3 +500,68 @@ def test_streaming_audio_dedup_bands(spark, tmp_path_factory):
     ops = (q.lastProgress or {}).get("stateOperators") or []
     n_distinct = len({(b, v) for (_, b), v in got.items()})
     assert ops and ops[0].get("numRowsTotal") == n_distinct == claims.count()
+
+
+def test_streaming_passage_dedup_across_runs(spark, tmp_path_factory):
+    """Streaming CCNet passage claims: (1) chunk boundaries/hashes are
+    value-identical to the batch chunk_relation (shared definition);
+    (2) a repeated 8-word passage inside a LATER doc — same or later
+    ingest run, within the watermark — claims nothing, while the doc's
+    novel passages still pass; (3) state rides the checkpoint across a
+    restart and stays bounded (one row per live passage)."""
+    import datetime as dt
+    import os
+
+    from ocrd_anybaseocr_spark.operators.dedup import chunk_relation
+    from ocrd_anybaseocr_spark.streaming.stream import (
+        DEDUP_STREAM,
+        stream_dedup_passages,
+    )
+
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def doc(did, minutes, text):
+        return (did, T0 + dt.timedelta(minutes=minutes), text)
+
+    shared = " ".join(f"w{i}" for i in range(8))       # the repeated passage
+    novel1 = " ".join(f"n{i}" for i in range(8))
+    novel2 = " ".join(f"m{i}" for i in range(8))
+
+    in_dir = str(tmp_path_factory.mktemp("pp_in"))
+    out_dir = str(tmp_path_factory.mktemp("pp_out"))
+    out_path = os.path.join(out_dir, "passage_claims_stream")
+
+    # run 1: d1 owns (shared, novel1); d2 repeats shared + adds novel2
+    drop1 = [doc("d1", 0, shared + " " + novel1),
+             doc("d2", 5, shared + " " + novel2)]
+    spark.createDataFrame(drop1, DEDUP_STREAM).write.parquet(
+        os.path.join(in_dir, "drop1.parquet")
+    )
+    m1 = stream_dedup_passages(spark, in_dir, out_dir)
+    got1 = spark.read.parquet(out_path).collect()
+    claims1 = {(r.doc_id, r.chunk_no): r.h for r in got1}
+    # 3 distinct passages -> exactly 3 claims; shared claimed ONCE
+    assert len(claims1) == 3
+    assert ("d1", 1) in claims1 and ("d2", 1) in claims1  # novel chunks pass
+    assert (("d1", 0) in claims1) ^ (("d2", 0) in claims1)  # one shared claim
+    # hashes identical to the batch chunk relation (shared definition)
+    batch = {
+        (r.doc_id, r.chunk_no): r.h
+        for r in chunk_relation(
+            spark.createDataFrame(drop1, DEDUP_STREAM)
+        ).collect()
+    }
+    for k, h in claims1.items():
+        assert batch[k] == h
+    assert m1["state_rows"] == 3  # one state entry per live passage
+
+    # run 2 (restart): d3 repeats shared inside the watermark -> dropped;
+    # its novel passage still claims
+    drop2 = [doc("d3", 20, shared + " " + " ".join(f"z{i}" for i in range(8)))]
+    spark.createDataFrame(drop2, DEDUP_STREAM).write.parquet(
+        os.path.join(in_dir, "drop2.parquet")
+    )
+    stream_dedup_passages(spark, in_dir, out_dir)
+    got2 = {(r.doc_id, r.chunk_no) for r in spark.read.parquet(out_path).collect()}
+    assert ("d3", 1) in got2 and ("d3", 0) not in got2
+    assert {k for k in claims1} <= got2
