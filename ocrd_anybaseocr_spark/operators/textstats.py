@@ -1834,3 +1834,109 @@ ORACLE_ZIPF_TOPK = f"""
            CAST(cum_c * 1000000 // tot AS BIGINT) AS cum_ppm
     FROM topk, t
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: bounded-memory frequency estimation
+# ---------------------------------------------------------------------------
+
+# depth x width of the sketch — 4 x 1024 = at most 4096 counter cells no
+# matter the corpus size. Estimates are audited against the exact top-K.
+CMS_D = 4
+CMS_W = 1024
+CMS_TOPK = 20
+
+
+def _cms_cell_spark(j: int) -> "F.Column":
+    """Row-j CMS cell for ``word``: md5 of the row-salted word, 8-hex
+    prefix -> bigint, mod CMS_W. One md5 per (row, word) — the conv()
+    form (never strpos splicing; Catalyst does not CSE the md5 repeats,
+    CLAUDE.md round-2 lesson)."""
+    return F.expr(
+        f"cast(conv(substring(md5(cast(concat('cms{j}:', word) as binary)),"
+        f" 1, 8), 16, 10) as bigint) % {CMS_W}"
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency audit:
+    build a CMS_D x CMS_W sketch over the corpus word stream, then report
+    the exact top-CMS_TOPK words with their exact counts, the sketch's
+    estimate (min over the D salted-hash cells), and the relative
+    overestimate in ppm. CMS guarantees est >= exact always; heavy
+    hitters sit near 0 over_ppm, and the column IS the measured collision
+    noise floor — the audit that sizes D x W for a corpus.
+
+    Scale shape: the sketch build is ONE partial agg over (j, cell) —
+    map-side combine collapses every executor's stream into <= D*W cells
+    before the shuffle, so sketch memory is CONSTANT in corpus size (the
+    whole point of a sketch at 100 TB). The exact top-K rides the same
+    WindowGroupLimit rewrite as zipf_topk (per-partition top-K heaps;
+    the single-partition merge sees n_parts*K rows, never the
+    vocabulary). The probe join broadcasts K*D = 80 rows against the
+    <= 4096-cell sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    cells = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_cell_spark(j).alias("cell"))
+            for j in range(CMS_D)
+        ]
+    )
+    sketch = (
+        words.select(F.explode(cells).alias("jc"))
+        .select("jc.j", "jc.cell")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("word"))
+    top = wc.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= CMS_TOPK
+    )
+    probes = top.select(
+        "rank", "word", "c", F.explode(cells).alias("jc")
+    ).select("rank", "word", "c", "jc.j", "jc.cell")
+    return (
+        sketch.join(F.broadcast(probes), ["j", "cell"])
+        .groupBy("rank", "word", "c")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "rank",
+            "word",
+            "c",
+            "cms_est",
+            F.expr("(cms_est - c) * 1000000 div c").alias("over_ppm"),
+        )
+    )
+
+
+def _cms_cell_duck() -> str:
+    """DuckDB twin of _cms_cell_spark with the row salt as a column ``j``
+    (strpos arithmetic — DuckDB has no conv; values identical)."""
+    h = _hex8_int("md5('cms' || CAST(j AS VARCHAR) || ':' || word)", "strpos")
+    return f"({h} % {CMS_W})"
+
+
+ORACLE_CMS_HEAVY_HITTERS = f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), sk AS (
+      SELECT j, {_cms_cell_duck()} AS cell, COUNT(*) AS cnt
+      FROM words, range({CMS_D}) t(j)
+      GROUP BY 1, 2
+    ), wc AS (
+      SELECT word, COUNT(*) AS c FROM words GROUP BY word
+    ), r AS (
+      SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rank
+      FROM wc
+    ), probes AS (
+      SELECT rank, word, c, j, {_cms_cell_duck()} AS cell
+      FROM (SELECT * FROM r WHERE rank <= {CMS_TOPK}), range({CMS_D}) t(j)
+    )
+    SELECT CAST(p.rank AS INTEGER) AS rank, p.word, p.c,
+           MIN(s.cnt) AS cms_est,
+           CAST((MIN(s.cnt) - p.c) * 1000000 // p.c AS BIGINT) AS over_ppm
+    FROM probes p JOIN sk s ON s.j = p.j AND s.cell = p.cell
+    GROUP BY p.rank, p.word, p.c
+"""

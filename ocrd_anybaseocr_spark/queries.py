@@ -428,6 +428,77 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join: latest prior click per purchase (time-series point lookup)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, epoch_ms(ts) AS ms, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ms, event_id, tag,
+             last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+               OVER aw AS asof_click_id,
+             last_value(CASE WHEN tag = 0 THEN ms END IGNORE NULLS)
+               OVER aw AS click_ms
+      FROM u
+      WINDOW aw AS (PARTITION BY user_id ORDER BY ms, tag, event_id
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, asof_click_id,
+           CAST(ms - click_ms AS BIGINT) AS ms_since_click
+    FROM w WHERE tag = 1
+    """,
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — each purchase matched to the latest click by the same
+    user at or before its timestamp (ties: a same-millisecond click
+    counts; among equal-ms clicks the max event_id wins — fully
+    deterministic). Purchases with no prior click emit NULLs.
+
+    Scale shape: the union-tag formulation — tag both streams, ONE
+    shuffle on the join key, one ordered carry-forward pass per key
+    (F.last ignorenulls over rows-unbounded-preceding). This is the
+    as-of plan that survives two 100 TB streams: a range/theta join
+    explodes candidate pairs per key, while this is strictly linear in
+    rows per key after a single co-partitioning; per-key skew is bounded
+    by a user's own event count and AQE handles the residue."""
+    _set_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "event_id",
+        "user_id",
+        "tag",
+        "ms",
+        F.last(F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("asof_click_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ms")), ignorenulls=True)
+        .over(w)
+        .alias("click_ms"),
+    )
+    return carried.where(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "asof_click_id",
+        (F.col("ms") - F.col("click_ms")).alias("ms_since_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Broadcast star join: revenue per nation (small dims broadcast)
 # ---------------------------------------------------------------------------
 @register(
@@ -628,6 +699,7 @@ register("lm_cross_entropy", _ts.ORACLE_LM_CE)(_ts.q_lm_cross_entropy)
 register("unigram_entropy", _ts.ORACLE_UNIGRAM_ENTROPY)(_ts.q_unigram_entropy)
 register("clean_filter_report", _ts.ORACLE_CLEAN_REPORT)(_ts.q_clean_filter_report)
 register("zipf_topk", _ts.ORACLE_ZIPF_TOPK)(_ts.q_zipf_topk)
+register("cms_heavy_hitters", _ts.ORACLE_CMS_HEAVY_HITTERS)(_ts.q_cms_heavy_hitters)
 register("pii_scrub", _ts.ORACLE_PII)(_ts.q_pii_scrub)
 register("stratified_sample", _ts.ORACLE_STRATIFIED)(_ts.q_stratified_sample)
 register("dedup_exact_normalized", _ts.ORACLE_DEDUP_NORM)(_ts.q_dedup_exact_normalized)

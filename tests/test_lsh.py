@@ -2009,3 +2009,46 @@ def test_lsh_recall_curve_consistency(spark, sf_dir):
     # the S-curve's top: near-identical pairs (j >= 0.9) must be caught
     if 10 in got:
         assert got[10].recall_ppm == 1_000_000
+
+
+def test_cms_heavy_hitters_python_parity(spark, monkeypatch):
+    """The CMS estimate must equal an independent hashlib recomputation of
+    the same 4x1024 sketch cell-for-cell, and est >= exact always (the
+    count-min overestimate-only guarantee)."""
+    import hashlib
+    from collections import Counter
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    rows = [
+        (0, "hh " * 50 + "aa bb cc", "en", "s", 1),
+        (1, "hh hh aa " + " ".join(f"t{i}" for i in range(40)), "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        [(d, t.strip(), l, s, n) for d, t, l, s, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = sorted(
+        QUERIES["cms_heavy_hitters"](spark, "cms-twin").collect(),
+        key=lambda r: r.rank,
+    )
+
+    stream = [w for _, t, *_ in rows for w in t.strip().split(" ")]
+    exact = Counter(stream)
+
+    def cell(j, w):
+        return int(hashlib.md5(f"cms{j}:{w}".encode()).hexdigest()[:8], 16) % ts.CMS_W
+
+    sketch = Counter()
+    for w in stream:
+        for j in range(ts.CMS_D):
+            sketch[(j, cell(j, w))] += 1
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[: ts.CMS_TOPK]
+    assert [(r.word, r.c) for r in got] == top
+    for r in got:
+        est = min(sketch[(j, cell(j, r.word))] for j in range(ts.CMS_D))
+        assert r.cms_est == est >= r.c
+        assert r.over_ppm == (est - r.c) * 1_000_000 // r.c
+    assert got[0].word == "hh" and got[0].rank == 1

@@ -386,3 +386,29 @@ def test_zipf_topk_window_group_limit(spark, sf_dir):
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_cms_heavy_hitters_plan(spark, sf_dir):
+    """The sketch build must be a partial agg (map-side combine collapses
+    each task's stream to <= D*W cells before the shuffle), the exact
+    top-K must pre-limit per partition (TakeOrderedAndProject /
+    WindowGroupLimit), and the K*D probe rows must broadcast against the
+    sketch — never the reverse."""
+    df = QUERIES["cms_heavy_hitters"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_events_plan(spark, sf_dir):
+    """The as-of join must be the union-tag single-window plan: exactly
+    ONE exchange (hashpartitioning on user_id for the window) — no join
+    operator at all, no range/theta explosion."""
+    df = QUERIES["asof_join_events"](spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+    plan = explain_str(df)
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan[:3000]
+    # the event-type gate reaches the parquet scan
+    assert "In(event_type" in plan, plan[:3000]

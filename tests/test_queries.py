@@ -41,3 +41,46 @@ def test_no_query_returns_complex_top_level_columns(spark, sf_dir):
             if isinstance(f.dataType, _COMPLEX):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_asof_join_events_planted(spark, monkeypatch):
+    """As-of semantics pinned on a planted frame: (a) a same-millisecond
+    click counts for the purchase (inclusive <=); (b) among equal-ms
+    clicks the max event_id wins; (c) a purchase before any click emits
+    NULLs; (d) matching never crosses users."""
+    import datetime as dt
+
+    import ocrd_anybaseocr_spark.queries as q
+
+    T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, kind, ms):
+        return (eid, T0 + dt.timedelta(milliseconds=ms), uid, kind, 0.0, "")
+
+    rows = [
+        # user 1: purchase(10) before any click -> NULL; clicks at 20
+        # (two, equal ms -> max event_id 103 wins) then purchase at 20
+        # (tie counts) and at 50
+        ev(101, 1, "purchase", 10),
+        ev(102, 1, "click", 20),
+        ev(103, 1, "click", 20),
+        ev(104, 1, "purchase", 20),
+        ev(105, 1, "purchase", 50),
+        # user 2: own click at 5; user 1 must never see it
+        ev(201, 2, "click", 5),
+        ev(202, 2, "purchase", 7),
+        # noise event types are excluded entirely
+        ev(301, 1, "view", 15),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    got = {r.event_id: r for r in q.QUERIES["asof_join_events"](spark, "asof-twin").collect()}
+    assert set(got) == {101, 104, 105, 202}
+    assert got[101].asof_click_id is None and got[101].ms_since_click is None
+    assert got[104].asof_click_id == 103 and got[104].ms_since_click == 0
+    assert got[105].asof_click_id == 103 and got[105].ms_since_click == 30
+    assert got[202].asof_click_id == 201 and got[202].ms_since_click == 2
