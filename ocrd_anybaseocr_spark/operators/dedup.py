@@ -1899,3 +1899,90 @@ ORACLE_LSH_RECALL_CURVE = f"""
     GROUP BY bucket
 """
 ORACLE_LSH_RECALL_CURVE = ORACLE_LSH_RECALL_CURVE.replace("{H32}", _H24_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic integer PageRank over the verified near-dup graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 1_000_000  # r0 per node; teleport = 0.15 * SCALE
+_PR_TELEPORT = 150_000
+
+
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-iteration PageRank (damping 0.85, PAGERANK_ITERS fixed
+    rounds) over the verified near-dup graph — ranks the CENTRAL
+    documents of each duplicate neighborhood (the canonical-pick signal
+    that beats min-doc_id when clusters are star-shaped: templates and
+    boilerplate hubs surface with high rank). Exact integer arithmetic
+    throughout — ranks scaled 1e6, contributions r div deg, damping as
+    (85 * s) div 100 — so every round is bit-identical in DuckDB (its
+    unrolled-CTE twin) with zero float drift.
+
+    Scale shape: nodes/degrees from ONE partial agg over the cached
+    verified edge relation (_verified_cached — LSH+verify lineage runs
+    once per driver pass, shared with the pairs/clusters/stats family);
+    each round is an equi-join of the rank relation with the edges on
+    src + a dst partial agg — the standard bulk-synchronous PR step,
+    linear in |E| per round, no driver fetch, fixed round count. Isolated
+    docs never enter (deg >= 1 by construction), so there is no dangling
+    mass and the teleport term keeps totals stable."""
+    return pagerank_ranks(_verified_cached(spark, sf_dir))
+
+
+def pagerank_ranks(ve: DataFrame) -> DataFrame:
+    """The raw PR iteration over an undirected pair relation (doc_a,
+    doc_b) — separate from q_pagerank_neardup so tests can plant graphs
+    and assert the UN-checkpointed plan shape (the query wrapper's
+    lineage starts at a checkpoint scan)."""
+    edges = ve.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        ve.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("doc_id"), "deg")
+    ranks = nodes.withColumn("r", F.lit(PAGERANK_SCALE).cast("long"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = ranks.join(edges, ranks["doc_id"] == edges["src"]).select(
+            F.col("dst").alias("doc_id"), F.expr("r div deg").alias("c")
+        )
+        s = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(s, "doc_id", "left").select(
+            "doc_id",
+            "deg",
+            F.expr(f"{_PR_TELEPORT} + (85 * coalesce(s, 0)) div 100").alias("r"),
+        )
+    return ranks.select("doc_id", "deg", F.col("r").alias("rank_e6"))
+
+
+def _pagerank_rounds_sql() -> str:
+    """r1..rN unrolled CTEs — same integer recurrence as the Spark loop
+    (DuckDB SUM is HUGEINT; the per-round BIGINT cast keeps types pinned
+    and values are identical — everything fits int64 by construction)."""
+    out = []
+    for t in range(1, PAGERANK_ITERS + 1):
+        out.append(f"""
+    s{t} AS (
+      SELECT e.dst AS doc_id, SUM(r.r // r.deg) AS s
+      FROM r{t - 1} r JOIN edges e ON e.src = r.doc_id GROUP BY e.dst
+    ), r{t} AS (
+      SELECT d.doc_id, d.deg,
+             CAST({_PR_TELEPORT} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+      FROM deg d LEFT JOIN s{t} s ON s.doc_id = d.doc_id
+    )""")
+    return ",".join(out)
+
+
+ORACLE_PAGERANK = f"""
+    WITH {_verified_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ve
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM ve
+    ),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id, deg, CAST({PAGERANK_SCALE} AS BIGINT) AS r FROM deg),
+    {_pagerank_rounds_sql()}
+    SELECT doc_id, deg, r AS rank_e6 FROM r{PAGERANK_ITERS}
+"""
+ORACLE_PAGERANK = ORACLE_PAGERANK.replace("{H32}", _H24_DUCK)

@@ -499,6 +499,76 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range join via range-frame window: trailing 30-min click stats/purchase
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_window",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, epoch_ms(ts) AS ms, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ms, event_id, tag,
+             SUM(CASE WHEN tag = 0 THEN 1 ELSE 0 END) OVER rw AS n_clicks_30m,
+             SUM(CASE WHEN tag = 0 THEN cents ELSE 0 END) OVER rw
+               AS click_cents_30m
+      FROM u
+      WINDOW rw AS (PARTITION BY user_id ORDER BY ms
+                    RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n_clicks_30m AS BIGINT) AS n_clicks_30m,
+           CAST(click_cents_30m AS BIGINT) AS click_cents_30m
+    FROM w WHERE tag = 1
+    """,
+)
+def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join expressed as a range-frame window: per purchase, the
+    count and cent-sum of the same user's clicks in the trailing 30
+    minutes (inclusive at both ends; a range frame covers ALL peer rows
+    at equal ms, so same-millisecond ties are deterministic without a
+    tiebreaker column).
+
+    Scale shape: like asof_join_events, the union-tag plan — ONE shuffle
+    on user_id and a linear frame scan per key. The interval-bucketed
+    equi-join alternative (explode each probe into floor(ms/30min) and
+    its predecessor bucket, join on (key, bucket), exact range filter)
+    pays 2x probe fan-out plus a join; it only wins when the two streams
+    cannot share a key partitioning — here they can, so the window IS
+    the right 100 TB plan."""
+    _set_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    rw = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-1_800_000, Window.currentRow)
+    )
+    return (
+        u.select(
+            "event_id",
+            "user_id",
+            "tag",
+            F.sum(F.when(F.col("tag") == 0, 1).otherwise(0))
+            .over(rw)
+            .alias("n_clicks_30m"),
+            F.sum(F.when(F.col("tag") == 0, F.col("cents")).otherwise(0))
+            .over(rw)
+            .alias("click_cents_30m"),
+        )
+        .where(F.col("tag") == 1)
+        .select("event_id", "user_id", "n_clicks_30m", "click_cents_30m")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Broadcast star join: revenue per nation (small dims broadcast)
 # ---------------------------------------------------------------------------
 @register(
@@ -658,6 +728,7 @@ register("dedup_clusters", _dd.ORACLE_DEDUP_CLUSTERS)(_dd.q_dedup_clusters)
 register("dedup_cluster_stats", _dd.ORACLE_DEDUP_CLUSTER_STATS)(
     _dd.q_dedup_cluster_stats
 )
+register("pagerank_neardup", _dd.ORACLE_PAGERANK)(_dd.q_pagerank_neardup)
 register("dedup_simhash", _dd.ORACLE_SIMHASH)(_dd.q_dedup_simhash)
 register("dedup_simhash_pairs", _dd.ORACLE_SIMHASH_PAIRS)(_dd.q_dedup_simhash_pairs)
 register("dedup_simhash_dropped_bands", _dd.ORACLE_SIMHASH_DROPPED_BANDS)(

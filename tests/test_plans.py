@@ -412,3 +412,27 @@ def test_asof_join_events_plan(spark, sf_dir):
         assert bad not in plan, plan[:3000]
     # the event-type gate reaches the parquet scan
     assert "In(event_type" in plan, plan[:3000]
+
+
+def test_pagerank_iteration_shape(spark):
+    """Each PR round must be an equi-join + partial agg — no cartesian or
+    nested-loop anywhere in the unrolled 3-round lineage."""
+    from ocrd_anybaseocr_spark.operators.dedup import pagerank_ranks
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    plan = explain_str(pagerank_ranks(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_range_join_window_plan(spark, sf_dir):
+    """Same union-tag contract as the as-of join: ONE exchange, no join
+    operator, event-type gate pushed to the scan."""
+    df = QUERIES["range_join_window"](spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "In(event_type" in plan, plan[:3000]

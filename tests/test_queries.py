@@ -84,3 +84,84 @@ def test_asof_join_events_planted(spark, monkeypatch):
     assert got[104].asof_click_id == 103 and got[104].ms_since_click == 0
     assert got[105].asof_click_id == 103 and got[105].ms_since_click == 30
     assert got[202].asof_click_id == 201 and got[202].ms_since_click == 2
+
+
+def test_range_join_window_planted(spark, monkeypatch):
+    """Range-frame semantics pinned: the 30-min bound is inclusive at both
+    ends, a same-ms click counts, an outside-by-1ms click does not, and
+    cent sums are exact."""
+    import datetime as dt
+
+    import ocrd_anybaseocr_spark.queries as q
+
+    T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    HALF_H = 1_800_000
+
+    def ev(eid, uid, kind, ms, value=0.0):
+        return (eid, T0 + dt.timedelta(milliseconds=ms), uid, kind, value, "")
+
+    P = 10_000_000  # purchase time
+    rows = [
+        ev(1, 1, "click", P - HALF_H - 1, 1.00),   # outside by 1 ms
+        ev(2, 1, "click", P - HALF_H, 2.25),       # exactly on the bound: in
+        ev(3, 1, "click", P - 5, 0.10),            # inside
+        ev(4, 1, "click", P, 0.07),                # same ms as purchase: in
+        ev(5, 1, "purchase", P, 99.0),
+        ev(6, 2, "click", P, 5.0),                 # other user: never counted
+        ev(7, 2, "purchase", P - HALF_H - 2),      # no clicks in its window
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    got = {
+        r.event_id: r
+        for r in q.QUERIES["range_join_window"](spark, "range-twin").collect()
+    }
+    assert set(got) == {5, 7}
+    assert got[5].n_clicks_30m == 3
+    assert got[5].click_cents_30m == 225 + 10 + 7
+    assert got[7].n_clicks_30m == 0 and got[7].click_cents_30m == 0
+
+
+def test_pagerank_neardup_python_parity(spark, sf_dir):
+    """The registered query must equal an exact integer recomputation of
+    the same recurrence from the (independently DuckDB-gated) verified
+    pairs; ranks positive; hubs outrank leaves on star graphs."""
+    from collections import defaultdict
+
+    from ocrd_anybaseocr_spark.operators.dedup import (
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        pagerank_ranks,
+    )
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_verified"](spark, sf_dir).collect()
+    ]
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    r = {v: PAGERANK_SCALE for v in adj}
+    for _ in range(PAGERANK_ITERS):
+        s = defaultdict(int)
+        for u, nbrs in adj.items():
+            c = r[u] // len(nbrs)
+            for v in nbrs:
+                s[v] += c
+        r = {v: 150_000 + (85 * s[v]) // 100 for v in adj}
+    got = {x.doc_id: x for x in QUERIES["pagerank_neardup"](spark, sf_dir).collect()}
+    assert {v: x.rank_e6 for v, x in got.items()} == r
+    assert all(x.deg == len(adj[v]) for v, x in got.items())
+
+    # planted star: hub outranks leaves
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    sr = {x.doc_id: x.rank_e6 for x in pagerank_ranks(star).collect()}
+    assert sr[0] > sr[1] and len({sr[i] for i in range(1, 6)}) == 1
