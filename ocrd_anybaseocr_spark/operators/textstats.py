@@ -1940,3 +1940,87 @@ ORACLE_CMS_HEAVY_HITTERS = f"""
     FROM probes p JOIN sk s ON s.j = p.j AND s.cell = p.cell
     GROUP BY p.rank, p.word, p.c
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch: bounded-memory cardinality
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+_KMV_SPACE = 1 << 32  # 8-hex md5 prefix hash space
+
+
+def q_distinct_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch (Bar-Yossef et al. 2002) audit: estimate
+    the corpus's distinct-word count from only the KMV_K smallest 32-bit
+    word-hash values — est = (k-1) * 2^32 div h_k, EXACT integer
+    arithmetic end to end (no HLL float harmonics), so the DuckDB twin is
+    bit-identical. One audit row: word occurrences, exact distinct count,
+    the sketch's k and k-th hash, the estimate, and signed err_ppm
+    (est*1e6 div exact - 1e6 — positive-operand division only; a direct
+    signed div would split on Spark-truncate vs DuckDB-floor). Fewer than
+    k distinct values -> the sketch IS exact (est = count).
+
+    Scale shape: the k smallest hashes ride orderBy().limit(k) —
+    TakeOrderedAndProject, a per-partition k-heap whose merge sees
+    n_parts*k rows, never the vocabulary; the distinct relation is one
+    hash partial agg. Sketch memory is CONSTANT in corpus size, and KMV
+    sketches of corpus shards merge by union+re-limit — the property
+    that makes the estimator composable across 100 TB partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    h = F.expr(
+        "cast(conv(substring(md5(cast(concat('kmv:', word) as binary)),"
+        " 1, 8), 16, 10) as bigint)"
+    )
+    dh = words.select(h.alias("h")).distinct()
+    km = (
+        dh.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("kn"))
+    )
+    ex = dh.agg(F.count(F.lit(1)).alias("n_distinct"))
+    nw = words.agg(F.count(F.lit(1)).alias("n_words"))
+    return (
+        nw.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(km))
+        .withColumn(
+            "kmv_est",
+            F.expr(
+                f"CASE WHEN n_distinct < {KMV_K} THEN n_distinct"
+                f" ELSE (kn - 1) * {_KMV_SPACE} div kth_hash END"
+            ),
+        )
+        .select(
+            "n_words",
+            "n_distinct",
+            F.col("kn").cast("int").alias("kmv_k"),
+            "kth_hash",
+            "kmv_est",
+            F.expr("kmv_est * 1000000 div n_distinct - 1000000").alias("err_ppm"),
+        )
+    )
+
+
+ORACLE_DISTINCT_KMV = f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), dh AS (
+      SELECT DISTINCT {_hex8_int("md5('kmv:' || word)", "strpos")} AS h
+      FROM words
+    ), km AS (
+      SELECT MAX(h) AS kth_hash, COUNT(*) AS kn
+      FROM (SELECT h FROM dh ORDER BY h LIMIT {KMV_K})
+    ), ex AS (SELECT COUNT(*) AS n_distinct FROM dh),
+    nw AS (SELECT COUNT(*) AS n_words FROM words),
+    est AS (
+      SELECT n_words, n_distinct, CAST(kn AS INTEGER) AS kmv_k, kth_hash,
+             CASE WHEN n_distinct < {KMV_K} THEN n_distinct
+                  ELSE (kn - 1) * {_KMV_SPACE} // kth_hash END AS kmv_est
+      FROM nw, ex, km
+    )
+    SELECT n_words, n_distinct, kmv_k, kth_hash,
+           CAST(kmv_est AS BIGINT) AS kmv_est,
+           CAST(kmv_est * 1000000 // n_distinct - 1000000 AS BIGINT) AS err_ppm
+    FROM est
+"""

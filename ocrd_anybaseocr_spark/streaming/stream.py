@@ -134,6 +134,81 @@ def stream_windowed_event_counts(
     q.awaitTermination()
 
 
+SESSION_STREAM = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """SESSION-window rollup per user (the streaming twin of the batch
+    gaps-and-islands query): consecutive events closer than ``gap`` merge
+    into one session [first_ts, last_ts + gap); a session row is emitted
+    exactly once, when the watermark passes its end (no later event can
+    extend it). State per (user, open session) only — the watermark
+    closes and evicts sessions, which is what bounds the store on an
+    unbounded stream. Money as exact cents (the cross-engine/batch-parity
+    convention); the shuffle keys on user_id with session merge handled
+    by the state store."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("sum(cast(round(value * 100) as bigint))").alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def stream_sessionized_counts(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> dict:
+    """Incremental session rollup over a growing directory of event
+    parquet drops (SESSION_STREAM schema) → finalized session rows,
+    append exactly-once; open sessions and the watermark ride the
+    checkpoint across runs. Returns {"state_rows": N} so tests can pin
+    the bounded-state contract (N = open sessions still in the store)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_session_checkpoint")
+    ev = (
+        spark.readStream.schema(SESSION_STREAM)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    q = (
+        sessionized_event_counts(ev, gap, watermark)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "event_sessions_stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    prog = q.lastProgress or {}
+    ops = prog.get("stateOperators") or []
+    return {"state_rows": ops[0].get("numRowsTotal") if ops else None}
+
+
 # page-result rows a fold stream consumes: identity + ordering + labels +
 # the document's total page count (carried per row so completion is
 # decidable without a side lookup)

@@ -2052,3 +2052,45 @@ def test_cms_heavy_hitters_python_parity(spark, monkeypatch):
         assert r.cms_est == est >= r.c
         assert r.over_ppm == (est - r.c) * 1_000_000 // r.c
     assert got[0].word == "hh" and got[0].rank == 1
+
+
+def test_distinct_kmv_audit_python_parity(spark, sf_dir, monkeypatch):
+    """KMV audit row must equal an independent hashlib recomputation on
+    the real corpus (>k branch), and the <k branch must be exact."""
+    import hashlib
+
+    import duckdb
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    got = QUERIES["distinct_kmv_audit"](spark, sf_dir).collect()[0]
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    stream = [w for t in texts for w in t.split(" ")]
+    hs = sorted({int(hashlib.md5(f"kmv:{w}".encode()).hexdigest()[:8], 16)
+                 for w in stream})
+    assert got.n_words == len(stream)
+    assert got.n_distinct == len(hs)
+    if len(hs) >= ts.KMV_K:
+        hk = hs[ts.KMV_K - 1]
+        est = (ts.KMV_K - 1) * (1 << 32) // hk
+        assert (got.kmv_k, got.kth_hash, got.kmv_est) == (ts.KMV_K, hk, est)
+        # KMV standard error ~ 1/sqrt(k) = 6.25%; 5 sigma sanity bound
+        assert abs(got.err_ppm) < 320_000
+    assert got.err_ppm == got.kmv_est * 1_000_000 // got.n_distinct - 1_000_000
+
+    # the < k branch is exact by definition
+    docs = spark.createDataFrame(
+        [(0, "a b c a", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    small = QUERIES["distinct_kmv_audit"](spark, "kmv-twin").collect()[0]
+    assert (small.n_words, small.n_distinct, small.kmv_est, small.err_ppm) == (
+        4, 3, 3, 0,
+    )

@@ -565,3 +565,57 @@ def test_streaming_passage_dedup_across_runs(spark, tmp_path_factory):
     got2 = {(r.doc_id, r.chunk_no) for r in spark.read.parquet(out_path).collect()}
     assert ("d3", 1) in got2 and ("d3", 0) not in got2
     assert {k for k in claims1} <= got2
+
+
+def test_streaming_session_windows_across_runs(spark, tmp_path_factory):
+    """Session-window semantics pinned: (1) events within the gap merge
+    into ONE session whose end = last_ts + gap; (2) a gap strictly larger
+    than 30 min splits sessions; (3) users never share sessions; (4) a
+    session only FINALIZES once the watermark passes its end — verified
+    across a restart: run 1 leaves the open session in state, run 2's
+    later drop advances the watermark and flushes it."""
+    import datetime as dt
+    import os
+
+    from ocrd_anybaseocr_spark.streaming.stream import (
+        SESSION_STREAM,
+        stream_sessionized_counts,
+    )
+
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid, value):
+        return (eid, T0 + dt.timedelta(minutes=minutes), uid, value)
+
+    in_dir = str(tmp_path_factory.mktemp("sess_in"))
+    out_dir = str(tmp_path_factory.mktemp("sess_out"))
+    out_path = os.path.join(out_dir, "event_sessions_stream")
+
+    # run 1: u1 has events at 0,10,20 (one session: [0, 50)); u2 at 5;
+    # nothing can finalize yet (watermark = 20 - 30 < all ends)
+    drop1 = [ev(1, 0, 1, 1.25), ev(2, 10, 1, 2.00), ev(3, 20, 1, 0.10),
+             ev(4, 5, 2, 7.00)]
+    spark.createDataFrame(drop1, SESSION_STREAM).write.parquet(
+        os.path.join(in_dir, "drop1.parquet")
+    )
+    m1 = stream_sessionized_counts(spark, in_dir, out_dir)
+    assert spark.read.parquet(out_path).count() == 0  # all sessions open
+    assert m1["state_rows"] == 2  # one open session per user
+
+    # run 2 (restart): u1 again at 120 (> 30-min gap -> NEW session);
+    # watermark advances to 90, flushing u1's [0,50) and u2's [5,35)
+    drop2 = [ev(5, 120, 1, 0.01)]
+    spark.createDataFrame(drop2, SESSION_STREAM).write.parquet(
+        os.path.join(in_dir, "drop2.parquet")
+    )
+    stream_sessionized_counts(spark, in_dir, out_dir)
+    got = {
+        (r.user_id, r.session_start): r
+        for r in spark.read.parquet(out_path).collect()
+    }
+    k1 = (1, T0)
+    k2 = (2, T0 + dt.timedelta(minutes=5))
+    assert set(got) == {k1, k2}
+    assert got[k1].session_end == T0 + dt.timedelta(minutes=50)
+    assert got[k1].n_events == 3 and got[k1].value_cents == 125 + 200 + 10
+    assert got[k2].n_events == 1 and got[k2].value_cents == 700
