@@ -1759,3 +1759,113 @@ ORACLE_EMB_OUTLIERS = f"""
       FROM dist
     ) WHERE rank <= {OUTLIER_TOP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed power iteration: top principal direction of the embeddings
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+PCA_V_SCALE = 1_000_000  # iterate vector scaled to [-1e6, 1e6]
+PCA_G_SCALE = 100_000  # gram renormalized to [-1e5, 1e5] (overflow headroom)
+
+
+def q_embedding_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding set (uncentered — the
+    leading right-singular direction) by DISTRIBUTED power iteration,
+    exact integer arithmetic end to end: embeddings as 1e4-scaled ints,
+    the EMB_DIM x EMB_DIM gram matrix as a LONG-FORM relation (i, j, g)
+    built by one explode + partial agg (<= 4096 cells regardless of
+    corpus size — the CMS shape for second moments), each iteration a
+    matrix-vector product expressed as equi-join + groupBy (the PageRank
+    step), renormalized by max|coordinate| with FLOOR division spelled
+    (x - pmod(x, m)) div m so Spark's truncating div matches DuckDB's
+    flooring // on negative coordinates. Emits (dim, component_e6).
+
+    Scale shape: the gram build is the only corpus-wide pass — explode
+    fans each vector into dim^2 products but the map-side combine
+    collapses every task to <= dim^2 cells before the one shuffle; the
+    iterations then run on a 4096-row relation (broadcast joins, 1-row
+    max scalars) — corpus size touches nothing after the first agg.
+    Convergence is eigengap-bound as usual for power iteration; the
+    operator contract is the DETERMINISTIC 3-round iterate, which both
+    engines and the pytest recomputation reproduce bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    se = emb.select(F.expr(_SE_SPARK).alias("se"))
+    pairs = se.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {EMB_DIM - 1}), i ->"
+                f" transform(sequence(0, {EMB_DIM - 1}), j ->"
+                " named_struct('i', i, 'j', j,"
+                " 'p', element_at(se, i + 1) * element_at(se, j + 1)))))"
+            )
+        ).alias("x")
+    ).select("x.i", "x.j", "x.p")
+    gram = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+    gmax = gram.agg(F.max(F.abs(F.col("g"))).alias("gm"))
+    gn = (
+        gram.crossJoin(F.broadcast(gmax))
+        .withColumn("d", F.expr(f"(gm div {PCA_G_SCALE}) + 1"))
+        .select("i", "j", F.expr("g div d").alias("g"))
+    )
+    v = spark.range(EMB_DIM).select(
+        F.col("id").cast("int").alias("i"), F.lit(PCA_V_SCALE).cast("long").alias("val")
+    )
+    for _ in range(PCA_ITERS):
+        raw = (
+            gn.join(F.broadcast(v), "i")
+            .groupBy("j")
+            .agg(F.sum(F.expr("g * val")).alias("raw"))
+        )
+        m = raw.agg(F.greatest(F.max(F.abs(F.col("raw"))), F.lit(1)).alias("m"))
+        v = (
+            raw.crossJoin(F.broadcast(m))
+            .select(
+                F.col("j").alias("i"),
+                F.expr(f"(raw * {PCA_V_SCALE}) div m").alias("val"),
+            )
+        )
+    return v.select(
+        F.col("i").cast("int").alias("dim"), F.col("val").alias("component_e6")
+    )
+
+
+def _pca_iter_ctes() -> str:
+    """raw{t}/m{t}/v{t} unrolled CTEs — the same integer recurrence as
+    the Spark loop (integer // in DuckDB truncates toward zero exactly
+    like Spark's div, so negative coordinates agree)."""
+    out = []
+    for t in range(1, PCA_ITERS + 1):
+        out.append(f"""
+    raw{t} AS (
+      SELECT g.j, SUM(g.g * v.val) AS raw
+      FROM gn g JOIN v{t - 1} v ON v.i = g.i GROUP BY g.j
+    ), m{t} AS (SELECT GREATEST(MAX(ABS(raw)), 1) AS m FROM raw{t}),
+    v{t} AS (
+      SELECT r.j AS i, CAST((r.raw * {PCA_V_SCALE}) // m.m AS BIGINT) AS val
+      FROM raw{t} r, m{t} m
+    )""")
+    return ",".join(out)
+
+
+ORACLE_PCA_TOP1 = f"""
+    WITH se0 AS (
+      SELECT {_SE_DUCK} AS se FROM embeddings
+    ), pairs AS (
+      SELECT ti.i, tj.j, se[ti.i + 1] * se[tj.j + 1] AS p
+      FROM se0, range({EMB_DIM}) ti(i), range({EMB_DIM}) tj(j)
+    ), gram AS (
+      SELECT i, j, SUM(p) AS g FROM pairs GROUP BY i, j
+    ), gmax AS (SELECT MAX(ABS(g)) AS gm FROM gram),
+    gn AS (
+      SELECT i, j, CAST(g // ((gm // {PCA_G_SCALE}) + 1) AS BIGINT) AS g
+      FROM gram, gmax
+    ),
+    v0 AS (
+      SELECT CAST(i AS INTEGER) AS i, CAST({PCA_V_SCALE} AS BIGINT) AS val
+      FROM range({EMB_DIM}) t(i)
+    ),
+    {_pca_iter_ctes()}
+    SELECT CAST(i AS INTEGER) AS dim, val AS component_e6 FROM v{PCA_ITERS}
+"""

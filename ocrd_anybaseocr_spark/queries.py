@@ -754,6 +754,7 @@ register("ann_ivf_flat", _sim.ORACLE_ANN_IVF)(_sim.q_ann_ivf_flat)
 register("ann_pq_adc", _sim.ORACLE_ANN_PQ)(_sim.q_ann_pq_adc)
 register("kmeans_clusters", _sim.ORACLE_KMEANS)(_sim.q_kmeans_clusters)
 register("dedup_semantic", _sim.ORACLE_SEMDEDUP)(_sim.q_dedup_semantic)
+register("embedding_pca_top1", _sim.ORACLE_PCA_TOP1)(_sim.q_embedding_pca_top1)
 register("embedding_quantize_int8", _sim.ORACLE_QUANT_INT8)(
     _sim.q_embedding_quantize_int8
 )

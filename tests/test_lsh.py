@@ -2094,3 +2094,69 @@ def test_distinct_kmv_audit_python_parity(spark, sf_dir, monkeypatch):
     assert (small.n_words, small.n_distinct, small.kmv_est, small.err_ppm) == (
         4, 3, 3, 0,
     )
+
+
+def test_embedding_pca_top1_parity_and_planted(spark, sf_dir, monkeypatch):
+    """(1) The registered query equals an exact integer recomputation of
+    the 3-round power iteration (truncating division both engines);
+    (2) on a planted anisotropic corpus the iterate aligns with the
+    planted direction (|cos| > 0.95)."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    def tdiv(a, b):  # truncating integer division (Spark div / DuckDB //)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def power_iter(vecs):
+        se = [[math.floor(x * 10000 + 0.5) for x in v] for v in vecs]
+        d = len(se[0])
+        g = [[sum(r[i] * r[j] for r in se) for j in range(d)] for i in range(d)]
+        gm = max(abs(g[i][j]) for i in range(d) for j in range(d))
+        dd = tdiv(gm, sim.PCA_G_SCALE) + 1
+        gn = [[tdiv(g[i][j], dd) for j in range(d)] for i in range(d)]
+        v = [sim.PCA_V_SCALE] * d
+        for _ in range(sim.PCA_ITERS):
+            raw = [sum(gn[i][j] * v[i] for i in range(d)) for j in range(d)]
+            m = max(max(abs(r) for r in raw), 1)
+            v = [tdiv(r * sim.PCA_V_SCALE, m) for r in raw]
+        return v
+
+    vecs = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        ).fetchall()
+    ]
+    want = power_iter(vecs)
+    got = {r.dim: r.component_e6 for r in
+           QUERIES["embedding_pca_top1"](spark, sf_dir).collect()}
+    assert [got[i] for i in range(len(want))] == want
+
+    # planted: vectors = t*u + small noise -> the iterate must align with u
+    rng = np.random.RandomState(7)
+    u = rng.standard_normal(sim.EMB_DIM)
+    u /= np.linalg.norm(u)
+    pts = np.outer(rng.standard_normal(300), u) + 0.05 * rng.standard_normal(
+        (300, sim.EMB_DIM)
+    )
+    planted = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]], 0) for i in range(300)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: planted)
+    sim.clear_caches()
+    try:
+        got_v = {r.dim: r.component_e6 for r in
+                 QUERIES["embedding_pca_top1"](spark, "pca-twin").collect()}
+        v = np.array([got_v[i] for i in range(sim.EMB_DIM)], dtype=float)
+        cos = abs(v @ u) / (np.linalg.norm(v) * np.linalg.norm(u))
+        assert cos > 0.95, cos
+    finally:
+        sim.clear_caches()
