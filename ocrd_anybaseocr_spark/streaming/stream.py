@@ -209,6 +209,81 @@ def stream_sessionized_counts(
     return {"state_rows": ops[0].get("numRowsTotal") if ops else None}
 
 
+def click_purchase_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range — the streaming
+    twin of the batch range_join_window: each purchase pairs with every
+    click by the same user in the trailing ``horizon``. Both sides carry
+    watermarks and the join condition bounds click retention to
+    [p_ts - horizon, p_ts], so the state store holds only the horizon's
+    worth of clicks per user — THE condition that keeps a stream-stream
+    join finite on unbounded inputs (an unconstrained key-equality join
+    would buffer both streams forever). Emits one row per (purchase,
+    click) pair, append exactly-once."""
+    from pyspark.sql import functions as F
+
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"c_user = user_id AND c_ts BETWEEN p_ts - INTERVAL {horizon}"
+            " AND p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+
+
+def stream_click_purchase_join(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    horizon: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> dict:
+    """Incremental stream-stream join over two growing parquet drop
+    directories (SESSION_STREAM schema each); joined pairs append
+    exactly-once, buffered-side state and watermarks ride the checkpoint
+    across runs. Returns {"state_rows": N} (rows currently buffered in
+    the join state) for the bounded-state asserts."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_ssjoin_checkpoint")
+
+    def rd(d):
+        return (
+            spark.readStream.schema(SESSION_STREAM)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+
+    q = (
+        click_purchase_join_stream(rd(clicks_dir), rd(purchases_dir), horizon, watermark)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "click_purchase_join_stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    prog = q.lastProgress or {}
+    ops = prog.get("stateOperators") or []
+    return {"state_rows": ops[0].get("numRowsTotal") if ops else None}
+
+
 # page-result rows a fold stream consumes: identity + ordering + labels +
 # the document's total page count (carried per row so completion is
 # decidable without a side lookup)

@@ -619,3 +619,53 @@ def test_streaming_session_windows_across_runs(spark, tmp_path_factory):
     assert got[k1].session_end == T0 + dt.timedelta(minutes=50)
     assert got[k1].n_events == 3 and got[k1].value_cents == 125 + 200 + 10
     assert got[k2].n_events == 1 and got[k2].value_cents == 700
+
+
+def test_stream_stream_join_across_runs(spark, tmp_path_factory):
+    """Stream-stream event-time join: (1) a purchase pairs with every
+    same-user click in the trailing 30 min (inclusive bounds), never a
+    later click, never another user's; (2) a click arriving in a LATER
+    run still joins a purchase from an earlier run while inside the
+    watermark (both sides buffered in checkpointed state); (3) join
+    state is bounded by the horizon."""
+    import datetime as dt
+    import os
+
+    from ocrd_anybaseocr_spark.streaming.stream import (
+        SESSION_STREAM,
+        stream_click_purchase_join,
+    )
+
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid):
+        return (eid, T0 + dt.timedelta(minutes=minutes), uid, 0.0)
+
+    c_dir = str(tmp_path_factory.mktemp("ss_clicks"))
+    p_dir = str(tmp_path_factory.mktemp("ss_purch"))
+    out_dir = str(tmp_path_factory.mktemp("ss_out"))
+    out_path = os.path.join(out_dir, "click_purchase_join_stream")
+
+    # run 1: u1 clicks at 0 and 25; purchase at 30 -> pairs with BOTH
+    # (0 is exactly on the 30-min bound: inclusive); u2's click at 29
+    # must not pair; a click at 31 (after the purchase) must not pair
+    spark.createDataFrame(
+        [ev(1, 0, 1), ev(2, 25, 1), ev(3, 29, 2), ev(4, 31, 1)], SESSION_STREAM
+    ).write.parquet(os.path.join(c_dir, "drop1.parquet"))
+    spark.createDataFrame([ev(100, 30, 1)], SESSION_STREAM).write.parquet(
+        os.path.join(p_dir, "drop1.parquet")
+    )
+    stream_click_purchase_join(spark, c_dir, p_dir, out_dir)
+    got1 = {(r.purchase_id, r.click_id)
+            for r in spark.read.parquet(out_path).collect()}
+    assert got1 == {(100, 1), (100, 2)}
+
+    # run 2 (restart): a second purchase at 35 arrives -> joins the
+    # still-buffered clicks at 25 (in horizon) but not 0 (out) and 31 (in)
+    spark.createDataFrame([ev(101, 35, 1)], SESSION_STREAM).write.parquet(
+        os.path.join(p_dir, "drop2.parquet")
+    )
+    stream_click_purchase_join(spark, c_dir, p_dir, out_dir)
+    got2 = {(r.purchase_id, r.click_id)
+            for r in spark.read.parquet(out_path).collect()}
+    assert got2 == got1 | {(101, 2), (101, 4)}
