@@ -2024,3 +2024,119 @@ ORACLE_DISTINCT_KMV = f"""
            CAST(kmv_est * 1000000 // n_distinct - 1000000 AS BIGINT) AS err_ppm
     FROM est
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-histogram quantile sketch audit (the quantile leg of the
+# bounded-memory trio: CMS=frequency, KMV=cardinality, histogram=quantiles)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+HIST_PCTS = (25, 50, 75, 90, 99)
+
+
+def q_histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed 256-bin equi-width histogram of
+    doc lengths, audited against the EXACT order statistics. Estimate =
+    linear interpolation inside the target bin (exact integer floor
+    arithmetic). Exact side = two-phase distributed selection: the
+    histogram locates the bin holding rank t, a window partitioned BY
+    BIN ranks only within bins (~N/256 rows per partition — never the
+    single-partition global sort that kills a 100 TB rank query), and
+    the global rank is cum_before(bin) + rank_in_bin. Emits per
+    percentile: (pct, hist_est, exact, err_ppm).
+
+    Scale shape: the histogram is ONE partial agg into <= 256 cells
+    (constant memory, and shard histograms MERGE by cell-wise add);
+    every join against the <=256-row cum relation or the 5-row target
+    relation is broadcast; the only data-wide shuffle is the per-bin
+    ranking exchange. The bin-probe join carries a range condition over
+    5 x 256 BOUNDED rows — a broadcast nested-loop there is free by
+    construction, not a scale hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(F.col("n_chars").alias("v"), "doc_id")
+    stats = v.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    binned = (
+        v.crossJoin(F.broadcast(stats))
+        .withColumn("w", F.expr(f"(mx - mn) div {HIST_BINS} + 1"))
+        .select("v", "doc_id", F.expr("(v - mn) div w").alias("bin"), "w", "mn", "n")
+    )
+    hist = binned.groupBy("bin", "w", "mn", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    cumw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(cumw))
+        .withColumn("cum0", F.col("cum") - F.col("cnt"))
+    )
+    pcts = F.array(*[F.lit(p) for p in HIST_PCTS])
+    qt = stats.select(
+        F.explode(pcts).alias("pct"), F.expr("n").alias("n")
+    ).select("pct", F.expr("(pct * n + 99) div 100").alias("t"))
+    est = (
+        cum.join(
+            F.broadcast(qt),
+            (F.col("cum") >= F.col("t")) & (F.col("cum0") < F.col("t")),
+        )
+        .select(
+            "pct",
+            "t",
+            F.expr("mn + bin * w + ((t - cum0 - 1) * w) div cnt").alias("hist_est"),
+        )
+    )
+    ranked = binned.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("bin").orderBy("v", "doc_id")),
+    ).join(
+        F.broadcast(cum.select("bin", "cum0")), "bin"
+    ).select("v", F.expr("cum0 + rnk").alias("grank"))
+    exact = ranked.join(F.broadcast(qt), F.col("grank") == F.col("t")).select(
+        "pct", F.col("v").alias("exact")
+    )
+    return est.join(exact, "pct").select(
+        "pct",
+        "hist_est",
+        "exact",
+        F.expr("hist_est * 1000000 div greatest(exact, 1) - 1000000").alias(
+            "err_ppm"
+        ),
+    )
+
+
+ORACLE_HIST_QUANTILES = f"""
+    WITH v AS (SELECT n_chars AS v, doc_id FROM documents),
+    stats AS (SELECT MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM v),
+    binned AS (
+      SELECT v, doc_id, (v - mn) // w AS bin, w, mn, n
+      FROM (SELECT v.*, mn, mx, n, (mx - mn) // {HIST_BINS} + 1 AS w
+            FROM v, stats)
+    ),
+    hist AS (
+      SELECT bin, w, mn, n, COUNT(*) AS cnt
+      FROM binned GROUP BY bin, w, mn, n
+    ),
+    cum AS (
+      SELECT *, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt AS cum0
+      FROM hist
+    ),
+    qt AS (
+      SELECT pct, (pct * n + 99) // 100 AS t
+      FROM (SELECT unnest({list(HIST_PCTS)}) AS pct), stats
+    ),
+    est AS (
+      SELECT pct, t, mn + bin * w + ((t - cum0 - 1) * w) // cnt AS hist_est
+      FROM cum JOIN qt ON cum >= t AND cum0 < t
+    ),
+    ranked AS (
+      SELECT b.v, c.cum0
+             + row_number() OVER (PARTITION BY b.bin ORDER BY b.v, b.doc_id)
+             AS grank
+      FROM binned b JOIN cum c ON c.bin = b.bin
+    ),
+    ex AS (SELECT pct, v AS exact FROM ranked JOIN qt ON grank = t)
+    SELECT e.pct, CAST(e.hist_est AS BIGINT) AS hist_est, x.exact,
+           CAST(e.hist_est * 1000000 // GREATEST(x.exact, 1) - 1000000 AS BIGINT)
+             AS err_ppm
+    FROM est e JOIN ex x ON x.pct = e.pct
+"""

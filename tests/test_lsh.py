@@ -2160,3 +2160,42 @@ def test_embedding_pca_top1_parity_and_planted(spark, sf_dir, monkeypatch):
         assert cos > 0.95, cos
     finally:
         sim.clear_caches()
+
+
+def test_histogram_quantile_audit_python_parity(spark, sf_dir):
+    """Audit rows must equal a pure-python recomputation: exact = the
+    ceil(p*n/100)-th order statistic; est = the bin-interpolated value;
+    and the estimate must sit within one bin width of the truth (the
+    equi-width histogram's error contract)."""
+    import duckdb
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    vals = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT n_chars FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    n = len(vals)
+    mn, mx = vals[0], vals[-1]
+    w = (mx - mn) // ts.HIST_BINS + 1
+    from collections import Counter
+
+    hist = Counter((v - mn) // w for v in vals)
+    got = {r.pct: r for r in
+           QUERIES["histogram_quantile_audit"](spark, sf_dir).collect()}
+    assert set(got) == set(ts.HIST_PCTS)
+    for p in ts.HIST_PCTS:
+        t = (p * n + 99) // 100
+        exact = vals[t - 1]
+        cum0 = 0
+        for b in sorted(hist):
+            if cum0 + hist[b] >= t:
+                est = mn + b * w + ((t - cum0 - 1) * w) // hist[b]
+                break
+            cum0 += hist[b]
+        assert (got[p].hist_est, got[p].exact) == (est, exact), p
+        assert abs(est - exact) <= w
+        assert got[p].err_ppm == est * 1_000_000 // max(exact, 1) - 1_000_000
