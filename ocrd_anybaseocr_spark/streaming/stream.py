@@ -284,6 +284,68 @@ def stream_click_purchase_join(
     return {"state_rows": ops[0].get("numRowsTotal") if ops else None}
 
 
+def stream_merge_documents(
+    spark: SparkSession,
+    docs_dir: str,
+    target_dir: str,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """foreachBatch IDEMPOTENT MERGE sink — the production pattern for
+    "append only what the target doesn't have": each micro-batch (1)
+    dedups within itself on doc_id (min-ts row wins, deterministically),
+    (2) LEFT-ANTI joins the current target on doc_id, (3) appends only
+    the novel remainder. Because foreachBatch can REPLAY a batch after a
+    crash between the append and the checkpoint commit, blind append
+    would duplicate — the anti-join is what makes the replay a no-op and
+    the sink effectively exactly-once on a key. On a real lakehouse the
+    same closure body becomes MERGE INTO; parquet-dir anti-join is the
+    catalog-free equivalent.
+
+    Returns {"appended": N, "batches": K} accumulated across this run."""
+    import os as _os
+
+    from pyspark.sql import Window, functions as F
+
+    checkpoint_dir = checkpoint_dir or os.path.join(target_dir, "_merge_checkpoint")
+    data_dir = os.path.join(target_dir, "documents_merged")
+    stats = {"appended": 0, "batches": 0}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        first = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("ts", "value")
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if _os.path.isdir(data_dir):
+            existing = spark.read.parquet(data_dir).select("doc_id")
+            first = first.join(existing, "doc_id", "left_anti")
+        novel = first.count()
+        if novel:
+            first.write.mode("append").parquet(data_dir)
+        stats["appended"] += novel
+        stats["batches"] += 1
+
+    docs = (
+        spark.readStream.schema(SESSION_STREAM)
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+        .withColumnRenamed("event_id", "doc_id")
+    )
+    q = (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
+
+
 # page-result rows a fold stream consumes: identity + ordering + labels +
 # the document's total page count (carried per row so completion is
 # decidable without a side lookup)

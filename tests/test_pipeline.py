@@ -12,7 +12,7 @@ import pytest
 from ocrd_anybaseocr_spark.operators.extract import extract_spans
 from ocrd_anybaseocr_spark.operators.pipeline import run_pipeline
 from ocrd_anybaseocr_spark.oracle import process_document
-from ocrd_anybaseocr_spark.sources.tables import load_corpus
+from ocrd_anybaseocr_spark.sources.tables import load_corpus, load_table
 
 
 @pytest.fixture(scope="module")
@@ -762,7 +762,7 @@ def test_quarantine_corrupt_blob_does_not_kill_batch(spark, corpus_dir, tmp_path
     # page-results filter alone left this path crashing on labels=None)
     from ocrd_anybaseocr_spark.operators.fold import fold_structure
     from ocrd_anybaseocr_spark.operators.pipeline import build_page_results
-    from ocrd_anybaseocr_spark.sources.tables import load_corpus
+    from ocrd_anybaseocr_spark.sources.tables import load_corpus, load_table
 
     d2, b2 = load_corpus(spark, bad_dir)
     st2 = fold_structure(build_page_results(d2, b2, n_parts=8))
@@ -802,3 +802,39 @@ def test_catalog_overwrite_full_capability_fallback(spark):
     assert io.exists("quarantine")
     spark.sql("DROP TABLE IF EXISTS qtest_ofull.quarantine")
     spark.sql("DROP DATABASE IF EXISTS qtest_ofull")
+
+
+def test_compact_job_swap_and_clustering(spark, sf_dir, tmp_path_factory):
+    """Compaction: a 64-fragment dataset rewrites to the byte-derived
+    file count with identical rows; --sort-by range-clusters files
+    (disjoint min/max on the sort column); an interrupted-run leftover
+    .compact_old is cleaned up; tmp/old dirs gone after the swap."""
+    import os
+
+    from jobs.compact_job import dataset_stats, run as compact
+
+    src = str(tmp_path_factory.mktemp("compact")) + "/docs"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.parquet(src)
+    _, files0 = dataset_stats(spark, src)
+    assert files0 == 64
+    before = sorted(r.doc_id for r in spark.read.parquet(src).collect())
+
+    stats = compact(spark, src, target_mb=1, sort_by="doc_id")
+    after = sorted(r.doc_id for r in spark.read.parquet(src).collect())
+    assert after == before
+    assert stats["rows"] == len(before)
+    assert stats["files_after"] == stats["target_files"] < files0
+    assert not os.path.exists(src + ".compact_tmp")
+    assert not os.path.exists(src + ".compact_old")
+
+    # range clustering: per-file doc_id ranges must not overlap
+    import duckdb
+
+    ranges = duckdb.sql(
+        f"SELECT filename, MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM"
+        f" read_parquet('{src}/*.parquet', filename=true) GROUP BY filename"
+        f" ORDER BY lo"
+    ).fetchall()
+    for (_, _, hi_prev), (_, lo, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo

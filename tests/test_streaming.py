@@ -669,3 +669,53 @@ def test_stream_stream_join_across_runs(spark, tmp_path_factory):
     got2 = {(r.purchase_id, r.click_id)
             for r in spark.read.parquet(out_path).collect()}
     assert got2 == got1 | {(101, 2), (101, 4)}
+
+
+def test_stream_merge_sink_idempotent(spark, tmp_path_factory):
+    """foreachBatch merge sink: within-batch dups collapse (min-ts wins),
+    a re-dropped doc_id never re-appends, and replaying the whole input
+    against an already-populated target (fresh checkpoint — the crash-
+    replay worst case) appends zero rows."""
+    import datetime as dt
+    import os
+
+    from ocrd_anybaseocr_spark.streaming.stream import (
+        SESSION_STREAM,
+        stream_merge_documents,
+    )
+
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def doc(did, minutes, val):
+        return (did, T0 + dt.timedelta(minutes=minutes), 0, val)
+
+    in_dir = str(tmp_path_factory.mktemp("merge_in"))
+    tgt = str(tmp_path_factory.mktemp("merge_tgt"))
+    data = os.path.join(tgt, "documents_merged")
+
+    # drop 1: doc 1 twice (ts 5 and 0 -> ts-0 row wins), doc 2 once
+    spark.createDataFrame(
+        [doc(1, 5, 9.0), doc(1, 0, 1.0), doc(2, 0, 2.0)], SESSION_STREAM
+    ).write.parquet(os.path.join(in_dir, "drop1.parquet"))
+    m1 = stream_merge_documents(spark, in_dir, tgt)
+    got = {r.doc_id: r for r in spark.read.parquet(data).collect()}
+    assert m1["appended"] == 2 and set(got) == {1, 2}
+    assert got[1].value == 1.0  # min-ts row won
+
+    # drop 2: doc 1 again (must not re-append) + novel doc 3
+    spark.createDataFrame(
+        [doc(1, 60, 7.0), doc(3, 60, 3.0)], SESSION_STREAM
+    ).write.parquet(os.path.join(in_dir, "drop2.parquet"))
+    m2 = stream_merge_documents(spark, in_dir, tgt)
+    rows = spark.read.parquet(data).collect()
+    assert m2["appended"] == 1
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3]
+    assert {r.doc_id: r.value for r in rows}[1] == 1.0
+
+    # crash-replay worst case: fresh checkpoint, same input, same target
+    m3 = stream_merge_documents(
+        spark, in_dir, tgt,
+        checkpoint_dir=str(tmp_path_factory.mktemp("merge_ckpt2")),
+    )
+    assert m3["appended"] == 0
+    assert sorted(r.doc_id for r in spark.read.parquet(data).collect()) == [1, 2, 3]
