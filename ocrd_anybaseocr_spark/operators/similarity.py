@@ -1869,3 +1869,73 @@ ORACLE_PCA_TOP1 = f"""
     {_pca_iter_ctes()}
     SELECT CAST(i AS INTEGER) AS dim, val AS component_e6 FROM v{PCA_ITERS}
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: cross-split embedding near-dups
+# ---------------------------------------------------------------------------
+
+EMB_EVAL_BP = 2000  # eval fraction of the vec_id-hash split, basis points
+
+
+def _emb_split_case(col: str) -> str:
+    """'eval'/'train' by a salted md5 draw on the VECTOR id ('esplit:'
+    stream — its own salt like 'split:'/'mix:'/'dsir:')."""
+    return (
+        "CASE WHEN cast(conv(substring(md5(cast(concat('esplit:',"
+        f" cast({col} as string)) as binary)), 1, 8), 16, 10) as bigint)"
+        f" % 10000 < {EMB_EVAL_BP} THEN 'eval' ELSE 'train' END"
+    )
+
+
+def q_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram decontaminate_overlap: an eval item whose near-duplicate (by
+    the family's exact-int cosine threshold) sits in train is
+    contamination no n-gram overlap can see (paraphrases, translations,
+    re-renders). Emits (eval_vec, train_vec, dot_e8) for every verified
+    near-dup pair that CROSSES the split.
+
+    Scale shape: rides the ONE cached LSH+verify pair relation
+    (_emb_pairs_cached — shared with the pairs/clusters/stats family, so
+    this query adds zero corpus-wide work to a driver pass); the split
+    is a narrow salted-hash projection, no join. With a real eval set
+    (not a hash split) the same shape holds with the eval side's bucket
+    assignments broadcast, as in decontaminate_overlap."""
+    pairs = _emb_pairs_cached(spark, sf_dir)
+    df = pairs.withColumn("split_a", F.expr(_emb_split_case("vec_a"))).withColumn(
+        "split_b", F.expr(_emb_split_case("vec_b"))
+    )
+    return df.where(F.col("split_a") != F.col("split_b")).select(
+        F.expr("CASE WHEN split_a = 'eval' THEN vec_a ELSE vec_b END").alias(
+            "eval_vec"
+        ),
+        F.expr("CASE WHEN split_a = 'eval' THEN vec_b ELSE vec_a END").alias(
+            "train_vec"
+        ),
+        "dot_e8",
+    )
+
+
+def _emb_split_case_duck(col: str) -> str:
+    from .dedup import _hexn_to_int_duck
+
+    draw = _hexn_to_int_duck(f"md5('esplit:' || CAST({col} AS VARCHAR))", 8)
+    return (
+        f"CASE WHEN {draw} % 10000 < {EMB_EVAL_BP} THEN 'eval' ELSE 'train' END"
+    )
+
+
+ORACLE_DECON_EMB = f"""
+    WITH {_DEDUP_EMB_CTE},
+    sp AS (
+      SELECT vec_a, vec_b, dot_e8,
+             {_emb_split_case_duck("vec_a")} AS split_a,
+             {_emb_split_case_duck("vec_b")} AS split_b
+      FROM vp
+    )
+    SELECT CASE WHEN split_a = 'eval' THEN vec_a ELSE vec_b END AS eval_vec,
+           CASE WHEN split_a = 'eval' THEN vec_b ELSE vec_a END AS train_vec,
+           dot_e8
+    FROM sp WHERE split_a <> split_b
+"""

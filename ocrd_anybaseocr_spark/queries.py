@@ -1603,6 +1603,7 @@ register("contrastive_hard_negatives", _sim.ORACLE_HARD_NEGATIVES)(
     _sim.q_contrastive_hard_negatives
 )
 register("dedup_embedding_cosine", _sim.ORACLE_DEDUP_EMB)(_sim.q_dedup_embedding_cosine)
+register("decontaminate_embeddings", _sim.ORACLE_DECON_EMB)(_sim.q_decontaminate_embeddings)
 register("dedup_embedding_clusters", _sim.ORACLE_DEDUP_EMB_CLUSTERS)(
     _sim.q_dedup_embedding_clusters
 )

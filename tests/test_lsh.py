@@ -2199,3 +2199,60 @@ def test_histogram_quantile_audit_python_parity(spark, sf_dir):
         assert (got[p].hist_est, got[p].exact) == (est, exact), p
         assert abs(est - exact) <= w
         assert got[p].err_ppm == est * 1_000_000 // max(exact, 1) - 1_000_000
+
+
+def test_decontaminate_embeddings_split_and_planted(spark, sf_dir, monkeypatch):
+    """(1) On the real corpus the result is exactly the cross-split
+    subset of the (independently gated) verified pair relation, with the
+    hashlib-recomputed split; (2) a planted eval near-dup of a train
+    vector is caught."""
+    import hashlib
+
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.operators import similarity as sim
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    def split(vid):
+        d = int(hashlib.md5(f"esplit:{vid}".encode()).hexdigest()[:8], 16)
+        return "eval" if d % 10000 < sim.EMB_EVAL_BP else "train"
+
+    pairs = QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+    want = set()
+    for r in pairs:
+        sa, sb = split(r.vec_a), split(r.vec_b)
+        if sa != sb:
+            ev, tr = (r.vec_a, r.vec_b) if sa == "eval" else (r.vec_b, r.vec_a)
+            want.add((ev, tr, r.dot_e8))
+    got = {(r.eval_vec, r.train_vec, r.dot_e8) for r in
+           QUERIES["decontaminate_embeddings"](spark, sf_dir).collect()}
+    assert got == want
+
+    # planted: find an (eval, train) id pair under the hash split, give
+    # them near-identical vectors among unit-norm noise
+    ids = list(range(400))
+    ev = next(i for i in ids if split(i) == "eval")
+    tr = next(i for i in ids if split(i) == "train")
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(sim.EMB_DIM)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in ids:
+        if i == ev or i == tr:
+            v = base + 0.001 * rng.standard_normal(sim.EMB_DIM)
+        else:
+            v = rng.standard_normal(sim.EMB_DIM)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], 0))
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: planted)
+    sim.clear_caches()
+    try:
+        got_p = {(r.eval_vec, r.train_vec) for r in
+                 QUERIES["decontaminate_embeddings"](spark, "decon-twin").collect()}
+        assert (ev, tr) in got_p or (tr, ev) in {(b, a) for a, b in got_p}
+        assert (ev, tr) in got_p  # eval side must be labeled eval
+    finally:
+        sim.clear_caches()
