@@ -1986,3 +1986,43 @@ ORACLE_PAGERANK = f"""
     SELECT doc_id, deg, r AS rank_e6 FROM r{PAGERANK_ITERS}
 """
 ORACLE_PAGERANK = ORACLE_PAGERANK.replace("{H32}", _H24_DUCK)
+
+
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: verified near-dup pair counts per
+    unordered source pair — the curation readout that says WHICH feeds
+    copy from which (a high off-diagonal cell means two crawls overlap
+    and one of them is mostly paying storage for the other; the diagonal
+    is within-source redundancy). Rides the cached verified edge set
+    (zero added corpus-wide work in a driver pass); two broadcast-sized
+    joins to the doc->source projection; LEAST/GREATEST canonicalizes
+    the pair so (a,b) and (b,a) land in one cell."""
+    ve = _verified_cached(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        ve.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+ORACLE_DEDUP_SOURCE_MATRIX = f"""
+    WITH {_verified_cte()},
+    lab AS (
+      SELECT LEAST(da.source, db.source) AS source_lo,
+             GREATEST(da.source, db.source) AS source_hi
+      FROM ve
+      JOIN documents da ON da.doc_id = ve.doc_a
+      JOIN documents db ON db.doc_id = ve.doc_b
+    )
+    SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+    FROM lab GROUP BY source_lo, source_hi
+"""
+ORACLE_DEDUP_SOURCE_MATRIX = ORACLE_DEDUP_SOURCE_MATRIX.replace("{H32}", _H24_DUCK)

@@ -729,6 +729,7 @@ register("dedup_cluster_stats", _dd.ORACLE_DEDUP_CLUSTER_STATS)(
     _dd.q_dedup_cluster_stats
 )
 register("pagerank_neardup", _dd.ORACLE_PAGERANK)(_dd.q_pagerank_neardup)
+register("dedup_source_matrix", _dd.ORACLE_DEDUP_SOURCE_MATRIX)(_dd.q_dedup_source_matrix)
 register("dedup_simhash", _dd.ORACLE_SIMHASH)(_dd.q_dedup_simhash)
 register("dedup_simhash_pairs", _dd.ORACLE_SIMHASH_PAIRS)(_dd.q_dedup_simhash_pairs)
 register("dedup_simhash_dropped_bands", _dd.ORACLE_SIMHASH_DROPPED_BANDS)(

@@ -2256,3 +2256,26 @@ def test_decontaminate_embeddings_split_and_planted(spark, sf_dir, monkeypatch):
         assert (ev, tr) in got_p  # eval side must be labeled eval
     finally:
         sim.clear_caches()
+
+
+def test_dedup_source_matrix_consistency(spark, sf_dir):
+    """Matrix cells must be exactly the unordered-source-pair counts of
+    the (independently gated) verified pair relation."""
+    from collections import Counter
+
+    import duckdb
+
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    src = dict(
+        duckdb.sql(
+            f"SELECT doc_id, source FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    pairs = QUERIES["dedup_minhash_verified"](spark, sf_dir).collect()
+    want = Counter(
+        tuple(sorted((src[r.doc_a], src[r.doc_b]))) for r in pairs
+    )
+    got = {(r.source_lo, r.source_hi): r.n_pairs for r in
+           QUERIES["dedup_source_matrix"](spark, sf_dir).collect()}
+    assert got == dict(want) and sum(got.values()) == len(pairs)
