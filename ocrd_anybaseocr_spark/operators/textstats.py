@@ -2140,3 +2140,111 @@ ORACLE_HIST_QUANTILES = f"""
              AS err_ppm
     FROM est e JOIN ex x ON x.pct = e.pct
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM cross-entropy (order-2 upgrade of the Gopher-style LM proxy)
+# ---------------------------------------------------------------------------
+
+
+def q_lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own BIGRAM model
+    with add-one smoothing: p(w_t | w_{t-1}) = (c(prev,cur) + 1) /
+    (c(prev) + V). Where the unigram proxy scores token CHOICE, this
+    scores token ORDER — shuffled or templated text separates from
+    natural text here while looking identical to the unigram model.
+    Context counts c(prev) derive from the bigram relation itself
+    (sum over cur), so numerator and denominator can never disagree
+    about tokenization; V = corpus vocabulary size (1-row broadcast).
+    Docs need >= 2 tokens (transitions are what's scored) — and the
+    size guard doubles as the CLAUDE.md sequence(1, n-1) descending
+    guard.
+
+    Scale: bigram model = one partial-agg shuffle on (prev, cur) — the
+    classic count-based LM estimation job at order 2; scoring joins the
+    doc bigram stream to the model on the same key (AQE broadcasts while
+    it fits). Same micro-bit HALF-UP rounding as the unigram query (log2
+    cross-engine drift ~1 ulp vs a 1e-9-wide rounding boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    bg = (
+        ws.where(F.expr("size(ws) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i ->"
+                    " named_struct('prev', element_at(ws, i),"
+                    " 'cur', element_at(ws, i + 1)))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.prev", "b.cur")
+    )
+    model = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    ctx = model.groupBy("prev").agg(F.sum("c").alias("cp"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    sup = (
+        model.join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "cur",
+            F.expr(
+                "cast(floor(-log2(cast(c + 1 as double)"
+                f" / cast(cp + v as double)) * {LM_SUP_SCALE} + 0.5) as bigint)"
+            ).alias("sup_e6"),
+        )
+    )
+    return (
+        bg.join(sup, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("sup_e6").alias("h_sum_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "h_sum_e6",
+            F.round(
+                F.col("h_sum_e6").cast("double")
+                / F.col("n_bigrams")
+                / float(LM_SUP_SCALE),
+                6,
+            ).alias("ce_bits"),
+        )
+    )
+
+
+ORACLE_LM_BIGRAM_CE = f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(ws[1:len(ws) - 1]) AS prev,
+             unnest(ws[2:len(ws)]) AS cur
+      FROM ws
+    ), model AS (
+      SELECT prev, cur, COUNT(*) AS c FROM bg GROUP BY prev, cur
+    ), ctx AS (
+      SELECT prev, SUM(c) AS cp FROM model GROUP BY prev
+    ), vocab AS (
+      SELECT COUNT(DISTINCT word) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    ), sup AS (
+      SELECT m.prev, m.cur,
+             CAST(floor(-log2(CAST(m.c + 1 AS DOUBLE)
+                  / CAST(x.cp + vocab.v AS DOUBLE)) * {LM_SUP_SCALE} + 0.5)
+               AS BIGINT) AS sup_e6
+      FROM model m JOIN ctx x ON x.prev = m.prev, vocab
+    )
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(s.sup_e6) AS BIGINT) AS h_sum_e6,
+           round(CAST(SUM(s.sup_e6) AS DOUBLE) / COUNT(*)
+                 / {LM_SUP_SCALE}, 6) AS ce_bits
+    FROM bg JOIN sup s ON s.prev = bg.prev AND s.cur = bg.cur
+    GROUP BY bg.doc_id
+"""

@@ -2279,3 +2279,48 @@ def test_dedup_source_matrix_consistency(spark, sf_dir):
     got = {(r.source_lo, r.source_hi): r.n_pairs for r in
            QUERIES["dedup_source_matrix"](spark, sf_dir).collect()}
     assert got == dict(want) and sum(got.values()) == len(pairs)
+
+
+def test_lm_bigram_cross_entropy_planted(spark, monkeypatch):
+    """(1) Exact python recomputation parity (micro-bit half-up) on a
+    planted corpus; (2) ORDER sensitivity: a doc in the corpus's
+    dominant token order scores lower bigram CE than a scrambled doc
+    with the IDENTICAL unigram distribution."""
+    import math
+    from collections import Counter
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    ordered = "x y " * 20  # dominant order: x->y, y->x
+    rows = [
+        (0, ordered.strip(), "en", "s", 1),
+        (1, ordered.strip(), "en", "s", 1),
+        (2, ("x x y y " * 10).strip(), "en", "s", 1),  # same unigrams, scrambled
+        (3, "lone", "en", "s", 1),  # 1 token: no transitions, must vanish
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = {r.doc_id: r for r in
+           QUERIES["lm_bigram_cross_entropy"](spark, "bice-twin").collect()}
+    assert set(got) == {0, 1, 2}
+
+    texts = {d: t for d, t, *_ in rows}
+    bg = Counter()
+    for t in texts.values():
+        w = t.split(" ")
+        bg.update(zip(w, w[1:]))
+    cp = Counter()
+    for (p, _), c in bg.items():
+        cp[p] += c
+    v = len({w for t in texts.values() for w in t.split(" ")})
+    for d in (0, 1, 2):
+        w = texts[d].split(" ")
+        h = sum(
+            math.floor(-math.log2((bg[(p, c)] + 1) / (cp[p] + v)) * 1_000_000 + 0.5)
+            for p, c in zip(w, w[1:])
+        )
+        assert (got[d].n_bigrams, got[d].h_sum_e6) == (len(w) - 1, h), d
+    assert got[0].ce_bits < got[2].ce_bits  # order separates, unigrams equal
