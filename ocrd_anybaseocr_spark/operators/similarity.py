@@ -1792,17 +1792,26 @@ def q_embedding_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and the pytest recomputation reproduce bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     se = emb.select(F.expr(_SE_SPARK).alias("se"))
+    # triangular explode (i <= j): dim*(dim+1)/2 products per row, not
+    # dim^2 — the gram is symmetric, so the lower triangle is a mirror
+    # union over the AGGREGATED <=2080-cell relation (free), while the
+    # explode is the per-row hot loop at corpus scale
     pairs = se.select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(0, {EMB_DIM - 1}), i ->"
-                f" transform(sequence(0, {EMB_DIM - 1}), j ->"
+                f" transform(sequence(i, {EMB_DIM - 1}), j ->"
                 " named_struct('i', i, 'j', j,"
                 " 'p', element_at(se, i + 1) * element_at(se, j + 1)))))"
             )
         ).alias("x")
     ).select("x.i", "x.j", "x.p")
-    gram = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+    tri = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+    gram = tri.union(
+        tri.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
     gmax = gram.agg(F.max(F.abs(F.col("g"))).alias("gm"))
     gn = (
         gram.crossJoin(F.broadcast(gmax))

@@ -2248,3 +2248,124 @@ ORACLE_LM_BIGRAM_CE = f"""
     FROM bg JOIN sup s ON s.prev = bg.prev AND s.cur = bg.cur
     GROUP BY bg.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (MOSS): subset/quote-expansion pairs Jaccard misses
+# ---------------------------------------------------------------------------
+
+FP_MAX_DF = 16  # fingerprints shared by more docs are boilerplate, skipped
+CONTAIN_MIN_PPM = 600_000  # >= 60% of the smaller doc's fingerprints shared
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs via winnowing fingerprints: the measure
+    is |FP(A) n FP(B)| / |FP(smaller)| — a short doc quoted wholesale
+    inside a long one scores ~1 here while its symmetric Jaccard is tiny
+    (the subset blind spot of the MinHash family; Broder's containment
+    vs resemblance distinction). Emits (inner_doc, outer_doc, n_shared,
+    containment_ppm) for pairs over CONTAIN_MIN_PPM; inner = the smaller
+    fingerprint set (tie: smaller doc_id).
+
+    Scale shape: the SAME banded-candidate discipline as every dedup
+    family member — fingerprints with document frequency > FP_MAX_DF are
+    dropped before the equi-self-join (a boilerplate fingerprint would
+    otherwise fan quadratically), sizes are one partial agg, and the
+    ratio filter runs before any wide emission. Winnowing's guarantee
+    makes the recall floor explicit: any shared passage of >=
+    WINNOW_K + WINNOW_W - 1 words shares a fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    fpf = (
+        fp.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("df") <= FP_MAX_DF)
+        .drop("df")
+    )
+    a = fpf.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fpf.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    lab = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "a_inner", F.expr("na < nb OR (na = nb AND doc_a < doc_b)")
+        )
+        .select(
+            F.expr("CASE WHEN a_inner THEN doc_a ELSE doc_b END").alias(
+                "inner_doc"
+            ),
+            F.expr("CASE WHEN a_inner THEN doc_b ELSE doc_a END").alias(
+                "outer_doc"
+            ),
+            "n_shared",
+            F.expr("n_shared * 1000000 div least(na, nb)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+    return lab.where(F.col("containment_ppm") >= CONTAIN_MIN_PPM)
+
+
+def _winnow_fp_cte() -> str:
+    """Shared DuckDB CTE chain ending in fp(doc_id, fp) — the exploded
+    DISTINCT winnowing fingerprints, spliced from the same arithmetic as
+    ORACLE_FINGERPRINT_WINNOW (one definition would drift otherwise)."""
+    return f"""w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), kgs AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= {WINNOW_K} THEN
+               list_transform(generate_series(0, len(words) - {WINNOW_K}),
+                 i -> {_hex8_int(f"md5(array_to_string(words[i + 1:i + {WINNOW_K}], ' '))", "strpos")})
+             ELSE [] END AS kg
+      FROM w
+    ), wn AS (
+      SELECT doc_id,
+             CASE WHEN len(kg) >= {WINNOW_W} THEN
+               list_transform(generate_series(0, len(kg) - {WINNOW_W}),
+                 j -> list_min(kg[j + 1:j + {WINNOW_W}]))
+             ELSE (CASE WHEN len(kg) > 0 THEN [list_min(kg)] ELSE [] END) END AS wins
+      FROM kgs
+    ), fp AS (
+      SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wn
+    )"""
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+    WITH {_winnow_fp_cte()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+    fpf AS (
+      SELECT doc_id, fp FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY fp) AS df FROM fp
+      ) WHERE df <= {FP_MAX_DF}
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    lab AS (
+      SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+                  THEN doc_a ELSE doc_b END AS inner_doc,
+             CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+                  THEN doc_b ELSE doc_a END AS outer_doc,
+             n_shared,
+             CAST(n_shared * 1000000 // LEAST(sa.n, sb.n) AS BIGINT)
+               AS containment_ppm
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT inner_doc, outer_doc, n_shared, containment_ppm
+    FROM lab WHERE containment_ppm >= {CONTAIN_MIN_PPM}
+"""

@@ -767,6 +767,7 @@ register("quality_score", _ts.ORACLE_QUALITY)(_ts.q_quality_score)
 register("token_count", _ts.ORACLE_TOKEN_COUNT)(_ts.q_token_count)
 register("fingerprint", _ts.ORACLE_FINGERPRINT)(_ts.q_fingerprint)
 register("fingerprint_winnow", _ts.ORACLE_FINGERPRINT_WINNOW)(_ts.q_fingerprint_winnow)
+register("dedup_containment", _ts.ORACLE_DEDUP_CONTAINMENT)(_ts.q_dedup_containment)
 register("boilerplate_ratio", _ts.ORACLE_BOILERPLATE)(_ts.q_boilerplate_ratio)
 register("lm_cross_entropy", _ts.ORACLE_LM_CE)(_ts.q_lm_cross_entropy)
 register("unigram_entropy", _ts.ORACLE_UNIGRAM_ENTROPY)(_ts.q_unigram_entropy)

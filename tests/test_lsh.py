@@ -2324,3 +2324,39 @@ def test_lm_bigram_cross_entropy_planted(spark, monkeypatch):
         )
         assert (got[d].n_bigrams, got[d].h_sum_e6) == (len(w) - 1, h), d
     assert got[0].ce_bits < got[2].ce_bits  # order separates, unigrams equal
+
+
+def test_dedup_containment_subset_blindspot(spark, monkeypatch):
+    """The operator's reason to exist: a short doc quoted WHOLESALE
+    inside a much longer one must score containment ~1e6 while its
+    symmetric Jaccard stays far below the near-dup threshold; unrelated
+    docs must not pair."""
+    import numpy as np
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    rng = np.random.RandomState(11)
+
+    def words(n, tag):
+        return " ".join(f"{tag}{rng.randint(0, 10**9)}" for _ in range(n))
+
+    quote = words(30, "q")           # the short doc, verbatim
+    long_doc = words(300, "l") + " " + quote + " " + words(300, "m")
+    rows = [
+        (0, quote, "en", "s", 1),
+        (1, long_doc, "en", "s", 1),
+        (2, words(100, "z"), "en", "s", 1),   # unrelated
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = {(r.inner_doc, r.outer_doc): r for r in
+           QUERIES["dedup_containment"](spark, "contain-twin").collect()}
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)].containment_ppm >= 900_000
+    # and the symmetric Jaccard of the same pair is tiny (the blind spot)
+    a = set(quote.split())
+    b = set(long_doc.split())
+    assert len(a & b) / len(a | b) < 0.1
