@@ -2369,3 +2369,87 @@ ORACLE_DEDUP_CONTAINMENT = f"""
     SELECT inner_doc, outer_doc, n_shared, containment_ppm
     FROM lab WHERE containment_ppm >= {CONTAIN_MIN_PPM}
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection: best docs first until the budget fills
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 20_000
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first corpus selection under a TOKEN BUDGET — the
+    "give me the best B tokens" curation pass. Ordering key is an
+    exact-int quality score, score_e6 = min(n_tokens,100)*5000 +
+    (stop_hits*500000) div n_tokens (the quality_score composite in
+    micro units — BOUNDED in [0, 1e6] by construction, which is what
+    makes the selection two-phase at scale). A doc is selected iff its
+    inclusive running token total, in (score desc, doc_id asc) order,
+    is <= TOKEN_BUDGET.
+
+    Scale shape: phase 1 aggregates per SCORE BUCKET (<= 1e6+1 cells no
+    matter the corpus — the same bounded-relation trick as the histogram
+    quantile's bins) and finds each bucket's token mass and desc-
+    cumulative start; phase 2 ranks docs only WITHIN their bucket
+    (window partitioned by score_e6) and adds the bucket's start offset
+    — no global single-partition sort of the corpus ever happens. The
+    bucket relation broadcasts back."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = "size(split(text, ' '))"
+    stop_hits = _hits_expr(_MARKERS["en"])
+    s = docs.select(
+        "doc_id",
+        F.expr(n_tokens).cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"least(cast({n_tokens} as bigint), 100) * 5000"
+            f" + (cast({stop_hits} as bigint) * 500000)"
+            f" div cast({n_tokens} as bigint)"
+        ).alias("score_e6"),
+    )
+    buckets = s.groupBy("score_e6").agg(F.sum("n_tokens").alias("btok"))
+    wdesc = Window.orderBy(F.desc("score_e6")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    boff = buckets.withColumn(
+        "before", F.sum("btok").over(wdesc) - F.col("btok")
+    ).select("score_e6", "before")
+    intra = Window.partitionBy("score_e6").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        s.join(F.broadcast(boff), "score_e6")
+        .withColumn("cum_tokens", F.col("before") + F.sum("n_tokens").over(intra))
+    )
+    return (
+        ranked.where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "score_e6", "n_tokens", "cum_tokens")
+    )
+
+
+ORACLE_TOKEN_BUDGET = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 100) * 5000
+               + (CAST(len(regexp_extract_all(' ' || text || ' ',
+                    ' ({'|'.join(_MARKERS['en'])}) ')) AS BIGINT) * 500000)
+                 // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_e6
+      FROM documents
+    ), buckets AS (
+      SELECT score_e6, SUM(n_tokens) AS btok FROM s GROUP BY score_e6
+    ), boff AS (
+      SELECT score_e6,
+             SUM(btok) OVER (ORDER BY score_e6 DESC ROWS UNBOUNDED PRECEDING)
+               - btok AS before
+      FROM buckets
+    ), ranked AS (
+      SELECT s.doc_id, s.score_e6, s.n_tokens,
+             b.before + SUM(s.n_tokens) OVER (
+               PARTITION BY s.score_e6 ORDER BY s.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM s JOIN boff b ON b.score_e6 = s.score_e6
+    )
+    SELECT doc_id, score_e6, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+"""

@@ -2360,3 +2360,35 @@ def test_dedup_containment_subset_blindspot(spark, monkeypatch):
     a = set(quote.split())
     b = set(long_doc.split())
     assert len(a & b) / len(a | b) < 0.1
+
+
+def test_token_budget_select_python_parity(spark, sf_dir):
+    """Selection must equal the greedy (score desc, doc_id asc) fill
+    computed independently in python; total within budget; adding the
+    next unselected doc would overflow (maximality)."""
+    import re
+
+    import duckdb
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    pat = re.compile(" (" + "|".join(ts._MARKERS["en"]) + ") ")
+    scored = []
+    for did, text in rows:
+        nt = len(text.split(" "))
+        hits = len(pat.findall(" " + text + " "))
+        scored.append((min(nt, 100) * 5000 + hits * 500000 // nt, did, nt))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    cum, want = 0, {}
+    for sc, did, nt in scored:
+        cum += nt
+        if cum <= ts.TOKEN_BUDGET:
+            want[did] = (sc, nt, cum)
+    got = {r.doc_id: (r.score_e6, r.n_tokens, r.cum_tokens) for r in
+           QUERIES["token_budget_select"](spark, sf_dir).collect()}
+    assert got == want
+    assert max(c for _, _, c in got.values()) <= ts.TOKEN_BUDGET
