@@ -473,3 +473,18 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_pca_gram_and_containment_plan_shapes(spark, sf_dir):
+    """PCA: the gram build must keep its aggregate partial (map-side
+    collapse to <= dim^2 cells is the whole scale story) and the
+    iteration must never degenerate to a cartesian. Containment: the
+    fingerprint self-join must be a hash/sort-merge equi-join with
+    partial aggs, like every other dedup candidate generator."""
+    for name in ("embedding_pca_top1", "dedup_containment"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, name
+        assert "partial" in plan.lower(), name
+    plan = explain_str(QUERIES["dedup_containment"](spark, sf_dir), "simple")
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
