@@ -2026,3 +2026,46 @@ ORACLE_DEDUP_SOURCE_MATRIX = f"""
     FROM lab GROUP BY source_lo, source_hi
 """
 ORACLE_DEDUP_SOURCE_MATRIX = ORACLE_DEDUP_SOURCE_MATRIX.replace("{H32}", _H24_DUCK)
+
+
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    3-gram shingles that appear in NO other document (corpus df == 1) —
+    the inverse readout of boilerplate/repetition: high novelty marks
+    content that deduplication and boilerplate stripping would never
+    touch; novelty ~0 marks template mass even when no single pair
+    crosses a near-dup threshold. Shares the ONE shingle definition with
+    the minhash/jaccard/boilerplate family. Docs with < 3 words have no
+    shingles and are absent (nothing to measure).
+
+    Scale shape: distinct (doc, shingle) partial agg, a df partial agg
+    on the high-entropy shingle key, one equi-join back, one doc_id
+    re-agg — the boilerplate_ratio plan with a different predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    shd = shingles(docs).distinct()
+    dfr = shd.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        shd.join(dfr, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .withColumn("novelty_ppm", F.expr("n_unique * 1000000 div n_shingles"))
+    )
+
+
+ORACLE_NOVELTY = f"""
+    WITH sh0 AS ({shingles_cte_duck()}
+    ), shd AS (
+      SELECT DISTINCT doc_id, shingle FROM sh0
+    ), dfr AS (
+      SELECT shingle, COUNT(*) AS df FROM shd GROUP BY shingle
+    )
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS novelty_ppm
+    FROM shd JOIN dfr USING (shingle)
+    GROUP BY doc_id
+"""

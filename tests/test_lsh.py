@@ -2392,3 +2392,33 @@ def test_token_budget_select_python_parity(spark, sf_dir):
            QUERIES["token_budget_select"](spark, sf_dir).collect()}
     assert got == want
     assert max(c for _, _, c in got.values()) <= ts.TOKEN_BUDGET
+
+
+def test_novelty_score_planted(spark, monkeypatch):
+    """Exact duplicates have novelty 0 (every shingle shared); a doc of
+    globally unique words has novelty 1e6; a half-and-half doc lands at
+    the exact shingle arithmetic; < 3-word docs are absent."""
+    from ocrd_anybaseocr_spark.operators import dedup as dd
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    dup = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, dup, "en", "s", 1),
+        (1, dup, "en", "s", 1),                   # exact dup of 0
+        (2, "u1 u2 u3 u4 u5 u6", "en", "s", 1),   # all-unique shingles
+        (3, dup + " zeta eta theta", "en", "s", 1),  # shares 0/1's prefix
+        (4, "xy zz", "en", "s", 1),               # < 3 words: no shingles
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    got = {r.doc_id: r for r in
+           QUERIES["novelty_score"](spark, "novelty-twin").collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0].novelty_ppm == got[1].novelty_ppm == 0
+    assert got[2].novelty_ppm == 1_000_000
+    # doc 3: shingles = 6 total; the first 3 ("alpha beta gamma".."gamma
+    # delta epsilon") are shared with docs 0/1, the last 3 are unique
+    assert (got[3].n_shingles, got[3].n_unique) == (6, 3)
+    assert got[3].novelty_ppm == 500_000
