@@ -1220,6 +1220,50 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_dhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DHASH_PAIRS_CTE},
+    edges AS (
+      SELECT media_ref_a AS a, media_ref_b AS b FROM pairs
+      UNION ALL
+      SELECT media_ref_b AS a, media_ref_a AS b FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT media_ref, media_ref FROM sig
+      UNION
+      SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+      WHERE r.lbl < e.a
+    )
+    SELECT node AS media_ref, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_media_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual dedup clusters: connected components over the page-level
+    dHash near-dup pairs — completes the cluster-family symmetry (text
+    MinHash clusters, embedding cosine clusters, now pixel clusters).
+    cluster_id = lexicographic MIN media_ref of the component (the
+    hash-min CC works unchanged on string keys in both engines); every
+    page appears, singletons cluster alone. Same pointer-jumping CC as
+    the text side — O(log diameter) rounds over the bounded pair set."""
+    from .operators.dedup import connected_components_labels, hamming_pairs
+    from .operators.media import media_dhash_cached
+    from .sources.tables import load_corpus
+
+    qc = _pipeline_corpus()
+    _, blobs = load_corpus(spark, qc)
+    sig = media_dhash_cached(blobs, qc)
+    pairs = hamming_pairs(
+        sig, "media_ref", "dhash", max_hamming=_DHASH_MAX_HAMMING
+    ).select(F.col("media_ref_a").alias("doc_a"), F.col("media_ref_b").alias("doc_b"))
+    lab = connected_components_labels(
+        sig.select(F.col("media_ref").alias("doc_id")), pairs
+    )
+    return lab.select(
+        F.col("doc_id").alias("media_ref"), F.col("cluster_id")
+    )
+
+
+@register(
     "visual_doc_pairs",
     oracle=f"""
     WITH {_DHASH_PAIRS_CTE}, pp AS (
@@ -1320,6 +1364,7 @@ for _qname in (
     "media_resize",
     "media_dhash",
     "media_dhash_pairs",
+    "media_dhash_clusters",
     "visual_doc_pairs",
     "bpe_train",
     "bpe_tokenize",

@@ -174,3 +174,30 @@ def test_dhash_perceptual_properties(spark):
     pairs = {(r.media_ref_a, r.media_ref_b): r.hamming
              for r in hamming_pairs(media_dhash(df), "media_ref", "dhash", max_hamming=3).collect()}
     assert ("p0", "p0_blot") in pairs or d_blot > 3
+
+
+def test_media_dhash_clusters_union_find_parity(spark, sf_dir):
+    """Visual CC labels must equal a python union-find over the
+    (independently gated) dhash pair relation, with lexicographic-min
+    canonical labels and every signature row present."""
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    sig = {r.media_ref for r in QUERIES["media_dhash"](spark, sf_dir).collect()}
+    pairs = QUERIES["media_dhash_pairs"](spark, sf_dir).collect()
+    parent = {m: m for m in sig}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r.media_ref_a), find(r.media_ref_b)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {m: find(m) for m in sig}
+    got = {r.media_ref: r.cluster_id for r in
+           QUERIES["media_dhash_clusters"](spark, sf_dir).collect()}
+    assert got == want
+    assert any(v != k for k, v in got.items()) or not pairs
