@@ -569,6 +569,54 @@ def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Day-over-day revenue momentum (lag window over a daily rollup)
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_momentum",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT d, rev_cents, n_orders,
+           CAST(rev_cents - lag(rev_cents) OVER (ORDER BY d) AS BIGINT)
+             AS delta_cents
+    FROM daily
+    """,
+)
+def q_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue rollup with day-over-day delta (lag). The lag
+    window runs over the AGGREGATED daily relation — bounded by the
+    calendar, not the order count — so the global single-partition
+    window is free by construction (same bounded-relation discipline as
+    the sketch merges). First day's delta is NULL (nothing to compare),
+    money as exact cents."""
+    _set_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("d")
+        )
+        .agg(
+            F.expr("sum(cast(round(o_totalprice * 100) as bigint))").alias(
+                "rev_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        "d",
+        "rev_cents",
+        "n_orders",
+        (F.col("rev_cents") - F.lag("rev_cents").over(w)).alias("delta_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Broadcast star join: revenue per nation (small dims broadcast)
 # ---------------------------------------------------------------------------
 @register(

@@ -187,3 +187,28 @@ def test_load_documents_jsonl_roundtrip(spark, sf_dir, tmp_path_factory):
     a = sorted(got.collect())
     b = sorted(docs.collect())
     assert a == b
+
+
+def test_revenue_momentum_planted(spark, monkeypatch):
+    """Daily rollup + lag semantics: exact cent sums per day, first day's
+    delta NULL, deltas exact differences, missing calendar days simply
+    absent (lag is over observed days)."""
+    import datetime as dt
+
+    import ocrd_anybaseocr_spark.queries as q
+
+    def o(key, day, price):
+        return (key, 1, "O", price, dt.datetime(2026, 1, day, 12, 0, 0), "1-URGENT")
+
+    rows = [o(1, 1, 10.00), o(2, 1, 2.50), o(3, 2, 5.00), o(4, 4, 1.25)]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: orders)
+    got = {r.d: r for r in q.QUERIES["revenue_momentum"](spark, "mom-twin").collect()}
+    assert set(got) == {"2026-01-01", "2026-01-02", "2026-01-04"}
+    assert got["2026-01-01"].rev_cents == 1250 and got["2026-01-01"].delta_cents is None
+    assert got["2026-01-02"].delta_cents == 500 - 1250
+    assert got["2026-01-04"].delta_cents == 125 - 500  # lag over observed days
