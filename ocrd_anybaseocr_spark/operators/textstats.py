@@ -2453,3 +2453,97 @@ ORACLE_TOKEN_BUDGET = f"""
     SELECT doc_id, score_e6, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (top adjacent-pair associations)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # pairs rarer than this are PMI noise (classic floor)
+PMI_TOPK = 50
+
+
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent-word collocations by pointwise mutual information:
+    pmi = log2(c_xy * N / (c_x * c_y)) over the corpus bigram stream,
+    with the classic min-count floor (rare pairs score arbitrarily high
+    PMI — the estimator's known failure mode). Marginals count CONTEXT
+    and SUCCESSOR occurrences from the bigram relation itself (left
+    marginal = bigram starts with x, right marginal = ends with y), so
+    all three counts share one tokenization. Micro-bit half-up ints like
+    the LM queries; ties broken (prev, cur) for a total order.
+
+    Scale shape: one (prev,cur) partial agg builds the pair relation;
+    marginals are two partial re-aggs OF that relation (never a second
+    corpus pass); the rank<=K filter compiles to the per-partition top-K
+    merge (TakeOrderedAndProject / WindowGroupLimit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.expr("size(ws) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i ->"
+                    " named_struct('prev', element_at(ws, i),"
+                    " 'cur', element_at(ws, i + 1)))"
+                )
+            ).alias("b")
+        )
+        .select("b.prev", "b.cur")
+    )
+    pairs = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_xy"))
+    left = pairs.groupBy("prev").agg(F.sum("c_xy").alias("c_x"))
+    right = pairs.groupBy("cur").agg(F.sum("c_xy").alias("c_y"))
+    n = pairs.agg(F.sum("c_xy").alias("n"))
+    scored = (
+        pairs.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(left, "prev")
+        .join(right, "cur")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "prev",
+            "cur",
+            "c_xy",
+            F.expr(
+                "cast(floor(log2(cast(c_xy as double) * cast(n as double)"
+                f" / (cast(c_x as double) * cast(c_y as double)))"
+                f" * {LM_SUP_SCALE} + 0.5) as bigint)"
+            ).alias("pmi_e6"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_e6"), F.asc("prev"), F.asc("cur"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PMI_TOPK)
+        .select("rank", "prev", "cur", "c_xy", "pmi_e6")
+    )
+
+
+ORACLE_COLLOCATIONS = f"""
+    WITH ws AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT unnest(ws[1:len(ws) - 1]) AS prev, unnest(ws[2:len(ws)]) AS cur
+      FROM ws
+    ), pairs AS (
+      SELECT prev, cur, COUNT(*) AS c_xy FROM bg GROUP BY prev, cur
+    ), lft AS (SELECT prev, SUM(c_xy) AS c_x FROM pairs GROUP BY prev),
+    rgt AS (SELECT cur, SUM(c_xy) AS c_y FROM pairs GROUP BY cur),
+    n AS (SELECT SUM(c_xy) AS n FROM pairs),
+    scored AS (
+      SELECT p.prev, p.cur, p.c_xy,
+             CAST(floor(log2(CAST(p.c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
+                  / (CAST(l.c_x AS DOUBLE) * CAST(r.c_y AS DOUBLE)))
+                  * {LM_SUP_SCALE} + 0.5) AS BIGINT) AS pmi_e6
+      FROM pairs p
+      JOIN lft l ON l.prev = p.prev
+      JOIN rgt r ON r.cur = p.cur, n
+      WHERE p.c_xy >= {PMI_MIN_COUNT}
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY pmi_e6 DESC, prev, cur) AS rank
+      FROM scored
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, prev, cur, c_xy, pmi_e6
+    FROM ranked WHERE rank <= {PMI_TOPK}
+"""

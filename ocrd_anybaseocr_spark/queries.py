@@ -827,6 +827,7 @@ register("distinct_kmv_audit", _ts.ORACLE_DISTINCT_KMV)(_ts.q_distinct_kmv_audit
 register("histogram_quantile_audit", _ts.ORACLE_HIST_QUANTILES)(_ts.q_histogram_quantile_audit)
 register("lm_bigram_cross_entropy", _ts.ORACLE_LM_BIGRAM_CE)(_ts.q_lm_bigram_cross_entropy)
 register("token_budget_select", _ts.ORACLE_TOKEN_BUDGET)(_ts.q_token_budget_select)
+register("collocations_pmi", _ts.ORACLE_COLLOCATIONS)(_ts.q_collocations_pmi)
 register("pii_scrub", _ts.ORACLE_PII)(_ts.q_pii_scrub)
 register("stratified_sample", _ts.ORACLE_STRATIFIED)(_ts.q_stratified_sample)
 register("dedup_exact_normalized", _ts.ORACLE_DEDUP_NORM)(_ts.q_dedup_exact_normalized)

@@ -2422,3 +2422,43 @@ def test_novelty_score_planted(spark, monkeypatch):
     # delta epsilon") are shared with docs 0/1, the last 3 are unique
     assert (got[3].n_shingles, got[3].n_unique) == (6, 3)
     assert got[3].novelty_ppm == 500_000
+
+
+def test_collocations_pmi_planted(spark, monkeypatch):
+    """A pair that ALWAYS co-occurs must outrank a frequent pair whose
+    parts also appear apart; micro-bit PMI matches the python
+    recomputation; the min-count floor drops rare pairs."""
+    import math
+    from collections import Counter
+
+    from ocrd_anybaseocr_spark.operators import textstats as ts
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    # "hong kong" always adjacent (5x); "the cat" frequent but "the"/"cat"
+    # appear in many other contexts; "rare pair" appears once (floored out)
+    text = ("hong kong , " * 5 + "the cat , the dog , the fish , cat alone , "
+            + "rare pair").strip()
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    got = {(r.prev, r.cur): r for r in
+           QUERIES["collocations_pmi"](spark, "pmi-twin").collect()}
+    assert ("rare", "pair") not in got  # min-count floor
+    assert ("hong", "kong") in got
+
+    w = text.split(" ")
+    bg = Counter(zip(w, w[1:]))
+    cx, cy = Counter(), Counter()
+    for (p, c), n in bg.items():
+        cx[p] += n
+        cy[c] += n
+    N = sum(bg.values())
+    for (p, c), r in got.items():
+        want = math.floor(
+            math.log2(bg[(p, c)] * N / (cx[p] * cy[c])) * 1_000_000 + 0.5
+        )
+        assert (r.c_xy, r.pmi_e6) == (bg[(p, c)], want)
+    if ("the", "cat") in got:
+        assert got[("hong", "kong")].pmi_e6 > got[("the", "cat")].pmi_e6
