@@ -569,6 +569,95 @@ def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ordered conversion funnel: view -> click -> purchase
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ms END)
+               OVER (PARTITION BY user_id) AS v
+      FROM e
+    ), s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ms >= v THEN ms END)
+               OVER (PARTITION BY user_id) AS c
+      FROM s1
+    ), s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ms >= c THEN ms END)
+               OVER (PARTITION BY user_id) AS p
+      FROM s2
+    ), u AS (
+      SELECT user_id, MAX(v) AS v, MAX(c) AS c, MAX(p) AS p
+      FROM s3 GROUP BY user_id
+    )
+    SELECT COUNT(v) AS n_view, COUNT(c) AS n_click, COUNT(p) AS n_purchase,
+           CAST(COUNT(c) * 1000000 // GREATEST(COUNT(v), 1) AS BIGINT)
+             AS click_ppm,
+           CAST(COUNT(p) * 1000000 // GREATEST(COUNT(c), 1) AS BIGINT)
+             AS purchase_ppm
+    FROM u
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel: users whose first view precedes (<=)
+    a click which precedes a purchase — the sequence-matching analytics
+    primitive (out-of-order events do NOT count, which is what separates
+    a funnel from three independent counts). Stage anchors chain through
+    three window passes over ONE user_id partitioning: v = first view,
+    c = first click at-or-after v, p = first purchase at-or-after c.
+
+    Scale shape: a single user_id shuffle feeds all three Window nodes
+    (same partitioning, no re-exchange), then one per-user agg and a
+    1-row global rollup. No joins, no second scan of the event stream."""
+    _set_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    wu = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "v", F.min(F.when(F.col("event_type") == "view", F.col("ms"))).over(wu)
+    )
+    s2 = s1.withColumn(
+        "c",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ms") >= F.col("v")),
+                F.col("ms"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ms") >= F.col("c")),
+                F.col("ms"),
+            )
+        ).over(wu),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+    return u.agg(
+        F.count("v").alias("n_view"),
+        F.count("c").alias("n_click"),
+        F.count("p").alias("n_purchase"),
+        F.expr("count(c) * 1000000 div greatest(count(v), 1)").alias("click_ppm"),
+        F.expr("count(p) * 1000000 div greatest(count(c), 1)").alias(
+            "purchase_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Day-over-day revenue momentum (lag window over a daily rollup)
 # ---------------------------------------------------------------------------
 @register(

@@ -488,3 +488,13 @@ def test_pca_gram_and_containment_plan_shapes(spark, sf_dir):
         assert "partial" in plan.lower(), name
     plan = explain_str(QUERIES["dedup_containment"](spark, sf_dir), "simple")
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """All three funnel stage windows + the per-user agg must ride ONE
+    user_id exchange — no joins, no second event-stream scan."""
+    df = QUERIES["funnel_conversion"](spark, sf_dir)
+    assert count_exchanges(df) <= 2, explain_str(df, "simple")
+    plan = explain_str(df)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan

@@ -212,3 +212,41 @@ def test_revenue_momentum_planted(spark, monkeypatch):
     assert got["2026-01-01"].rev_cents == 1250 and got["2026-01-01"].delta_cents is None
     assert got["2026-01-02"].delta_cents == 500 - 1250
     assert got["2026-01-04"].delta_cents == 125 - 500  # lag over observed days
+
+
+def test_funnel_conversion_order_sensitivity(spark, monkeypatch):
+    """The funnel must count ONLY ordered chains: a user whose purchase
+    precedes every click never converts; same-ms stages count
+    (inclusive); a click before the first view doesn't anchor."""
+    import datetime as dt
+
+    import ocrd_anybaseocr_spark.queries as q
+
+    T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, kind, minutes):
+        return (eid, T0 + dt.timedelta(minutes=minutes), uid, kind, 0.0, "")
+
+    rows = [
+        # u1: clean chain view(0) -> click(5) -> purchase(10)
+        ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "purchase", 10),
+        # u2: purchase BEFORE click -> counts view+click only
+        ev(4, 2, "view", 0), ev(5, 2, "purchase", 1), ev(6, 2, "click", 2),
+        # u3: click before first view -> no click stage
+        ev(7, 3, "click", 0), ev(8, 3, "view", 1),
+        # u4: all three at the SAME ms -> inclusive chain converts
+        ev(9, 4, "view", 0), ev(10, 4, "click", 0), ev(11, 4, "purchase", 0),
+        # u5: only noise event types
+        ev(12, 5, "error", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    r = q.QUERIES["funnel_conversion"](spark, "funnel-twin").collect()[0]
+    # views: u1,u2,u3,u4; clicks after view: u1,u2,u4; purchases: u1,u4
+    assert (r.n_view, r.n_click, r.n_purchase) == (4, 3, 2)
+    assert r.click_ppm == 3 * 1_000_000 // 4
+    assert r.purchase_ppm == 2 * 1_000_000 // 3
