@@ -658,6 +658,75 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retention cohorts: weekly activity after first signup
+# ---------------------------------------------------------------------------
+_WEEK_MS = 7 * 86_400_000
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, MIN(epoch_ms(ts)) // {_WEEK_MS} AS cohort_wk
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // {_WEEK_MS} AS wk FROM events
+    ), sized AS (
+      SELECT cohort_wk, COUNT(*) AS cohort_n FROM su GROUP BY cohort_wk
+    ), hits AS (
+      SELECT s.cohort_wk, a.wk - s.cohort_wk AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN su s ON s.user_id = a.user_id
+      WHERE a.wk >= s.cohort_wk
+      GROUP BY s.cohort_wk, a.wk - s.cohort_wk
+    )
+    SELECT CAST(h.cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(h.week_offset AS BIGINT) AS week_offset,
+           h.n_active, z.cohort_n,
+           CAST(h.n_active * 1000000 // z.cohort_n AS BIGINT) AS retention_ppm
+    FROM hits h JOIN sized z ON z.cohort_wk = h.cohort_wk
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly RETENTION COHORTS: users grouped by first-signup week;
+    for each week offset >= 0, how many of the cohort were active (any
+    event) that week — the classic companion readout to the funnel.
+    Weeks are exact integer epoch-week indexes (ms div week — no
+    calendar/timezone arithmetic to disagree on), retention as exact
+    ppm of the cohort.
+
+    Scale shape: signup anchors = one user partial agg; activity = one
+    distinct (user, week) partial agg; one equi-join on user_id (both
+    sides already user-keyed) and two bounded rollups — cohort_wk x
+    offset cells are calendar-bounded regardless of corpus size."""
+    _set_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr(f"min(unix_millis(cast(ts as timestamp))) div {_WEEK_MS}").alias("cohort_wk"))
+    )
+    act = ev.select(
+        "user_id",
+        F.expr(f"unix_millis(cast(ts as timestamp)) div {_WEEK_MS}").alias("wk"),
+    ).distinct()
+    sized = su.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_n"))
+    hits = (
+        act.join(su, "user_id")
+        .where(F.col("wk") >= F.col("cohort_wk"))
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return hits.join(sized, "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        "cohort_n",
+        F.expr("n_active * 1000000 div cohort_n").alias("retention_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Day-over-day revenue momentum (lag window over a daily rollup)
 # ---------------------------------------------------------------------------
 @register(

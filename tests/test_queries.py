@@ -250,3 +250,41 @@ def test_funnel_conversion_order_sensitivity(spark, monkeypatch):
     assert (r.n_view, r.n_click, r.n_purchase) == (4, 3, 2)
     assert r.click_ppm == 3 * 1_000_000 // 4
     assert r.purchase_ppm == 2 * 1_000_000 // 3
+
+
+def test_retention_cohorts_planted(spark, monkeypatch):
+    """Cohort anchoring and offsets pinned: week-0 retention counts the
+    signup week itself; a user active two weeks later lands at offset 2;
+    pre-signup activity never counts; users without a signup are
+    invisible; ppm exact."""
+    import datetime as dt
+
+    import ocrd_anybaseocr_spark.queries as q
+
+    WK = dt.timedelta(days=7)
+    # anchor T0 to an exact epoch-week boundary so planted events never
+    # straddle week indexes
+    T0 = dt.datetime(1970, 1, 1) + 2900 * WK
+
+    def ev(eid, uid, kind, weeks, days=0):
+        return (eid, T0 + weeks * WK + dt.timedelta(days=days), uid, kind, 0.0, "")
+
+    rows = [
+        ev(1, 1, "signup", 0), ev(2, 1, "click", 0, 2), ev(3, 1, "view", 2),
+        ev(4, 2, "signup", 0), ev(5, 2, "click", 0, 3),
+        ev(6, 3, "view", 0),                      # no signup: invisible
+        ev(7, 4, "click", 0), ev(8, 4, "signup", 1),  # pre-signup activity
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    got = {(r.cohort_wk - 2900, r.week_offset): r for r in
+           q.QUERIES["retention_cohorts"](spark, "cohort-twin").collect()}
+    assert set(got) == {(0, 0), (0, 2), (1, 0)}
+    r00 = got[(0, 0)]
+    assert (r00.n_active, r00.cohort_n, r00.retention_ppm) == (2, 2, 1_000_000)
+    assert got[(0, 2)].n_active == 1 and got[(0, 2)].retention_ppm == 500_000
+    assert got[(1, 0)].cohort_n == 1  # u4's pre-signup click didn't count
