@@ -727,6 +727,62 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling active users: DAU / trailing-7-day WAU / stickiness
+# ---------------------------------------------------------------------------
+_DAY_MS = 86_400_000
+
+
+@register(
+    "rolling_active_users",
+    oracle=f"""
+    WITH ad AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // {_DAY_MS} AS day FROM events
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM ad GROUP BY day
+    ), cover AS (
+      SELECT DISTINCT user_id, unnest(generate_series(day, day + 6)) AS day
+      FROM ad
+    ), wau AS (
+      SELECT day, COUNT(*) AS wau FROM cover GROUP BY day
+    )
+    SELECT CAST(d.day AS BIGINT) AS day, d.dau, w.wau,
+           CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per epoch-day, with DAU/WAU stickiness
+    — exact distinct counts, no sketches. The trailing window is the
+    COVER-EXPLODE trick: each (user, active-day) row covers the 7 days
+    it keeps the user "weekly active" for, then one distinct collapses
+    multi-day users — a bounded 7x fan-out into partial aggs instead of
+    a per-day range self-join (which re-scans the activity relation once
+    per window position). Days are exact integer epoch-day indexes; WAU
+    rows are emitted only for days with any same-day activity (inner
+    join to DAU).
+
+    Scale shape: two distinct partial aggs + a day-keyed equi-join; the
+    fan-out factor is the window length, independent of corpus size."""
+    _set_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ad = ev.select(
+        "user_id",
+        F.expr(f"unix_millis(cast(ts as timestamp)) div {_DAY_MS}").alias("day"),
+    ).distinct()
+    dau = ad.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ad.select(
+        "user_id", F.explode(F.expr("sequence(day, day + 6)")).alias("day")
+    ).distinct()
+    wau = cover.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("dau * 1000000 div wau").alias("stickiness_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Day-over-day revenue momentum (lag window over a daily rollup)
 # ---------------------------------------------------------------------------
 @register(

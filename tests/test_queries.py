@@ -288,3 +288,39 @@ def test_retention_cohorts_planted(spark, monkeypatch):
     assert (r00.n_active, r00.cohort_n, r00.retention_ppm) == (2, 2, 1_000_000)
     assert got[(0, 2)].n_active == 1 and got[(0, 2)].retention_ppm == 500_000
     assert got[(1, 0)].cohort_n == 1  # u4's pre-signup click didn't count
+
+
+def test_rolling_active_users_planted(spark, monkeypatch):
+    """Cover-window semantics pinned: a user active on day 0 counts
+    toward WAU on days 0..6 and not day 7; multi-day users collapse to
+    one per window; DAU exact; WAU rows only for days with activity."""
+    import datetime as dt
+
+    import ocrd_anybaseocr_spark.queries as q
+
+    T0 = dt.datetime(1970, 1, 1) + dt.timedelta(days=20000)
+
+    def ev(eid, uid, days):
+        return (eid, T0 + dt.timedelta(days=days), uid, "view", 0.0, "")
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 0),   # same user same day: one DAU
+        ev(3, 2, 0),
+        ev(4, 1, 3),                # u1 again inside the window
+        ev(5, 3, 6),                # day 6: u1,u2 still covered
+        ev(6, 3, 7),                # day 7: u1,u2 aged out
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    got = {r.day - 20000: r for r in
+           q.QUERIES["rolling_active_users"](spark, "rau-twin").collect()}
+    assert set(got) == {0, 3, 6, 7}
+    assert (got[0].dau, got[0].wau) == (2, 2)
+    assert (got[3].dau, got[3].wau) == (1, 2)      # u1 once despite 2 days
+    assert (got[6].dau, got[6].wau) == (1, 3)      # u1,u2 still in window
+    assert (got[7].dau, got[7].wau) == (1, 2)      # day-0 users aged out
+    assert got[6].stickiness_ppm == 1_000_000 // 3
