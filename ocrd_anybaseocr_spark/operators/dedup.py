@@ -2069,3 +2069,75 @@ ORACLE_NOVELTY = f"""
     FROM shd JOIN dfr USING (shingle)
     GROUP BY doc_id
 """
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the verified near-dup
+    graph — the STRUCTURE audit of duplicate neighborhoods: coefficient
+    ~1e6 means a tight all-pairs dup clique (safe to keep one); ~0 with
+    high degree means a CHAIN (drift/CDC-style transformations where
+    A~B~C but A!~C — keep-one-per-CC is lossy there, and this metric is
+    how you see it). Emits (doc_id, degree, n_triangles, clustering_ppm
+    = triangles * 1e6 div (deg*(deg-1)/2)) for nodes with degree >= 2.
+
+    Exact counting: wedge join (two hops out of each node over the
+    symmetric edge relation, x < y canonicalizes the wedge) probed
+    against the canonical edge set — two equi-joins over the bounded
+    verified pair relation, rides the same cached edge set as the
+    pairs/clusters/PR family. The wedge fan-out is sum(deg^2) — the
+    classic triangle-count bottleneck; at web scale cap or sample
+    per-node neighbor lists before wedging (the BAND_CAP discipline)."""
+    ve = _verified_cached(spark, sf_dir).select("doc_a", "doc_b")
+    und = ve.union(
+        ve.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("v"), F.col("doc_b").alias("n"))
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    wx = und.select("v", F.col("n").alias("x"))
+    wy = und.select("v", F.col("n").alias("y"))
+    wedges = wx.join(wy, "v").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        ve.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y")),
+        ["x", "y"],
+    )
+    tri = closed.groupBy("v").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "coalesce(n_triangles, 0) * 1000000"
+                " div (degree * (degree - 1) div 2)"
+            ).alias("clustering_ppm"),
+        )
+    )
+
+
+ORACLE_CLUSTERING_COEFF = f"""
+    WITH {_verified_cte()},
+    und AS (
+      SELECT doc_a AS v, doc_b AS n FROM ve
+      UNION ALL
+      SELECT doc_b AS v, doc_a AS n FROM ve
+    ),
+    deg AS (SELECT v, COUNT(*) AS degree FROM und GROUP BY v),
+    wedges AS (
+      SELECT a.v, a.n AS x, b.n AS y
+      FROM und a JOIN und b ON b.v = a.v AND a.n < b.n
+    ),
+    tri AS (
+      SELECT w.v, COUNT(*) AS n_triangles
+      FROM wedges w JOIN ve e ON e.doc_a = w.x AND e.doc_b = w.y
+      GROUP BY w.v
+    )
+    SELECT d.v AS doc_id, d.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(COALESCE(t.n_triangles, 0) * 1000000
+                // (d.degree * (d.degree - 1) // 2) AS BIGINT)
+             AS clustering_ppm
+    FROM deg d LEFT JOIN tri t ON t.v = d.v
+    WHERE d.degree >= 2
+"""
+ORACLE_CLUSTERING_COEFF = ORACLE_CLUSTERING_COEFF.replace("{H32}", _H24_DUCK)

@@ -2257,6 +2257,29 @@ ORACLE_LM_BIGRAM_CE = f"""
 FP_MAX_DF = 16  # fingerprints shared by more docs are boilerplate, skipped
 CONTAIN_MIN_PPM = 600_000  # >= 60% of the smaller doc's fingerprints shared
 
+# (app.id, sf_dir) -> checkpointed (doc_id, fps) winnow relation (the
+# session-cache convention of dedup._verified_cached)
+_WINNOW_FP_CACHE: dict = {}
+
+
+def clear_caches() -> None:
+    _WINNOW_FP_CACHE.clear()
+
+
+def _winnow_fp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.conf.get("spark.app.id", "?")
+    key = (app, sf_dir)
+    if key not in _WINNOW_FP_CACHE:
+        for k in [k for k in _WINNOW_FP_CACHE if k[0] != app]:
+            del _WINNOW_FP_CACHE[k]
+        docs = load_table(spark, sf_dir, "documents")
+        _WINNOW_FP_CACHE[key] = (
+            winnow_fingerprints(docs)
+            .select("doc_id", "fps")
+            .localCheckpoint(eager=True)
+        )
+    return _WINNOW_FP_CACHE[key]
+
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTAINMENT near-dup pairs via winnowing fingerprints: the measure
@@ -2273,9 +2296,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise fan quadratically), sizes are one partial agg, and the
     ratio filter runs before any wide emission. Winnowing's guarantee
     makes the recall floor explicit: any shared passage of >=
-    WINNOW_K + WINNOW_W - 1 words shares a fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(docs).select(
+    WINNOW_K + WINNOW_W - 1 words shares a fingerprint.
+
+    Explode discipline: the winnow array relation is localCheckpointed
+    (one row per doc, bounded) BEFORE the explode — Generate re-evaluates
+    an inlined generator expression per OUTPUT element, and the winnow
+    chain is ~16 elements x O(words) md5/slice-min work per doc
+    (measured 115 s -> 7 s at sf0.1; a repartition barrier does NOT fix
+    it — the optimizer moves the projection past the exchange)."""
+    fp = _winnow_fp_cached(spark, sf_dir).select(
         "doc_id", F.explode("fps").alias("fp")
     )
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

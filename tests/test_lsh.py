@@ -2462,3 +2462,32 @@ def test_collocations_pmi_planted(spark, monkeypatch):
         assert (r.c_xy, r.pmi_e6) == (bg[(p, c)], want)
     if ("the", "cat") in got:
         assert got[("hong", "kong")].pmi_e6 > got[("the", "cat")].pmi_e6
+
+
+def test_graph_clustering_coeff_planted(spark, monkeypatch):
+    """Triangle (clique) nodes read 1e6; a chain's middle node reads 0;
+    exact coefficients on a planted graph via the raw pair relation."""
+    from ocrd_anybaseocr_spark.operators import dedup as dd
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    # graph: triangle 1-2-3; chain 10-11-12 (open wedge at 11)
+    pairs = {(1, 2), (1, 3), (2, 3), (10, 11), (11, 12)}
+
+    docs_text = {}
+    # build texts whose verified near-dup pairs are EXACTLY `pairs`:
+    # easier to monkeypatch the cached pair relation directly
+    ve = spark.createDataFrame(
+        [(a, b, 1, 1.0) for a, b in sorted(pairs)],
+        "doc_a long, doc_b long, inter long, jaccard double",
+    )
+    monkeypatch.setattr(dd, "_verified_cached", lambda s, d: ve)
+    got = {r.doc_id: r for r in
+           QUERIES["graph_clustering_coeff"](spark, "cc-twin").collect()}
+    assert set(got) == {1, 2, 3, 11}  # degree-1 chain ends excluded
+    for v in (1, 2, 3):
+        assert (got[v].degree, got[v].n_triangles, got[v].clustering_ppm) == (
+            2, 1, 1_000_000,
+        )
+    assert (got[11].degree, got[11].n_triangles, got[11].clustering_ppm) == (
+        2, 0, 0,
+    )
