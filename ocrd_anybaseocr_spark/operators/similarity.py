@@ -1817,6 +1817,13 @@ def q_embedding_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram.crossJoin(F.broadcast(gmax))
         .withColumn("d", F.expr(f"(gm div {PCA_G_SCALE}) + 1"))
         .select("i", "j", F.expr("g div d").alias("g"))
+        # one bounded (<= dim^2 rows) relation consumed by every
+        # iteration: without the checkpoint each round's join re-derives
+        # the WHOLE corpus-wide gram lineage (measured ~4x the explode
+        # pass); coalesce(1) keeps the 4096-row iteration stages from
+        # fanning into shuffle-partition-many empty tasks
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     v = spark.range(EMB_DIM).select(
         F.col("id").cast("int").alias("i"), F.lit(PCA_V_SCALE).cast("long").alias("val")
