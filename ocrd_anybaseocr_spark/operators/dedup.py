@@ -2141,3 +2141,87 @@ ORACLE_CLUSTERING_COEFF = f"""
     WHERE d.degree >= 2
 """
 ORACLE_CLUSTERING_COEFF = ORACLE_CLUSTERING_COEFF.replace("{H32}", _H24_DUCK)
+
+
+def q_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DUPLICATION report — the curation card column a source
+    buys storage with: document count, exact-duplicate docs (content
+    hash shared with ANY doc corpus-wide, including cross-source) and
+    near-duplicate docs (membership in the verified near-dup pair
+    relation), both as exact ppm of the source. Exact and near tiers
+    answer different questions (byte-identical mirrors vs edited
+    re-posts), so both are reported.
+
+    Scale shape: exact tier = one content-hash partial agg + an
+    equi-join back (the dedup_exact plan); near tier rides the CACHED
+    verified edge set (zero added corpus-wide work); final rollup is one
+    partial agg on the low-cardinality source key."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    dup_h = (
+        keyed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("h")
+    )
+    exact = keyed.join(dup_h, "h").select("doc_id").withColumn("is_exact", F.lit(1))
+    ve = _verified_cached(spark, sf_dir)
+    near = (
+        ve.select(F.col("doc_a").alias("doc_id"))
+        .union(ve.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    lab = (
+        keyed.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_exact", F.lit(0))).alias("n_exact_dup"),
+            F.sum(F.coalesce("is_near", F.lit(0))).alias("n_near_dup"),
+        )
+    )
+    return lab.select(
+        "source",
+        "n_docs",
+        "n_exact_dup",
+        "n_near_dup",
+        F.expr("n_exact_dup * 1000000 div n_docs").alias("exact_dup_ppm"),
+        F.expr("n_near_dup * 1000000 div n_docs").alias("near_dup_ppm"),
+    )
+
+
+ORACLE_SOURCE_DUP_REPORT = f"""
+    WITH {_verified_cte()},
+    keyed AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ),
+    dup_h AS (
+      SELECT h FROM keyed GROUP BY h HAVING COUNT(*) > 1
+    ),
+    nearset AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM ve UNION ALL SELECT doc_b FROM ve
+      )
+    ),
+    lab AS (
+      SELECT k.source,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS n_exact_dup,
+             SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_near_dup
+      FROM keyed k
+      LEFT JOIN dup_h d ON d.h = k.h
+      LEFT JOIN nearset n ON n.doc_id = k.doc_id
+      GROUP BY k.source
+    )
+    SELECT source, n_docs,
+           CAST(n_exact_dup AS BIGINT) AS n_exact_dup,
+           CAST(n_near_dup AS BIGINT) AS n_near_dup,
+           CAST(n_exact_dup * 1000000 // n_docs AS BIGINT) AS exact_dup_ppm,
+           CAST(n_near_dup * 1000000 // n_docs AS BIGINT) AS near_dup_ppm
+    FROM lab
+"""
+ORACLE_SOURCE_DUP_REPORT = ORACLE_SOURCE_DUP_REPORT.replace("{H32}", _H24_DUCK)

@@ -994,6 +994,7 @@ register("pagerank_neardup", _dd.ORACLE_PAGERANK)(_dd.q_pagerank_neardup)
 register("dedup_source_matrix", _dd.ORACLE_DEDUP_SOURCE_MATRIX)(_dd.q_dedup_source_matrix)
 register("novelty_score", _dd.ORACLE_NOVELTY)(_dd.q_novelty_score)
 register("graph_clustering_coeff", _dd.ORACLE_CLUSTERING_COEFF)(_dd.q_graph_clustering_coeff)
+register("source_dup_report", _dd.ORACLE_SOURCE_DUP_REPORT)(_dd.q_source_dup_report)
 register("dedup_simhash", _dd.ORACLE_SIMHASH)(_dd.q_dedup_simhash)
 register("dedup_simhash_pairs", _dd.ORACLE_SIMHASH_PAIRS)(_dd.q_dedup_simhash_pairs)
 register("dedup_simhash_dropped_bands", _dd.ORACLE_SIMHASH_DROPPED_BANDS)(

@@ -2491,3 +2491,38 @@ def test_graph_clustering_coeff_planted(spark, monkeypatch):
     assert (got[11].degree, got[11].n_triangles, got[11].clustering_ppm) == (
         2, 0, 0,
     )
+
+
+def test_source_dup_report_consistency(spark, sf_dir):
+    """Report cells must equal a python recomputation from the raw table
+    (exact tier: corpus-wide content-hash df>1) and the gated verified
+    pair relation (near tier)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from ocrd_anybaseocr_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, md5(text) FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    hc = Counter(h for _, _, h in rows)
+    near = set()
+    for r in QUERIES["dedup_minhash_verified"](spark, sf_dir).collect():
+        near.add(r.doc_a)
+        near.add(r.doc_b)
+    want = defaultdict(lambda: [0, 0, 0])
+    for did, src, h in rows:
+        w = want[src]
+        w[0] += 1
+        w[1] += hc[h] > 1
+        w[2] += did in near
+    got = {r.source: r for r in
+           QUERIES["source_dup_report"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for src, (n, e, nr) in want.items():
+        r = got[src]
+        assert (r.n_docs, r.n_exact_dup, r.n_near_dup) == (n, e, nr), src
+        assert r.exact_dup_ppm == e * 1_000_000 // n
+        assert r.near_dup_ppm == nr * 1_000_000 // n
