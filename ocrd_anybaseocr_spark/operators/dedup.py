@@ -565,91 +565,122 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs)
 
 
+# one task's in-memory edge budget for the final union-find fold; above it
+# the edge relation is first contracted per partition to spanning-forest
+# edges (connectivity-preserving, row count never grows, cycles collapse)
+CC_FOLD_EDGES = 5_000_000
+
+
 def connected_components_labels(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
-    """Iterative min-label propagation: nodes(doc_id) × edges(doc_a, doc_b)
+    """Exact connected components: nodes(doc_id) × edges(doc_a, doc_b)
     → (doc_id, cluster_id) with cluster_id = MIN doc_id of the connected
     component (isolated nodes label themselves).
 
-    This is the distributed connected-components shape (GraphX CC /
-    hash-min) with POINTER JUMPING: each round every node takes the min
-    of its own and its neighbors' labels, then follows the result one hop
-    (label of its label — labels are always node ids of the same
-    component and only decrease, so the jump is sound and halves the
-    remaining distance). Convergence is O(log diameter) rounds instead of
-    O(diameter): the sf0.1 embedding near-dup graph has chain-shaped
-    components needing 37 plain hash-min rounds (~0.5 s of fixed Spark
-    job overhead each) vs ~7 with jumping. Lineage is truncated per round
-    with localCheckpoint (an iterative algorithm would otherwise stack
-    joins); the fixpoint check is a count of changed labels, the same
-    result on any engine/partitioning (min is order-free)."""
-    # materialize the edge set ONCE — its lineage (LSH + banding + Jaccard
-    # verification) must not recompute inside every propagation round —
-    # and iterate only over edge-touched nodes: near-dup graphs are a tiny
-    # fraction of the corpus; singletons join back at the end.
-    sym = (
-        edges.select("doc_a", "doc_b")
-        .union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
-    )
-    changed = -1
-    for _ in range(max_iter):
-        neigh = (
-            sym.join(
-                labels.select(
-                    F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("nl")
-                ),
-                "doc_b",
+    Shape: hierarchical spanning-forest reduction + one union-find fold.
+    While the edge relation exceeds CC_FOLD_EDGES, each partition runs a
+    local union-find (union-by-min, path compression) and emits its
+    spanning forest as (root, member) edges — connectivity-preserving,
+    never more rows than it read, and cycles/duplicate paths collapse, so
+    hash-partitioning by doc_a contracts dense components fast. The final
+    bounded relation folds in ONE task whose union-find labels every
+    edge-touched node with its component minimum; singletons join back at
+    the end. The result depends only on the edge SET (components are
+    partition-order-free), so labels are deterministic under any shuffle.
+
+    Why not iterative hash-min/pointer-jumping (the former shape): each
+    round re-joined the label relation against itself, and on Spark 4.1.2
+    a localCheckpoint-per-round loop of two-branch self-joins grows the
+    checkpoint job ~2.4x PER ROUND even though the logical plan and the
+    materialized data stay constant (measured: round 15 = 1.2 s, round 20
+    = 144 s; a 1000-row repro blows up identically with reliable
+    checkpoint() and with AQE off). The sf1.0 embedding graph needed ~25
+    rounds → 731 s in BENCH_r07; this fold computes the same labels in
+    ~1 s. Scale note: the fold's input is bounded by the number of
+    edge-touched nodes — the near-dup graph is a vanishing fraction of
+    the corpus (the same assumption the checkpointed pair relations make);
+    max_iter bounds the contraction rounds and a non-contracting
+    over-budget relation fails loudly rather than returning partial
+    labels (ADVICE round 2, item 4)."""
+    import math
+
+    import pandas as pd
+
+    id_type = dict(edges.dtypes)["doc_a"]
+    # materialize the edge set ONCE — its lineage (LSH + banding + verify)
+    # must not recompute in the count and again in the fold, and the fold's
+    # repartition(1) must read a materialized relation, not collapse the
+    # upstream banding join onto one task
+    e = edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+
+    def _find(parent: dict, x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    def _union_all(parent: dict, batches) -> None:
+        for pdf in batches:
+            for a, b in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = _find(parent, a), _find(parent, b)
+                if ra != rb:
+                    # union-by-min: the root of every set is its minimum,
+                    # matching the oracle's MIN(label) reachability
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+
+    def _forest(batches):
+        parent: dict = {}
+        _union_all(parent, batches)
+        roots = [(_find(parent, x), x) for x in parent]
+        rows = [(r, x) for r, x in roots if r != x]
+        if rows:
+            yield pd.DataFrame(
+                {"doc_a": [r for r, _ in rows], "doc_b": [x for _, x in rows]}
             )
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("nl").alias("mn"))
-        )
-        l1 = labels.join(neigh, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("cluster_id"), F.coalesce("mn", "cluster_id")).alias(
-                "cluster_id"
-            ),
-        )
-        # pointer jump: follow the label one hop (label of my label)
-        lmap = l1.select(
-            F.col("doc_id").alias("_lid"), F.col("cluster_id").alias("_ll")
-        )
-        new = (
-            l1.join(lmap, l1.cluster_id == lmap._lid, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("_ll", "cluster_id")
-                ).alias("cluster_id"),
+
+    def _labels(batches):
+        parent: dict = {}
+        _union_all(parent, batches)
+        if parent:
+            ks = list(parent)
+            yield pd.DataFrame(
+                {"doc_id": ks, "cluster_id": [_find(parent, x) for x in ks]}
             )
+
+    n_e = e.count()
+    rounds = 0
+    while n_e > CC_FOLD_EDGES:
+        if rounds >= max_iter:
+            raise RuntimeError(
+                f"connected components did not converge in {max_iter} rounds"
+                f" ({n_e} forest edges still above the {CC_FOLD_EDGES}-edge"
+                f" fold budget) — raise max_iter or CC_FOLD_EDGES"
+            )
+        rounds += 1
+        parts = int(math.ceil(n_e / CC_FOLD_EDGES))
+        e = (
+            e.repartition(parts, "doc_a")
+            .mapInPandas(_forest, e.schema)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        n_new = e.count()
+        if n_new >= n_e:
+            # acyclic input: contraction cannot shrink a forest further;
+            # the single-task fold below is exact regardless
             break
-    if changed != 0:
-        # silent fall-through would return PARTIAL (wrong) labels for any
-        # component whose diameter exceeds max_iter — long near-dup chains
-        # (templated/serial documents) make that plausible at corpus scale
-        # (ADVICE round 2, item 4). Fail loudly; callers raise max_iter.
-        raise RuntimeError(
-            f"connected components did not converge in {max_iter} rounds"
-            f" ({changed} labels still changing) — component diameter exceeds"
-            f" max_iter; raise max_iter"
-        )
+        n_e = n_new
+    labels = e.repartition(1).mapInPandas(
+        _labels, f"doc_id {id_type}, cluster_id {id_type}"
+    )
     return nodes.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )

@@ -231,27 +231,37 @@ def test_connected_components_chain(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "z": "e"}
 
 
-def test_connected_components_nonconvergence_raises(spark):
-    """Hitting max_iter with labels still moving must FAIL, not silently
-    return partial clusters (ADVICE round 2, item 4)."""
+def test_connected_components_nonconvergence_raises(spark, monkeypatch):
+    """An edge relation still above the fold budget after max_iter
+    contraction rounds must FAIL, not silently fold an over-budget
+    relation in one task (ADVICE round 2, item 4: no partial/unsafe
+    results on non-convergence)."""
     import pytest
 
-    from ocrd_anybaseocr_spark.operators.dedup import connected_components_labels
+    from ocrd_anybaseocr_spark.operators import dedup
 
-    # a 26-node chain: pointer jumping roughly halves the remaining
-    # distance per round, so 1 round cannot finish it but ~6 can
     chain = "abcdefghijklmnopqrstuvwxyz"
     nodes = spark.createDataFrame([(x,) for x in chain], ["doc_id"])
     edges = spark.createDataFrame(
         [(chain[i], chain[i + 1]) for i in range(len(chain) - 1)],
         ["doc_a", "doc_b"],
     )
+    # force the hierarchical path: a 2-edge fold budget with zero allowed
+    # contraction rounds must fail loudly
+    monkeypatch.setattr(dedup, "CC_FOLD_EDGES", 2)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components_labels(nodes, edges, max_iter=1).collect()
-    # and with enough rounds the same chain converges to one cluster
+        dedup.connected_components_labels(nodes, edges, max_iter=0).collect()
+    # the contraction path itself (budget forces forest rounds) converges
+    # to the exact single-component labels
     got = {
         r.doc_id: r.cluster_id
-        for r in connected_components_labels(nodes, edges, max_iter=20).collect()
+        for r in dedup.connected_components_labels(nodes, edges, max_iter=20).collect()
+    }
+    assert set(got.values()) == {"a"}
+    monkeypatch.setattr(dedup, "CC_FOLD_EDGES", 5_000_000)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_labels(nodes, edges).collect()
     }
     assert set(got.values()) == {"a"}
 
