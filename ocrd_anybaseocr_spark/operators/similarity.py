@@ -86,24 +86,6 @@ _DOT = (
 )
 
 
-def _buckets_expr_spark(n_tables: int, n_bits: int) -> str:
-    """ALL table buckets as one array expression: a single nested
-    higher-order function over one (tables*bits) x dim literal — one
-    codegen unit instead of tables*bits separate aggregate trees (36
-    separate expressions measured ~3x the plan-compile+eval cost)."""
-    planes = "array(" + ",".join(
-        "array(" + ",".join(f"{int(v)}L" for v in _PLANES[k]) + ")"
-        for k in range(n_tables * n_bits)
-    ) + ")"
-    return (
-        f"transform(sequence(0, {n_tables - 1}), t -> "
-        f"aggregate(sequence(0, {n_bits - 1}), 0, (bk, j) -> bk + "
-        f"CASE WHEN aggregate(zip_with(se, element_at({planes}, t * {n_bits} + j + 1),"
-        f" (x, p) -> x * p), 0L, (acc, v) -> acc + v) >= 0"
-        f" THEN cast(shiftleft(1, j) as int) ELSE 0 END))"
-    )
-
-
 def _planes_values_duck() -> str:
     """All precomputed planes as a DuckDB VALUES relation (k, w) — lets the
     oracle pick planes by computed index instead of splicing per-bits
@@ -119,17 +101,52 @@ def _planes_values_duck() -> str:
 def lsh_assignments(
     emb: DataFrame, n_tables: int = LSH_TABLES, n_bits: int | None = None
 ) -> DataFrame:
-    """(vec_id, tbl, bucket): one row per (vector, table). Narrow — buckets
-    are codegen'd integer expressions over the scaled embedding; the 64-long
-    arrays never leave this projection. ``n_bits=None`` derives bits from
-    the corpus size (one metadata-pushdown count job)."""
+    """(vec_id, tbl, bucket): one row per (vector, table). Narrow — one
+    mapInArrow pass whose sign tests run as a single se @ planes.T matmul
+    per batch instead of tables*bits interpreted HOF folds per row (the
+    identical integers: se = floor(x*1e4 + 0.5) in float64, plane dots
+    <= 6.4e12 — integer-valued float64, exact; see the vectorized-kernel
+    section comment). The 64-long arrays never leave this pass.
+    ``n_bits=None`` derives bits from the corpus size (one
+    metadata-pushdown count job)."""
+    import pyarrow as pa
+
     if n_bits is None:
         n_bits = derive_bits(emb.count())
     if n_tables * n_bits > _PLANES.shape[0]:
         raise ValueError("not enough precomputed hyperplanes for requested tables*bits")
-    with_se = emb.withColumn("se", F.expr(_SE_SPARK))
-    bks = F.expr(_buckets_expr_spark(n_tables, n_bits))
-    return with_se.select("vec_id", F.posexplode(bks).alias("tbl", "bucket"))
+    P = _PLANES[: n_tables * n_bits].astype(np.float64)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("tbl", pa.int32()),
+            pa.field("bucket", pa.int32()),
+        ]
+    )
+
+    def _bk(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            se = _se_f64(_emb_f64(batch))
+            n = se.shape[0]
+            # plane k = t * n_bits + j, matching the expression/oracle layout
+            bits = (se @ P.T >= 0).reshape(n, n_tables, n_bits)
+            buckets = (bits * weights).sum(axis=2).astype(np.int32)
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(vid, n_tables)),
+                    pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
+                    pa.array(buckets.reshape(-1)),
+                ],
+                schema=schema,
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _bk, "vec_id bigint, tbl int, bucket int"
+    )
 
 
 def _bk_cte_duck(n_tables: int = LSH_TABLES) -> str:
@@ -141,7 +158,7 @@ def _bk_cte_duck(n_tables: int = LSH_TABLES) -> str:
     same log2/ceil — IEEE doubles give identical results in both engines.
     Yields se0(vec_id, se, embedding) and bk(vec_id, tbl, bucket); plane
     index tbl*b + j and the sum-of-2^j bucket assembly match
-    _buckets_expr_spark term for term."""
+    lsh_assignments' arrow kernel term for term."""
     return f"""
     se0 AS (
       SELECT vec_id, {_SE_DUCK} AS se, embedding FROM embeddings
@@ -404,6 +421,7 @@ def clear_caches() -> None:
     _IVF_ASSIGN_CACHE.clear()
     _LSH_ASSIGN_CACHE.clear()
     _PQ_CODES_CACHE.clear()
+    _KMEANS_CENTS_CACHE.clear()
 
 
 # the LSH INDEX (vec, tbl) -> bucket, checkpointed per (session, sf_dir,
@@ -490,6 +508,93 @@ def _argmin_cell_expr(cents: list[tuple[int, list[int]]], vcol: str = "v_se") ->
     return _argmin_struct_expr(cents, vcol) + ".c"
 
 
+# ---------------------------------------------------------------------------
+# vectorized exact assignment kernels (Arrow batches → numpy, guide §4.2)
+#
+# The interpreted-HOF literal folds above are exact but evaluate per row
+# per centroid (~0.4 ms/row at k=45; nothing codegens inside a lambda
+# body). At derived k (142 cells at 20 000 vectors, up to IVF_MAX_K) that
+# made the IVF build 23 s and each Lloyd iteration ~18 s at sf1.0. The
+# mapInArrow kernels below compute the IDENTICAL integers as one numpy
+# matmul per batch: se = floor(x*1e4 + 0.5) in float64 (the same IEEE
+# double ops as the Spark expression), and every dot/d2 is a sum of
+# integer-valued float64 products bounded far below 2^53 (|se| <= ~2e4,
+# dim 64 → |dot| <= 2.6e10; plane dots <= 6.4e12), so BLAS float64
+# matmul is EXACT and the int64 cast is lossless — bit-identical to the
+# HOF fold and to the DuckDB oracle. The physical shape stays
+# scan → MapInArrow → project: zero exchanges, same as the literal form
+# (plan-asserted), and MapInArrow is not a ROW_PYTHON flag.
+# ---------------------------------------------------------------------------
+
+_ASSIGN_CHUNK = 2048  # rows per argmin block: chunk x k x 8B <= ~67 MB at k=4096
+
+
+def _emb_f64(batch, col: str = "embedding"):
+    """(n, EMB_DIM) float64 from an Arrow list column (offset-safe). The
+    float64 cast mirrors the expression's cast(x as double) — float32
+    inputs must widen BEFORE the 1e4 scale or numpy keeps float32 math."""
+    a = batch.column(col)
+    flat = a.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(-1, EMB_DIM)
+
+
+def _se_f64(X):
+    """floor(x*1e4 + 0.5) as float64 — integer-valued, exact (< 2^53)."""
+    return np.floor(X * 10000.0 + 0.5)
+
+
+def _argmin_cells_np(se, C, c2):
+    """Per-row (first-min cell INDEX, exact int64 d2) over centroid matrix
+    ``C`` (k x dim float64, integer-valued) — ties keep the lowest index,
+    matching the literal fold's strict-< keep-first."""
+    n = se.shape[0]
+    idx = np.empty(n, dtype=np.int64)
+    d2 = np.empty(n, dtype=np.int64)
+    v2 = (se * se).sum(axis=1)
+    for a in range(0, n, _ASSIGN_CHUNK):
+        b = min(a + _ASSIGN_CHUNK, n)
+        D = v2[a:b, None] - 2.0 * (se[a:b] @ C.T) + c2[None, :]
+        ix = D.argmin(axis=1)
+        idx[a:b] = ix
+        d2[a:b] = D[np.arange(b - a), ix].astype(np.int64)
+    return idx, d2
+
+
+def _cents_np(cents: list[tuple[int, list[int]]]):
+    """(cell_ids int64, C float64 k x dim, c2 float64 k) from the sorted
+    (cell, vector) centroid list."""
+    cells = np.asarray([c for c, _ in cents], dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    return cells, C, (C * C).sum(axis=1)
+
+
+def assignments_arrow(emb: DataFrame, cents, with_d2: bool = False) -> DataFrame:
+    """(vec_id, cell[, d2]): nearest-centroid assignment as a narrow
+    mapInArrow pass — the vectorized twin of the _argmin_*_expr literal
+    fold (identical integers, see the section comment)."""
+    import pyarrow as pa
+
+    cells, C, c2 = _cents_np(cents)
+    fields = [pa.field("vec_id", pa.int64()), pa.field("cell", pa.int32())]
+    if with_d2:
+        fields.append(pa.field("d2", pa.int64()))
+    schema = pa.schema(fields)
+
+    def _assign(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            se = _se_f64(_emb_f64(batch))
+            ix, d2 = _argmin_cells_np(se, C, c2)
+            cols = [batch.column("vec_id"), pa.array(cells[ix].astype(np.int32))]
+            if with_d2:
+                cols.append(pa.array(d2))
+            yield pa.RecordBatch.from_arrays(cols, schema=schema)
+
+    out_schema = "vec_id bigint, cell int" + (", d2 bigint" if with_d2 else "")
+    return emb.select("vec_id", "embedding").mapInArrow(_assign, out_schema)
+
+
 def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment, IVF-Flat style.
 
@@ -515,8 +620,7 @@ def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
         .collect()
     )
     cents = sorted((int(r["cell"]), list(r["c_se"])) for r in cent_rows)
-    v = emb.select("vec_id", F.expr(_SE_SPARK).alias("v_se"))
-    return v.select("vec_id", F.expr(_argmin_cell_expr(cents)).alias("cell"))
+    return assignments_arrow(emb, cents)
 
 
 def _ivf_assignments_minby(emb: DataFrame, k: int) -> DataFrame:
@@ -1273,15 +1377,11 @@ def kmeans_centroids(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITER
     )
     cents = sorted((int(r["vec_id"]), list(map(int, r["se"]))) for r in cent_rows)
     dim = len(cents[0][1])
-    v = emb.select(F.expr(_SE_SPARK).alias("v_se"))
     for _ in range(iters):
-        assigned = v.select(
-            F.expr(_argmin_cell_expr(cents)).alias("cluster"), "v_se"
-        )
         sums = (
-            assigned.select("cluster", F.posexplode("v_se").alias("j", "val"))
+            _kmeans_partials_arrow(emb, cents)
             .groupBy("cluster", "j")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         acc: dict[int, dict[int, int]] = {}
@@ -1295,18 +1395,86 @@ def kmeans_centroids(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITER
     return cents
 
 
+def _kmeans_partials_arrow(emb: DataFrame, cents) -> DataFrame:
+    """(cluster, j, s, n): per-task partial coordinate sums of each Lloyd
+    iteration — the arrow twin of the former posexplode + partial agg,
+    with the per-row argmin vectorized (see assignments_arrow; identical
+    integers). Per task it emits <= k x dim rows, so the one exchange
+    stays the same bounded (cluster, j) partial-agg shuffle."""
+    import pyarrow as pa
+
+    cells, C, c2 = _cents_np(cents)
+    k, dim = C.shape
+    schema = pa.schema(
+        [
+            pa.field("cluster", pa.int32()),
+            pa.field("j", pa.int32()),
+            pa.field("s", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def _part(batches):
+        S = np.zeros((k, dim), dtype=np.int64)
+        N = np.zeros(k, dtype=np.int64)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            se = _se_f64(_emb_f64(batch))
+            ix, _ = _argmin_cells_np(se, C, c2)
+            np.add.at(S, ix, se.astype(np.int64))
+            N += np.bincount(ix, minlength=k)
+        nz = np.nonzero(N)[0]
+        if len(nz):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(cells[nz], dim).astype(np.int32)),
+                    pa.array(np.tile(np.arange(dim, dtype=np.int32), len(nz))),
+                    pa.array(S[nz].reshape(-1)),
+                    pa.array(np.repeat(N[nz], dim)),
+                ],
+                schema=schema,
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _part, "cluster int, j int, s bigint, n bigint"
+    )
+
+
+# refined Lloyd centroids per (session, sf_dir, k, iters): q_kmeans_clusters
+# and q_dedup_semantic run the SAME derivation on the same corpus — one
+# driver pass pays the iteration cost once (the _verified_cached rationale;
+# centroids are a bounded k x dim int list, not a relation)
+_KMEANS_CENTS_CACHE: dict[tuple[str, str, int, int], list] = {}
+
+
+def _kmeans_cents_cached(
+    spark: SparkSession, sf_dir: str, k: int, iters: int = KMEANS_ITERS
+) -> list:
+    app = spark.conf.get("spark.app.id", "?")
+    key = (app, sf_dir, k, iters)
+    if key not in _KMEANS_CENTS_CACHE:
+        for c in [c for c in _KMEANS_CENTS_CACHE if c[0] != app]:
+            del _KMEANS_CENTS_CACHE[c]
+        emb = load_table(spark, sf_dir, "embeddings")
+        _KMEANS_CENTS_CACHE[key] = kmeans_centroids(emb, k, iters)
+    return _KMEANS_CENTS_CACHE[key]
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster): corpus bucketing by embedding — the curation
     pass that stratifies training data by topic/domain before sampling or
-    per-bucket quality rules. Final assignment is one narrow scan→project
-    over the refined centroid literals (plan-asserted); ``k`` derives from
-    the corpus size (derive_semantic_k, shared session-cached count)."""
+    per-bucket quality rules. Final assignment is one narrow
+    scan→mapInArrow pass over the refined centroids (plan-asserted zero
+    exchanges; identical integers to the literal-argmin form, see
+    assignments_arrow); ``k`` derives from the corpus size
+    (derive_semantic_k, shared session-cached count) and the refined
+    centroids are session-cached so the SemDeDup query reuses them."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, derive_semantic_k(_emb_count_cached(spark, sf_dir)))
-    v = emb.select("vec_id", F.expr(_SE_SPARK).alias("v_se"))
-    return v.select(
-        "vec_id", F.expr(_argmin_cell_expr(cents)).alias("cluster")
+    cents = _kmeans_cents_cached(
+        spark, sf_dir, derive_semantic_k(_emb_count_cached(spark, sf_dir))
     )
+    return assignments_arrow(emb, cents).withColumnRenamed("cell", "cluster")
 
 
 def _kmeans_iter_ctes(k_sql: str, iters: int, dim: int) -> str:
@@ -1364,13 +1532,48 @@ SEMDEDUP_DOT_E8 = 35_000_000
 
 
 def semantic_assignments(emb: DataFrame, cents) -> DataFrame:
-    """(vec_id, v_se, ac struct<d,c>): k-means assignment that also keeps
-    the exact squared-L2 to the OWN centroid — SemDeDup's within-cluster
-    ordering key — from the SAME single argmin fold. NARROW: scan ->
-    project, zero exchanges (plan-asserted). Callers expand ac AFTER a
-    checkpoint (see _argmin_struct_expr's docstring)."""
-    v = emb.select("vec_id", F.expr(_SE_SPARK).alias("v_se"))
-    return v.select("vec_id", "v_se", F.expr(_argmin_struct_expr(cents)).alias("ac"))
+    """(vec_id, v_se, cluster, d2): k-means assignment carrying the exact
+    squared-L2 to the OWN centroid — SemDeDup's within-cluster ordering
+    key — plus the scaled-int vector for the within-cluster gram, all
+    from ONE narrow mapInArrow pass (zero exchanges, plan-asserted;
+    identical integers to the former (d2, c) struct fold — see
+    assignments_arrow's section comment)."""
+    import pyarrow as pa
+
+    cells, C, c2 = _cents_np(cents)
+    schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("v_se", pa.list_(pa.int64())),
+            pa.field("cluster", pa.int32()),
+            pa.field("d2", pa.int64()),
+        ]
+    )
+
+    def _assign(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            se = _se_f64(_emb_f64(batch))
+            ix, d2 = _argmin_cells_np(se, C, c2)
+            n = se.shape[0]
+            vse = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * EMB_DIM, EMB_DIM, dtype=np.int32)),
+                pa.array(se.reshape(-1).astype(np.int64)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    vse,
+                    pa.array(cells[ix].astype(np.int32)),
+                    pa.array(d2),
+                ],
+                schema=schema,
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _assign, "vec_id bigint, v_se array<bigint>, cluster int, d2 bigint"
+    )
 
 
 def semantic_dedup_decisions(asg: DataFrame) -> DataFrame:
@@ -1390,8 +1593,8 @@ def semantic_dedup_decisions(asg: DataFrame) -> DataFrame:
     Work never crosses clusters; everything compared is exact int64, so
     kept/dropped is partition-order-free.
 
-    ``asg`` must carry (vec_id, v_se, cluster, d2) — the expanded form of
-    semantic_assignments, materialized first.
+    ``asg`` must carry (vec_id, v_se, cluster, d2) — what
+    semantic_assignments emits.
 
     Physical form: grouped ``applyInPandas`` (one cluster = one Arrow
     batch) with a vectorized int64 matmul — the within-cluster all-pairs
@@ -1447,12 +1650,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch (no checkpoint needed — the decisions pass consumes the
     assignment exactly once, unlike the old self-join form)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, derive_semantic_k(_emb_count_cached(spark, sf_dir)))
-    raw = semantic_assignments(emb, cents)
-    asg = raw.select(
-        "vec_id", "v_se", F.col("ac.c").alias("cluster"), F.col("ac.d").alias("d2")
+    cents = _kmeans_cents_cached(
+        spark, sf_dir, derive_semantic_k(_emb_count_cached(spark, sf_dir))
     )
-    return semantic_dedup_decisions(asg)
+    return semantic_dedup_decisions(semantic_assignments(emb, cents))
 
 
 _SEMDEDUP_D2 = (

@@ -417,17 +417,23 @@ def test_dynamic_semantic_k_parity_above_step(spark):
 
     cents = sim.kmeans_centroids(df, k)
     assert len(cents) <= k and max(c for c, _ in cents) < k
-    v = df.select("vec_id", F.expr(sim._SE_SPARK).alias("v_se"))
+    # production arrow path AND the literal-fold twin must both match the
+    # oracle (the fold cross-checks the vectorized kernel's exactness)
     got_km = sorted(
+        (r.vec_id, r.cluster)
+        for r in sim.assignments_arrow(df, cents)
+        .withColumnRenamed("cell", "cluster")
+        .collect()
+    )
+    v = df.select("vec_id", F.expr(sim._SE_SPARK).alias("v_se"))
+    got_km_fold = sorted(
         (r.vec_id, r.cluster)
         for r in v.select(
             "vec_id", F.expr(sim._argmin_cell_expr(cents)).alias("cluster")
         ).collect()
     )
-    raw = sim.semantic_assignments(df, cents)
-    asg = raw.select(
-        "vec_id", "v_se", F.col("ac.c").alias("cluster"), F.col("ac.d").alias("d2")
-    )
+    assert got_km == got_km_fold
+    asg = sim.semantic_assignments(df, cents)
     got_sd = sorted(
         (r.vec_id, r.cluster, r.d2, r.kept)
         for r in sim.semantic_dedup_decisions(asg).collect()

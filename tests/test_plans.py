@@ -202,19 +202,19 @@ def test_pq_adc_lut_broadcast_no_cartesian(spark, sf_dir):
 
 
 def test_kmeans_assignment_is_narrow(spark, sf_dir):
-    """The final k-means assignment must be scan → project over centroid
-    literals (same contract as IVF/PQ) — no Exchange."""
+    """The final k-means assignment must be scan → mapInArrow → project
+    (same zero-exchange contract as IVF/PQ) — no Exchange, and never a
+    row-at-a-time BatchEvalPython node."""
     from ocrd_anybaseocr_spark.operators.similarity import (
-        _argmin_cell_expr,
+        assignments_arrow,
         kmeans_centroids,
     )
-    from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = kmeans_centroids(emb)
-    df = emb.select("vec_id", F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))").alias("v_se")) \
-            .select("vec_id", F.expr(_argmin_cell_expr(cents)).alias("cluster"))
+    df = assignments_arrow(emb, cents).withColumnRenamed("cell", "cluster")
     assert count_exchanges(df) == 0, explain_str(df, "simple")
+    assert "BatchEvalPython" not in explain_str(df, "simple")
 
 
 def test_caption_pairs_is_narrow(spark, sf_dir):
@@ -264,13 +264,12 @@ def test_bm25_broadcasts_stats_and_prefilters_terms(spark, sf_dir):
 
 
 def test_semantic_assignment_is_narrow_decisions_one_exchange(spark, sf_dir):
-    """SemDeDup: the assignment relation (vec_id, v_se, d2, cluster) must
-    be scan -> project over centroid literals (zero exchanges — the
-    kmeans/IVF contract), with the (d2, cluster) struct fold appearing
-    ONCE in the optimized plan even though both fields are extracted
-    (CollapseProject must not duplicate the non-cheap fold). The full
-    decisions pass is that projection + exactly ONE exchange (hash by
-    cluster) + a grouped Arrow batch — never a pair-blow-up join."""
+    """SemDeDup: the assignment relation (vec_id, v_se, cluster, d2) must
+    be scan -> mapInArrow -> project (zero exchanges — the kmeans/IVF
+    contract; one vectorized argmin per batch, never a row-at-a-time
+    BatchEvalPython). The full decisions pass is that pass + exactly ONE
+    exchange (hash by cluster) + a grouped Arrow batch — never a
+    pair-blow-up join."""
     from ocrd_anybaseocr_spark.operators.similarity import (
         kmeans_centroids,
         semantic_assignments,
@@ -278,16 +277,10 @@ def test_semantic_assignment_is_narrow_decisions_one_exchange(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = semantic_assignments(emb, kmeans_centroids(emb))
-    assert count_exchanges(raw) == 0, explain_str(raw, "simple")
-    from pyspark.sql import functions as F
-
-    asg = raw.select(
-        "vec_id", "v_se", F.col("ac.c").alias("cluster"), F.col("ac.d").alias("d2")
-    )
+    asg = semantic_assignments(emb, kmeans_centroids(emb))
+    assert count_exchanges(asg) == 0, explain_str(asg, "simple")
+    assert "BatchEvalPython" not in explain_str(asg, "simple")
     df = semantic_dedup_decisions(asg)
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert opt.count("aggregate(array(named_struct") == 1, opt
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
