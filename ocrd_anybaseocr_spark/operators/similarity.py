@@ -1976,38 +1976,60 @@ def q_embedding_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     leading right-singular direction) by DISTRIBUTED power iteration,
     exact integer arithmetic end to end: embeddings as 1e4-scaled ints,
     the EMB_DIM x EMB_DIM gram matrix as a LONG-FORM relation (i, j, g)
-    built by one explode + partial agg (<= 4096 cells regardless of
-    corpus size — the CMS shape for second moments), each iteration a
-    matrix-vector product expressed as equi-join + groupBy (the PageRank
-    step), renormalized by max|coordinate| with FLOOR division spelled
-    (x - pmod(x, m)) div m so Spark's truncating div matches DuckDB's
-    flooring // on negative coordinates. Emits (dim, component_e6).
+    built by one mapInArrow partial-gram pass + partial agg (<= 4096
+    cells regardless of corpus size — the CMS shape for second moments),
+    each iteration a matrix-vector product expressed as equi-join +
+    groupBy (the PageRank step), renormalized by max|coordinate| with
+    TRUNCATING division (plain div/`//`) — Spark div and DuckDB integer
+    // both truncate toward zero (the r7 finding), so negative
+    coordinates agree with no pmod tricks. Emits (dim, component_e6).
 
-    Scale shape: the gram build is the only corpus-wide pass — explode
-    fans each vector into dim^2 products but the map-side combine
-    collapses every task to <= dim^2 cells before the one shuffle; the
-    iterations then run on a 4096-row relation (broadcast joins, 1-row
-    max scalars) — corpus size touches nothing after the first agg.
+    Scale shape: the gram build is the only corpus-wide pass — each task
+    folds its batches into one dim x dim numpy gram and emits <= 2080
+    upper-triangle cells into the one (i, j) shuffle; the iterations
+    then run on a 4096-row relation (broadcast joins, 1-row max
+    scalars) — corpus size touches nothing after the first agg.
     Convergence is eigengap-bound as usual for power iteration; the
     operator contract is the DETERMINISTIC 3-round iterate, which both
     engines and the pytest recomputation reproduce bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
-    se = emb.select(F.expr(_SE_SPARK).alias("se"))
-    # triangular explode (i <= j): dim*(dim+1)/2 products per row, not
-    # dim^2 — the gram is symmetric, so the lower triangle is a mirror
-    # union over the AGGREGATED <=2080-cell relation (free), while the
-    # explode is the per-row hot loop at corpus scale
-    pairs = se.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(0, {EMB_DIM - 1}), i ->"
-                f" transform(sequence(i, {EMB_DIM - 1}), j ->"
-                " named_struct('i', i, 'j', j,"
-                " 'p', element_at(se, i + 1) * element_at(se, j + 1)))))"
+    # upper-triangle gram cell partials per TASK: one numpy se.T @ se per
+    # batch (integer-valued float64 products <= 4.1e8, per-batch sums
+    # <= ~4e12 << 2^53 — exact; accumulated across batches in int64), then
+    # <= dim*(dim+1)/2 = 2080 rows per task into the same (i, j) partial-
+    # agg shuffle. Replaces the triangular HOF explode that fanned 2080
+    # interpreted structs per ROW (27 s -> ~2 s at sf1.0); the lower
+    # triangle stays a mirror union over the aggregated cells (free).
+    import pyarrow as pa
+
+    _iu_i, _iu_j = np.triu_indices(EMB_DIM)
+    _gram_schema = pa.schema(
+        [pa.field("i", pa.int32()), pa.field("j", pa.int32()), pa.field("g", pa.int64())]
+    )
+
+    def _gram_partials(batches):
+        G = np.zeros((EMB_DIM, EMB_DIM), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            seen = True
+            se = _se_f64(_emb_f64(batch))
+            G += (se.T @ se).astype(np.int64)
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(_iu_i.astype(np.int32)),
+                    pa.array(_iu_j.astype(np.int32)),
+                    pa.array(G[_iu_i, _iu_j]),
+                ],
+                schema=_gram_schema,
             )
-        ).alias("x")
-    ).select("x.i", "x.j", "x.p")
-    tri = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+
+    pairs = emb.select("embedding").mapInArrow(
+        _gram_partials, "i int, j int, g bigint"
+    )
+    tri = pairs.groupBy("i", "j").agg(F.sum("g").alias("g"))
     gram = tri.union(
         tri.where(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"

@@ -27,6 +27,21 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _clear_session_caches():
+    """Drop every per-session (app.id, sf_dir) relation cache before each
+    test: tests that monkeypatch load_table with a shared fake sf_dir
+    ('unused') would otherwise read a PREVIOUS test's planted relation
+    out of the cache (the documented clear_caches() obligation, made
+    structural once the cache family grew past what individual tests
+    remembered to clear)."""
+    from ocrd_anybaseocr_spark.operators import dedup, media, similarity, textstats, tokenize
+
+    for m in (dedup, media, similarity, textstats, tokenize):
+        m.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="session")
 def corpus_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("corpus"))

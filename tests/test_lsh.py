@@ -579,7 +579,12 @@ def test_corpus_clean_filter_planted_rules(spark, monkeypatch):
         ],
         "doc_id long, text string",
     )
+    from ocrd_anybaseocr_spark.operators import dedup as dd_mod
+
     monkeypatch.setattr(ts, "load_table", lambda s, d, n: docs)
+    # the repetition-stats side rides dedup's session cache, which loads
+    # the documents table through dedup's own load_table
+    monkeypatch.setattr(dd_mod, "load_table", lambda s, d, n: docs)
     out = {r.doc_id: r for r in ts.q_corpus_clean_filter(spark, "unused").collect()}
     assert out[7].retained and out[7].reasons == ""
     assert out[1].retained and out[1].reasons == ""

@@ -77,15 +77,19 @@ def test_value_quantiles_single_shuffle_no_buffer_agg(spark, sf_dir):
 
 
 def test_boilerplate_partial_aggs_no_cartesian(spark, sf_dir):
-    """The boilerplate df-join must stay an equi-join with map-side
-    partial aggregates on high-entropy keys — never a cartesian or a
-    nested-loop (a hot shingle would make that quadratic)."""
+    """Boilerplate: ONE explode pass (occurrence counts with map-side
+    partials on high-entropy keys), the per-source df as a window on the
+    same (source, shingle) key — never a cartesian or a nested-loop (a
+    hot shingle would make that quadratic), never a second corpus-sized
+    df join-back."""
     df = QUERIES["boilerplate_ratio"](spark, sf_dir)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial" in explain_str(df).lower()
     assert count_exchanges(df) <= 4, plan
+    # one Generate (explode) only — the old shape tokenized the corpus twice
+    assert explain_str(df).count("Generate explode") <= 1, plan
 
 
 def test_ann_brute_force_no_shuffle(spark, sf_dir):
@@ -165,15 +169,22 @@ def test_exact_substring_equi_join_shape(spark, sf_dir):
 
 
 def test_clean_filter_and_repetition_partial_aggs(spark, sf_dir):
-    """The cleaning filter and repetition ratio must keep their aggregates
-    partial (map-side combine before each exchange) and never degenerate
-    to a cartesian/nested-loop product."""
-    for name in ("corpus_clean_filter", "repetition_ratio"):
-        df = QUERIES[name](spark, sf_dir)
-        plan = explain_str(df, "simple")
-        assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
-        assert "partial" in explain_str(df).lower(), name
+    """The cleaning filter must keep its aggregates partial (map-side
+    combine before each exchange); repetition ratio is now fully NARROW
+    (per-doc array sizes, no shuffle at all — asserted on the raw
+    builder since the query rides a session checkpoint). Neither may
+    degenerate to a cartesian/nested-loop product."""
+    from ocrd_anybaseocr_spark.operators.dedup import repetition_stats
+    from ocrd_anybaseocr_spark.operators.textstats import _clean_verdicts_build
+
+    df = _clean_verdicts_build(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in explain_str(df).lower()
+    rep = repetition_stats(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    assert count_exchanges(rep) == 0, explain_str(rep, "simple")
+    assert "CartesianProduct" not in explain_str(rep, "simple")
 
 
 def test_pq_encode_is_narrow(spark, sf_dir):
