@@ -25,7 +25,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, scan_fanout
+
+def _docs_fanout(spark: SparkSession, sf_dir: str):
+    """The documents table with the adaptive scan fanout (see
+    sources.tables.scan_fanout) — goes through this module's load_table
+    so tests that monkeypatch it keep working."""
+    return scan_fanout(load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents")
+
 
 N_MINHASH = 16
 N_BANDS = 4
@@ -411,7 +418,7 @@ def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LSH_PAIRS_CACHE,
         spark,
         sf_dir,
-        lambda: lsh_pairs(minhash_signatures(load_table(spark, sf_dir, "documents"))),
+        lambda: lsh_pairs(minhash_signatures(_docs_fanout(spark, sf_dir))),
     )
 
 
@@ -420,7 +427,7 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         _JACCARD_PAIRS_CACHE,
         spark,
         sf_dir,
-        lambda: jaccard_pairs(load_table(spark, sf_dir, "documents")),
+        lambda: jaccard_pairs(_docs_fanout(spark, sf_dir)),
     )
 
 
@@ -433,7 +440,7 @@ def _verified_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cycles sessions doesn't pin dead checkpoint references forever
         for k in [k for k in _VERIFIED_CACHE if k[0] != app]:
             del _VERIFIED_CACHE[k]
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _docs_fanout(spark, sf_dir)
         # same lineage as verified_pairs (the raw builder plan tests
         # assert on), but the candidate side rides the checkpointed band
         # relation so one driver pass computes signatures+banding once
@@ -535,7 +542,7 @@ def _simhash_sig_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SIMHASH_SIG_CACHE,
         spark,
         sf_dir,
-        lambda: simhash_signatures_df(load_table(spark, sf_dir, "documents")),
+        lambda: simhash_signatures_df(_docs_fanout(spark, sf_dir)),
     )
 
 
@@ -841,7 +848,7 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % DECON_EVAL_MOD == 0 stand in for the held-out eval table
     (same shape; deterministic in both engines), the rest are the
     training corpus."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_fanout(spark, sf_dir).select("doc_id", "text")
     ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
     return decontamination_overlap(corpus, ev).select(
@@ -943,7 +950,7 @@ def exact_substring_pairs(
 
 
 def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_fanout(spark, sf_dir).select("doc_id", "text")
     return exact_substring_pairs(docs)
 
 
@@ -1034,7 +1041,7 @@ def _rep_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: repetition_stats(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            _docs_fanout(spark, sf_dir).select("doc_id", "text")
         ),
     )
 
@@ -1158,7 +1165,7 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
 
 def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        _docs_fanout(spark, sf_dir).select("doc_id", "text")
     )
 
 
@@ -1482,7 +1489,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: a deterministic in-query split plays the two roles — even
     doc_ids are the EXISTING corpus, odd doc_ids the NEW batch (both
     engines split identically, so the oracle sees the same sides)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     return dedup_incremental(
         docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
     )
@@ -1779,7 +1786,7 @@ def _cdc_rows_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _CDC_ROWS_CACHE:
         for k in [k for k in _CDC_ROWS_CACHE if k[0] != app]:
             del _CDC_ROWS_CACHE[k]
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _docs_fanout(spark, sf_dir)
         _CDC_ROWS_CACHE[key] = cdc_chunk_rows(docs).localCheckpoint(eager=True)
     return _CDC_ROWS_CACHE[key]
 
@@ -2180,7 +2187,7 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(doc_id) of its group and n_unique is a count over the df == 1
     groups (the former shd ⋈ dfr equi-join re-shuffled all distinct
     (doc, shingle) rows a second time to compute exactly this)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     shd = shingles(docs).distinct()
     per_doc = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     uniq = (

@@ -7,7 +7,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, scan_fanout
+
+def _docs_fanout(spark: SparkSession, sf_dir: str):
+    """The documents table with the adaptive scan fanout (see
+    sources.tables.scan_fanout) — goes through this module's load_table
+    so tests that monkeypatch it keep working."""
+    return scan_fanout(load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents")
+
 
 # marker stopwords per language (whole-word regex, identical RE semantics in
 # Java regex and RE2 for this simple alternation)
@@ -185,30 +192,63 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling-hash document fingerprinting by WINNOWING (the MOSS
     algorithm): hash every WINNOW_K-word k-gram (md5 prefix → int), take
     the minimum of each sliding window of WINNOW_W hashes, keep the
-    distinct minima. Pure array expressions — one pass, no explode, no
-    shuffle. Guarantee: two documents sharing ANY passage of at least
-    WINNOW_K + WINNOW_W - 1 words share at least one fingerprint (both
-    contain the identical window of k-gram hashes, so both select its
-    minimum)."""
-    words = "split(text, ' ')"
-    h = (
-        f"cast(conv(substring(md5(cast(concat_ws(' ',"
-        f" slice({words}, i + 1, {WINNOW_K})) as binary)), 1, 8), 16, 10) as bigint)"
-    )
-    kg = (
-        f"CASE WHEN size({words}) >= {WINNOW_K} THEN"
-        f" transform(sequence(0, size({words}) - {WINNOW_K}), i -> {h})"
-        f" ELSE array() END"
-    )
-    wins = (
-        f"CASE WHEN size(kg) >= {WINNOW_W} THEN"
-        f" transform(sequence(0, size(kg) - {WINNOW_W}), j -> array_min(slice(kg, j + 1, {WINNOW_W})))"
-        f" ELSE (CASE WHEN size(kg) > 0 THEN array(array_min(kg)) ELSE array() END) END"
-    )
-    return (
-        docs.select("doc_id", F.expr(kg).alias("kg"))
-        .select("doc_id", F.expr(wins).alias("wins"))
-        .select("doc_id", F.expr("array_sort(array_distinct(wins))").alias("fps"))
+    distinct minima sorted. One narrow mapInArrow pass — no explode, no
+    shuffle; the per-k-gram md5/slice-min chain runs as hashlib + numpy
+    sliding-window mins per document instead of interpreted HOF lambdas
+    per element (~3x at sf1.0; identical integers: the first 8 md5 hex
+    chars ARE the first 4 digest bytes big-endian, ' '.join == concat_ws,
+    str.split(' ') == split(text, ' ') including empty tokens, and
+    np.unique == array_sort∘array_distinct on ints). Guarantee: two
+    documents sharing ANY passage of at least WINNOW_K + WINNOW_W - 1
+    words share at least one fingerprint (both contain the identical
+    window of k-gram hashes, so both select its minimum)."""
+    K, W = WINNOW_K, WINNOW_W
+    id_type = dict(docs.dtypes)["doc_id"]
+
+    def _fps(batches):
+        import pyarrow as pa
+        import hashlib
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        md5 = hashlib.md5
+        empty = np.empty(0, dtype=np.int64)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            per_doc = []
+            for t in batch.column("text").to_pylist():
+                ws = t.split(" ")
+                n = len(ws)
+                if n < K:
+                    per_doc.append(empty)
+                    continue
+                kg = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(" ".join(ws[i : i + K]).encode()).digest()[:4], "big"
+                        )
+                        for i in range(n - K + 1)
+                    ),
+                    dtype=np.int64,
+                    count=n - K + 1,
+                )
+                if len(kg) >= W:
+                    wins = sliding_window_view(kg, W).min(axis=1)
+                else:
+                    wins = kg.min(keepdims=True)
+                per_doc.append(np.unique(wins))
+            offs = np.zeros(len(per_doc) + 1, dtype=np.int32)
+            np.cumsum([len(u) for u in per_doc], out=offs[1:])
+            values = np.concatenate(per_doc) if per_doc else empty
+            fps = pa.ListArray.from_arrays(pa.array(offs), pa.array(values))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), fps], names=["doc_id", "fps"]
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        _fps, f"doc_id {id_type}, fps array<bigint>"
     )
 
 
@@ -250,7 +290,7 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     in documents and no corpus-sized relation is broadcast."""
     from .dedup import shingle_explode
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     sh = shingle_explode(docs, "source")
     occ = sh.groupBy("source", "shingle", "doc_id").agg(
         F.count(F.lit(1)).alias("occ")
@@ -391,7 +431,7 @@ def q_corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _clean_verdicts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _rep_stats_cached
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_fanout(spark, sf_dir).select("doc_id", "text")
     base = docs.select(
         "doc_id",
         F.expr("size(split(text, ' '))").cast("bigint").alias("n_tokens"),
@@ -510,7 +550,7 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     these magnitudes, so the scaled ints are identical and their sums
     order-independent. The final bits-per-token is ONE exact-int IEEE
     division chain, rounded to 6 dp identically in both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("tot"))
@@ -580,7 +620,7 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary argument as lm_cross_entropy (log2 disagrees ~1 ulp across
     engines, a 1e6-scale rounding boundary is ~1e-9 wide), so
     entropy_sum_e6 is an exact order-independent int64."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     dwc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
@@ -663,7 +703,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size. On the pristine synthetic corpus all counts are 0
     and scrubbing is the identity; the planted-PII cross-engine parity
     lives in tests/test_lsh.py::test_pii_scrub_planted_parity."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     out = docs.select(
         "doc_id",
         "text",
@@ -748,7 +788,7 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash dedup in a cleaning stack. One partial-agg shuffle on the
     md5 of the normalized text; canonical = min doc_id (the convention of
     the whole dedup family). Regexes live in the Java∩RE2 subset."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), "  *", " "
@@ -866,7 +906,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     surprisal (ln disagreement ~1 ulp vs a ~1e-9-wide rounding
     boundary); the score is a sum of int64 products, order-independent.
     Ties broken by doc_id before LIMIT in both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
     base = docs.select(
         "doc_id",
@@ -956,7 +996,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, the canonical map-side-combine shape; the idf relation is
     vocabulary-sized and broadcast; the final top-k window partitions by
     source (bounded groups)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     toks = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
     )
@@ -1282,7 +1322,7 @@ def _dsir_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _DSIR_SCORES_CACHE:
         for k in [k for k in _DSIR_SCORES_CACHE if k[0] != app]:
             del _DSIR_SCORES_CACHE[k]
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _docs_fanout(spark, sf_dir)
         _DSIR_SCORES_CACHE[key] = dsir_score(
             docs, dsir_log_ratios(docs)
         ).localCheckpoint(eager=True)
@@ -1707,7 +1747,7 @@ def q_decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted straddling near-dup pair is flagged)."""
     from .dedup import decontamination_overlap
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     d = docs.select(
         "doc_id",
         "text",
@@ -1924,7 +1964,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-partition merge sees n_parts*K rows, never the
     vocabulary). The probe join broadcasts K*D = 80 rows against the
     <= 4096-cell sketch."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
     cells = F.array(
         *[
@@ -2016,7 +2056,7 @@ def q_distinct_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash partial agg. Sketch memory is CONSTANT in corpus size, and KMV
     sketches of corpus shards merge by union+re-limit — the property
     that makes the estimator composable across 100 TB partitions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
     h = F.expr(
         "cast(conv(substring(md5(cast(concat('kmv:', word) as binary)),"
@@ -2214,7 +2254,7 @@ def q_lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc bigram stream to the model on the same key (AQE broadcasts while
     it fits). Same micro-bit HALF-UP rounding as the unigram query (log2
     cross-engine drift ~1 ulp vs a 1e-9-wide rounding boundary)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
     bg = (
         ws.where(F.expr("size(ws) >= 2"))
@@ -2323,7 +2363,7 @@ def _winnow_fp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _WINNOW_FP_CACHE:
         for k in [k for k in _WINNOW_FP_CACHE if k[0] != app]:
             del _WINNOW_FP_CACHE[k]
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _docs_fanout(spark, sf_dir)
         _WINNOW_FP_CACHE[key] = (
             winnow_fingerprints(docs)
             .select("doc_id", "fps")
@@ -2475,7 +2515,7 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window partitioned by score_e6) and adds the bucket's start offset
     — no global single-partition sort of the corpus ever happens. The
     bucket relation broadcasts back."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     n_tokens = "size(split(text, ' '))"
     stop_hits = _hits_expr(_MARKERS["en"])
     s = docs.select(
@@ -2557,7 +2597,7 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals are two partial re-aggs OF that relation (never a second
     corpus pass); the rank<=K filter compiles to the per-partition top-K
     merge (TakeOrderedAndProject / WindowGroupLimit)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_fanout(spark, sf_dir)
     bg = (
         docs.select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.expr("size(ws) >= 2"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.extract import extract_spans
 from .operators.interleave import interleaved_documents
-from .sources.tables import load_table
+from .sources.tables import load_table, scan_fanout
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -72,7 +72,9 @@ def q_extract_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Spark plan is narrow end-to-end: no exchange at any scale.
     """
-    docs = interleaved_documents(load_table(spark, sf_dir, "documents"))
+    docs = interleaved_documents(
+        scan_fanout(load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents")
+    )
     extracted = extract_spans(docs)
     return extracted.select(
         "doc_id", F.explode("spans").alias("s")
@@ -139,7 +141,9 @@ def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor search is array slicing inside one projection — no window
     function, no per-doc shuffle. The DuckDB oracle states the same
     semantics relationally (IGNORE NULLS window frames)."""
-    docs = interleaved_documents(load_table(spark, sf_dir, "documents"))
+    docs = interleaved_documents(
+        scan_fanout(load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents")
+    )
     ex = extract_spans(docs)
     pairs = F.expr(
         """

@@ -50,6 +50,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def scan_fanout(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """ADAPTIVE round-robin repartition of a freshly-scanned table for
+    heavy downstream per-row work (explode chains, hash kernels): a
+    parquet scan can never split below one ROW GROUP, and the driver's
+    testdata writes each table as a single-row-group single file — so
+    without this, every md5/shingle pass ran in ONE task regardless of
+    cores (measured: the whole text-dedup family scan-stage-bound on one
+    core at sf1.0). The repartition fires only when the scan's splittable
+    unit count is below the session's shuffle parallelism; at production
+    scale (many files / many row groups per file) — or when the layout
+    cannot be probed (non-local paths, monkeypatched loaders in tests) —
+    it is a no-op, so no corpus-sized shuffle is ever added (guide §2:
+    derive partitioning from the input, don't hard-code either
+    deployment)."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        files = _glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
+        row_groups = sum(_pq.ParquetFile(p).num_row_groups for p in files)
+    except Exception:
+        # non-local or unreadable layout: assume the scan splits fine
+        return df
+    if row_groups >= max(2, n // 2):
+        return df
+    return df.repartition(n)
+
+
 def load_corpus(spark: SparkSession, corpus_dir: str) -> tuple[DataFrame, DataFrame]:
     """Load the interleaved corpus (documents, page_blobs) with explicit schemas."""
     docs = spark.read.schema(S.DOCUMENTS).parquet(os.path.join(corpus_dir, "documents.parquet"))

@@ -87,7 +87,9 @@ def test_boilerplate_partial_aggs_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial" in explain_str(df).lower()
-    assert count_exchanges(df) <= 4, plan
+    # <= 4 query exchanges + the adaptive scan-fanout round-robin (a
+    # single-row-group testdata scan would otherwise run one task)
+    assert count_exchanges(df) <= 5, plan
     # one Generate (explode) only — the old shape tokenized the corpus twice
     assert explain_str(df).count("Generate explode") <= 1, plan
 
@@ -229,11 +231,15 @@ def test_kmeans_assignment_is_narrow(spark, sf_dir):
 
 
 def test_caption_pairs_is_narrow(spark, sf_dir):
-    """Caption mining must stay zero-exchange at any corpus size: the
-    neighbor search runs inside one projection over the already-sorted
-    spans array (no window shuffle)."""
+    """Caption mining: the neighbor search runs inside one projection
+    over the already-sorted spans array — no window shuffle, no join.
+    The only exchange allowed is the adaptive scan-fanout round-robin
+    (single-row-group testdata would otherwise run one task)."""
     df = QUERIES["caption_pairs"](spark, sf_dir)
-    assert count_exchanges(df) == 0, explain_str(df, "simple")
+    assert count_exchanges(df) <= 1, explain_str(df, "simple")
+    plan = explain_str(df)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "Window"):
+        assert bad not in plan, plan
 
 
 def test_quantize_serving_projection_is_narrow(spark, sf_dir):
