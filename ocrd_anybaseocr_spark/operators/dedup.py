@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table, scan_fanout
@@ -127,19 +128,61 @@ def _md5_prefix_int_spark(inner: str, n_hex: int) -> str:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h15): per-seed min over an affine integer hash family
     applied to ONE 24-bit md5 prefix per shingle — 1 md5 + 16 integer ops
-    per shingle instead of 16 md5s (the estimator quality is the standard
-    (aX+B) mod P MinHash family with a genuinely wrapping modulus; exact
-    integers, identical across engines).
-    """
-    sh = shingles(docs)
-    sh = sh.withColumn(
-        "h", F.expr(_md5_prefix_int_spark("cast(shingle as binary)", _MH_HEX))
+    per shingle (the estimator quality is the standard (aX+B) mod P
+    MinHash family with a genuinely wrapping modulus; exact integers,
+    identical across engines). One narrow mapInArrow pass: the per-shingle
+    md5 + 16 affine minima run as hashlib + one numpy (n_shingles x 16)
+    modular matrix per document instead of a corpus-wide shingle explode
+    + 16 min-agg shuffle — identical integers (the first 6 md5 hex chars
+    ARE the first 3 digest bytes big-endian; A*h + B <= 2^56 stays exact
+    int64), and docs with < 3 words are absent exactly as the explode
+    left them."""
+    import pyarrow as pa
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    A = np.asarray(_MH_A, dtype=np.int64)[None, :]
+    B = np.asarray(_MH_B, dtype=np.int64)[None, :]
+    names = ["doc_id"] + [f"h{j}" for j in range(N_MINHASH)]
+
+    def _sig(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids_out, sigs = [], []
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                ws = t.split(" ")
+                n = len(ws) - 2
+                if n <= 0:
+                    continue
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(" ".join(ws[i : i + 3]).encode()).digest()[:3], "big"
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                sigs.append(((h[:, None] * A + B) % _MH_P).min(axis=0))
+                ids_out.append(d)
+            if not ids_out:
+                continue
+            S = np.stack(sigs)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids_out)] + [pa.array(S[:, j]) for j in range(N_MINHASH)],
+                names=names,
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        _sig,
+        f"doc_id {id_type}, " + ", ".join(f"h{j} bigint" for j in range(N_MINHASH)),
     )
-    aggs = [
-        F.min(F.expr(f"({_MH_A[j]}L * h + {_MH_B[j]}L) % {_MH_P}L")).alias(f"h{j}")
-        for j in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_pairs(sig: DataFrame, band_cap: int = BAND_CAP) -> DataFrame:
@@ -1079,7 +1122,10 @@ ORACLE_REPETITION = f"""
 PARA_WORDS = 8  # passage unit: non-overlapping 8-word chunks (+ partial tail)
 # packed (doc_id, chunk_no) key: chunk_no < 2^20 holds to ~8.4M-word docs,
 # far past any web-crawl document; lets both engines take MIN over one int64
-# instead of a struct (DuckDB struct MIN ordering is not guaranteed portable)
+# instead of a struct (DuckDB struct MIN ordering is not guaranteed portable).
+# The pack equally implies doc_id < 2^43 (~8.8e12): past it Spark (non-ANSI)
+# WRAPS silently and picks wrong canonical copies while DuckDB raises —
+# the no-silent-caps convention wants the bound stated (ADVICE r7 item 4)
 _PARA_PK = 1 << 20
 
 

@@ -868,22 +868,10 @@ def pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[int]]]]:
         )
         for m in range(PQ_M)
     ]
-    v = emb.select(F.expr(_SE_SPARK).alias("v_se"))
-    per_m = []
-    for m in range(PQ_M):
-        sl = f"slice(v_se, {m * PQ_SUB + 1}, {PQ_SUB})"
-        per_m.append(
-            F.struct(
-                F.lit(m).alias("m"),
-                F.expr(_argmin_cell_expr(seeds[m], vcol=sl)).alias("code"),
-                F.expr(sl).alias("sub"),
-            )
-        )
-    assigned = v.select(F.explode(F.array(*per_m)).alias("s")).select("s.*")
     sums = (
-        assigned.select("m", "code", F.posexplode("sub").alias("j", "val"))
+        _pq_fit_partials_arrow(emb, seeds)
         .groupBy("m", "code", "j")
-        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .collect()
     )
     import math
@@ -904,6 +892,62 @@ def pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[int]]]]:
     return books
 
 
+def _pq_books_np(books_or_seeds):
+    """Per-subspace (code_ids, C float64, c2) triples for the arrow
+    kernels (see assignments_arrow's section comment — identical ints)."""
+    return [_cents_np(b) for b in books_or_seeds]
+
+
+def _pq_subspace_codes(se, per_m):
+    """(n, PQ_M) int32 code matrix: per-subspace exact squared-L2 argmin,
+    ties to the lower code id (first minimum over ascending ids)."""
+    n = se.shape[0]
+    out = np.empty((n, PQ_M), dtype=np.int32)
+    for m, (cells, C, c2) in enumerate(per_m):
+        sub = se[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        D = (sub * sub).sum(axis=1)[:, None] - 2.0 * (sub @ C.T) + c2[None, :]
+        out[:, m] = cells[D.argmin(axis=1)]
+    return out
+
+
+def _pq_fit_partials_arrow(emb: DataFrame, seeds) -> DataFrame:
+    """(m, code, j, s, n): per-task partial subvector sums of the PQ Lloyd
+    refinement — the arrow twin of the former per-subspace literal-argmin
+    + posexplode + partial agg (identical integers)."""
+    import pyarrow as pa
+
+    per_m = _pq_books_np(seeds)
+
+    def _part(batches):
+        S = np.zeros((PQ_M, PQ_K, PQ_SUB), dtype=np.int64)
+        N = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            se = _se_f64(_emb_f64(batch))
+            codes = _pq_subspace_codes(se, per_m)
+            for m in range(PQ_M):
+                sub = se[:, m * PQ_SUB : (m + 1) * PQ_SUB].astype(np.int64)
+                np.add.at(S[m], codes[:, m], sub)
+                N[m] += np.bincount(codes[:, m], minlength=PQ_K)
+        mm, cc = np.nonzero(N)
+        if len(mm):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(mm, PQ_SUB).astype(np.int32)),
+                    pa.array(np.repeat(cc, PQ_SUB).astype(np.int32)),
+                    pa.array(np.tile(np.arange(PQ_SUB, dtype=np.int32), len(mm))),
+                    pa.array(S[mm, cc].reshape(-1)),
+                    pa.array(np.repeat(N[mm, cc], PQ_SUB)),
+                ],
+                names=["m", "code", "j", "s", "n"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _part, "m int, code int, j int, s bigint, n bigint"
+    )
+
+
 def pq_codes(emb: DataFrame, books: list | None = None) -> DataFrame:
     """(vec_id, m, code): product-quantization codes — the memory-bound
     trillion-vector serving path the IVF-Flat operator's exact re-rank
@@ -911,23 +955,35 @@ def pq_codes(emb: DataFrame, books: list | None = None) -> DataFrame:
     vector, here 2 bytes against 256 float bytes, a 128x compression).
 
     Encoding is exact scaled-int squared-L2 argmin per subspace against
-    the Lloyd-refined codebooks (pq_codebooks), ties to the lower code id,
-    and — like the IVF assignment — a NARROW scan→project with the
-    codebooks as direct zip_with literal args (nothing folds inside a
-    lambda body; plan-asserted in test_plans)."""
+    the Lloyd-refined codebooks (pq_codebooks), ties to the lower code
+    id, as ONE narrow mapInArrow pass (identical integers to the former
+    literal folds — see assignments_arrow's section comment; zero
+    exchanges, plan-asserted in test_plans)."""
+    import pyarrow as pa
+
     if books is None:
         books = pq_codebooks(emb)
-    v = emb.select("vec_id", F.expr(_SE_SPARK).alias("v_se"))
-    code_cols = []
-    for m in range(PQ_M):
-        sl = f"slice(v_se, {m * PQ_SUB + 1}, {PQ_SUB})"
-        code_cols.append(F.expr(_argmin_cell_expr(books[m], vcol=sl)).alias(f"c{m}"))
-    coded = v.select("vec_id", *code_cols)
-    return coded.select(
-        "vec_id",
-        F.posexplode(F.array(*[F.col(f"c{m}") for m in range(PQ_M)])).alias(
-            "m", "code"
-        ),
+    per_m = _pq_books_np(books)
+
+    def _enc(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            se = _se_f64(_emb_f64(batch))
+            codes = _pq_subspace_codes(se, per_m)
+            n = se.shape[0]
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(vid, PQ_M)),
+                    pa.array(np.tile(np.arange(PQ_M, dtype=np.int32), n)),
+                    pa.array(codes.reshape(-1)),
+                ],
+                names=["vec_id", "m", "code"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _enc, "vec_id bigint, m int, code int"
     )
 
 

@@ -302,13 +302,22 @@ def stream_merge_documents(
     catalog-free equivalent.
 
     Returns {"appended": N, "batches": K} accumulated across this run."""
-    import os as _os
-
     from pyspark.sql import Window, functions as F
 
     checkpoint_dir = checkpoint_dir or os.path.join(target_dir, "_merge_checkpoint")
     data_dir = os.path.join(target_dir, "documents_merged")
     stats = {"appended": 0, "batches": 0}
+
+    def _target_exists() -> bool:
+        # Hadoop FileSystem resolution, not os.path.isdir: target_dir may
+        # be hdfs:// or s3a://, where a local-only check is always False
+        # and the left-anti dedup would silently skip — a replayed batch
+        # would then duplicate rows, defeating the exactly-once-on-key
+        # contract (ADVICE r7 item 1; the _PathIO.exists pattern).
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(data_dir)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         first = (
@@ -321,7 +330,7 @@ def stream_merge_documents(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if _os.path.isdir(data_dir):
+        if _target_exists():
             existing = spark.read.parquet(data_dir).select("doc_id")
             first = first.join(existing, "doc_id", "left_anti")
         novel = first.count()

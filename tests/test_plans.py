@@ -23,8 +23,14 @@ def test_extraction_is_narrow(spark, corpus_dir):
 
 
 def test_interleave_plus_extract_is_narrow(spark, sf_dir):
+    """Scan → (adaptive fanout) → one MapInArrow span enumeration — no
+    join, no window, no aggregation; the only exchange allowed is the
+    scan-fanout round-robin for single-row-group testdata."""
     df = QUERIES["extract_reading_order"](spark, sf_dir)
-    assert count_exchanges(df) == 0
+    assert count_exchanges(df) <= 1, explain_str(df, "simple")
+    plan = explain_str(df)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "Window", "HashAggregate"):
+        assert bad not in plan, plan
 
 
 def test_gate_filters_pushed_to_scan(spark, sf_dir):
