@@ -365,14 +365,29 @@ ORACLE_DEDUP_CLUSTERS = ORACLE_DEDUP_CLUSTERS.replace("{H32}", _H24_DUCK)
 
 
 def _jaccard_verify(
-    cand: DataFrame, dsh_a: DataFrame, dsh_b: DataFrame, a_col: str, b_col: str
+    cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame, a_col: str, b_col: str
 ) -> DataFrame:
     """Exact-Jaccard verification of a bounded candidate pair set — ONE
     definition shared by the self-join pass (verified_pairs) and the
     incremental pass (dedup_incremental): intersection via the candidate-
     driven shingle join, sizes over each side's distinct shingles, 6-dp
     rounding, VERIFY_JACCARD_MIN filter. Emits (a_col, b_col, inter,
-    jaccard)."""
+    jaccard).
+
+    ``sh_a``/``sh_b`` are the RAW (doc_id, shingle) streams (NOT yet
+    deduplicated): each side is first SEMI-JOIN pruned to its own
+    candidate doc ids (guide §3.2 — reduce the big side before it is
+    shuffled; the id set is bounded by the banding caps, so the planner
+    broadcasts it while it fits and falls back to a shuffled semi join
+    beyond that — exact either way), and only the pruned stream is
+    deduplicated — the distinct's exchange moves candidate docs'
+    shingles, never the corpus's. NOTE: ``cand`` is consumed three times
+    (two id projections + the intersection join); pass a checkpointed or
+    cheap-lineage relation when the candidate generation is expensive."""
+    ids_a = cand.select(F.col(a_col).alias("doc_id")).distinct()
+    ids_b = cand.select(F.col(b_col).alias("doc_id")).distinct()
+    dsh_a = sh_a.join(ids_a, "doc_id", "left_semi").distinct()
+    dsh_b = sh_b.join(ids_b, "doc_id", "left_semi").distinct()
     sz_a = dsh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_na"))
     sz_b = dsh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nb"))
     a = dsh_a.select(F.col("doc_id").alias(a_col), "shingle")
@@ -404,8 +419,8 @@ def verified_pairs(docs: DataFrame) -> DataFrame:
     jaccard >= VERIFY_JACCARD_MIN (matching the 4x4 banding's ~0.71
     similarity operating point with recall margin)."""
     cands = lsh_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
-    dsh = shingles(docs).distinct()
-    return _jaccard_verify(cands, dsh, dsh, "doc_a", "doc_b")
+    sh = shingles(docs)
+    return _jaccard_verify(cands, sh, sh, "doc_a", "doc_b")
 
 
 # the verified edge set is the priciest lineage in the dedup family
@@ -489,9 +504,9 @@ def _verified_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # relation so one driver pass computes signatures+banding once
         # across the raw-pairs, verified and recall-curve queries
         cands = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-        dsh = shingles(docs).distinct()
+        sh = shingles(docs)
         _VERIFIED_CACHE[key] = _jaccard_verify(
-            cands, dsh, dsh, "doc_a", "doc_b"
+            cands, sh, sh, "doc_a", "doc_b"
         ).localCheckpoint(eager=True)
     return _VERIFIED_CACHE[key]
 
@@ -1520,11 +1535,15 @@ def dedup_incremental(
         )
         .select("doc_new", "doc_corpus")
         .distinct()
+        # bounded pair set, consumed three times by the verify (two id
+        # projections + the intersection join) — truncate so the banding
+        # + signature lineage runs once, not three times
+        .localCheckpoint(eager=True)
     )
     return _jaccard_verify(
         cand,
-        shingles(new_docs).distinct(),
-        shingles(corpus_docs).distinct(),
+        shingles(new_docs),
+        shingles(corpus_docs),
         "doc_new",
         "doc_corpus",
     )
