@@ -552,41 +552,60 @@ ORACLE_JACCARD_HISTOGRAM = f"""
 def simhash_signatures_df(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash — per-bit majority vote over word
     hashes, assembled into one signed bigint (bit 63 = sign bit, see
-    _simhash_bit_weight). Narrow explode + single groupBy(doc_id).
+    _simhash_bit_weight). One narrow mapInArrow pass (no explode, no
+    shuffle); see the kernel comment for the exactness argument.
 
     The 64 hash bits come from TWO exact 32-bit md5-prefix halves (hex
     chars 1-8 → bits 0-31, hex chars 9-16 → bits 32-63): a single 16-hex
-    prefix would exceed int64 and conv()'s bigint cast nulls out. The md5
-    is materialized ONCE as a projected column — CollapseProject keeps a
-    non-cheap alias referenced twice, so the two halves don't re-run it
-    (the no-CSE-in-Catalyst lesson, VERDICT r2 item 1). Shared by the
-    signature query and the hamming-pair generator."""
-    w = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .withColumn("m", F.md5(F.col("word").cast("binary")))
-        .withColumn("h1", F.expr("cast(conv(substring(m, 1, 8), 16, 10) as bigint)"))
-        .withColumn("h2", F.expr("cast(conv(substring(m, 9, 8), 16, 10) as bigint)"))
-    )
-    # per-bit ONES counts instead of ±1 vote sums: majority(bit j) is
-    # 2*ones_j > n, and a plain SUM((h >> j) & 1) both compiles and runs
-    # measurably faster than 64 CASE-WHEN vote aggregates (A/B'd at sf0.1:
-    # ~10% steady-state, ~2x first-compile)
-    def _one(j: int):
-        src, off = ("h1", j) if j < 32 else ("h2", j - 32)
-        return F.sum(F.expr(f"({src} >> {off}) & 1")).alias(f"o{j}")
+    prefix would exceed int64 (and conv()'s bigint cast nulled out in the
+    former expression form). Shared by the signature query and the
+    hamming-pair generator."""
+    import pyarrow as pa
 
-    agg = w.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), *[_one(j) for j in range(SIMHASH_BITS)]
+    id_type = dict(docs.dtypes)["doc_id"]
+
+    # one narrow mapInArrow pass: per-word hashlib md5 (the first 8 hex
+    # chars are digest bytes 0-3 big-endian, chars 9-16 bytes 4-7), per-bit
+    # ones counts as one numpy (n_words x 64) bit matrix per document, and
+    # the majority/assembly in int64 with bit 63 = the two's-complement
+    # sign weight — identical integers to the former explode + 64-sum agg
+    # (including md5 of EMPTY tokens from consecutive spaces, which the
+    # explode kept too).
+    def _sig(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        shifts1 = np.arange(32, dtype=np.int64)
+        weights = np.asarray(
+            [_simhash_bit_weight(j) for j in range(SIMHASH_BITS)], dtype=np.int64
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids, sigs = [], []
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                ws = t.split(" ")
+                n = len(ws)
+                hs = np.empty((n, 2), dtype=np.int64)
+                for i, w in enumerate(ws):
+                    dig = md5(w.encode()).digest()
+                    hs[i, 0] = int.from_bytes(dig[:4], "big")
+                    hs[i, 1] = int.from_bytes(dig[4:8], "big")
+                ones1 = ((hs[:, 0:1] >> shifts1) & 1).sum(axis=0)
+                ones2 = ((hs[:, 1:2] >> shifts1) & 1).sum(axis=0)
+                ones = np.concatenate([ones1, ones2])
+                sigs.append(int(weights[2 * ones > n].sum()))
+                ids.append(d)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(np.asarray(sigs, dtype=np.int64))],
+                names=["doc_id", "simhash"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        _sig, f"doc_id {id_type}, simhash bigint"
     )
-    simhash = sum(
-        [
-            F.when(2 * F.col(f"o{j}") > F.col("n"), F.lit(_simhash_bit_weight(j)).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            for j in range(SIMHASH_BITS)
-        ],
-        F.lit(0).cast("long"),
-    )
-    return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 # the 64-bit signature relation, checkpointed per (session, sf_dir): the
