@@ -1199,6 +1199,13 @@ ORACLE_EMB_STATS = """
 
 NEAR_DUP_DOT_E8 = 35_000_000  # ~cosine 0.35 on unit-ish vectors, in 1e8-scaled integer space
 
+_DOT_E8 = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " cast(floor(cast(x as double) * 10000 + 0.5) as bigint)"
+    " * cast(floor(cast(y as double) * 10000 + 0.5) as bigint)),"
+    " 0L, (acc, v) -> acc + v)"
+)
+
 
 def capped_assignments(bk: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """The assignment relation with over-cap buckets dropped BEFORE any
@@ -1253,37 +1260,23 @@ def cosine_verified_pairs(
     ulps between engines). ``pairs`` injects prebuilt candidate pairs
     (from pairs_from_assignments over the cached index); otherwise the
     raw lineage is built from ``emb``."""
-    import pyarrow as pa
-
     if pairs is None:
         pairs = embedding_lsh_pairs(emb.select("vec_id", "embedding"), n_bits=n_bits)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
-    joined = pairs.join(ea, "vec_a").join(eb, "vec_b").select(
-        "vec_a", "vec_b", "e_a", "e_b"
+    # the dot stays an in-JVM fold ON PURPOSE: an arrow twin was tried in
+    # round 8 and measured 2.4 -> 10.1 s in the bench — the kernel itself
+    # is trivial, but it ships BOTH 64-double vectors of every candidate
+    # pair through the Python boundary (~470 MB at sf1.0's 458k pairs),
+    # which dwarfs the interpreted-fold cost (guide §4.1: you cannot
+    # remove the transfer, and here the transfer IS the job)
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("dot_e8", F.expr(_DOT_E8.format(a="e_a", b="e_b")))
+        .filter(F.col("dot_e8") >= NEAR_DUP_DOT_E8)
+        .select("vec_a", "vec_b", "dot_e8")
     )
-
-    # the exact 1e4-scaled integer dot, one vectorized row-wise product
-    # sum per batch instead of an interpreted zip_with fold per pair —
-    # AND per filter evaluation: a filter on the fold's output column
-    # re-evaluates the whole fold (guide §4.4's duplication, observed in
-    # the optimized plan). Identical integers: integer-valued float64
-    # products <= 4.1e8, row sums <= 2.6e10 << 2^53 — exact.
-    def _dot(batches):
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            a = _se_f64(_emb_f64(batch, "e_a"))
-            b = _se_f64(_emb_f64(batch, "e_b"))
-            dots = (a * b).sum(axis=1).astype(np.int64)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("vec_a"), batch.column("vec_b"), pa.array(dots)],
-                names=["vec_a", "vec_b", "dot_e8"],
-            )
-
-    return joined.mapInArrow(
-        _dot, "vec_a bigint, vec_b bigint, dot_e8 bigint"
-    ).filter(F.col("dot_e8") >= NEAR_DUP_DOT_E8)
 
 
 # computed once per (session, sf_dir) and lineage-truncated, shared by the
