@@ -444,6 +444,13 @@ _LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # and the recall-curve audit's ground-truth side
 _JACCARD_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# the MinHash signature relation itself (16 int64s per doc — the smallest
+# relation in the family), checkpointed per (session, sf_dir): the banded
+# LSH build and the incremental query's two parity sides all derive from
+# it by row-local filters, so one driver pass runs the signature kernel
+# once instead of three times
+_MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def clear_caches() -> None:
     """Drop the per-session verified-pair memoization. The cache keys on
@@ -457,6 +464,7 @@ def clear_caches() -> None:
     _JACCARD_PAIRS_CACHE.clear()
     _SIMHASH_SIG_CACHE.clear()
     _REP_STATS_CACHE.clear()
+    _MINHASH_SIG_CACHE.clear()
 
 
 def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
@@ -471,12 +479,21 @@ def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build) -> Dat
     return cache[key]
 
 
+def _minhash_sig_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session_cached(
+        _MINHASH_SIG_CACHE,
+        spark,
+        sf_dir,
+        lambda: minhash_signatures(_docs_fanout(spark, sf_dir)),
+    )
+
+
 def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(
         _LSH_PAIRS_CACHE,
         spark,
         sf_dir,
-        lambda: lsh_pairs(minhash_signatures(_docs_fanout(spark, sf_dir))),
+        lambda: lsh_pairs(_minhash_sig_cached(spark, sf_dir)),
     )
 
 
@@ -1527,7 +1544,11 @@ def _capped_bands(bands: DataFrame, band_cap: int) -> DataFrame:
 
 
 def dedup_incremental(
-    new_docs: DataFrame, corpus_docs: DataFrame, band_cap: int = BAND_CAP
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    band_cap: int = BAND_CAP,
+    sig_new: DataFrame | None = None,
+    sig_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_new, doc_corpus, inter, jaccard): verified near-dup matches of
     an INGEST BATCH against an EXISTING corpus — the production
@@ -1543,9 +1564,16 @@ def dedup_incremental(
 
     At scale the corpus band relation is the PERSISTED index (write it
     once, append each batch's bands after its pass) — here it is computed
-    from the corpus frame; the shape is identical either way."""
-    bn = _capped_bands(minhash_bands(minhash_signatures(new_docs)), band_cap)
-    bc = _capped_bands(minhash_bands(minhash_signatures(corpus_docs)), band_cap)
+    from the corpus frame; the shape is identical either way. Callers
+    holding an already-built signature relation pass it via sig_new /
+    sig_corpus (signatures are row-local, so a side's signatures are
+    exactly the full relation filtered to that side's doc_ids)."""
+    if sig_new is None:
+        sig_new = minhash_signatures(new_docs)
+    if sig_corpus is None:
+        sig_corpus = minhash_signatures(corpus_docs)
+    bn = _capped_bands(minhash_bands(sig_new), band_cap)
+    bc = _capped_bands(minhash_bands(sig_corpus), band_cap)
     cand = (
         bn.select(F.col("doc_id").alias("doc_new"), "band_no", "band_key")
         .join(
@@ -1572,10 +1600,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver form of the incremental pass over the single documents
     table: a deterministic in-query split plays the two roles — even
     doc_ids are the EXISTING corpus, odd doc_ids the NEW batch (both
-    engines split identically, so the oracle sees the same sides)."""
+    engines split identically, so the oracle sees the same sides). Both
+    parity sides' signatures are row-local filters of the session-shared
+    signature relation — the kernel pass runs once per driver pass, not
+    once per side."""
     docs = _docs_fanout(spark, sf_dir)
+    sig = _minhash_sig_cached(spark, sf_dir)
     return dedup_incremental(
-        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        sig_new=sig.filter(F.col("doc_id") % 2 == 1),
+        sig_corpus=sig.filter(F.col("doc_id") % 2 == 0),
     )
 
 
