@@ -2270,10 +2270,28 @@ def q_lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.prev", "b.cur")
     )
-    model = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    # the model relation feeds THREE consumers (ctx, the sup join, and the
+    # vocabulary below) — checkpoint it once so the corpus-wide bigram
+    # explode+agg runs a single time per execution, not per consumer
+    model = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     ctx = model.groupBy("prev").agg(F.sum("c").alias("cp"))
+    # v = COUNT(DISTINCT word) over the whole corpus, derived WITHOUT a
+    # third corpus tokenize: every word of a >=2-token doc appears as a
+    # prev (positions 1..n-1) or as the last bigram's cur (position n),
+    # and a 1-token doc's only word IS its text (split(text,' ') has one
+    # element iff text contains no space) — so distinct(prev ∪ cur ∪
+    # spaceless texts) is exactly the corpus vocabulary
+    ones = docs.filter(~F.col("text").contains(" ")).select(
+        F.col("text").alias("word")
+    )
     vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        model.select(F.col("prev").alias("word"))
+        .union(model.select(F.col("cur").alias("word")))
+        .union(ones)
         .agg(F.countDistinct("word").alias("v"))
     )
     sup = (

@@ -258,16 +258,26 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 pattern (reference: cli/ocrd_anybaseocr_cropping.py:565-608):
-    row_number over (group, score desc) = 1, deterministic tie-break."""
+    top-1 per group with deterministic tie-break — as a max_by partial
+    agg, not a row_number window: the agg combines map-side so only one
+    row per group reaches the exchange, and nothing sorts the full table
+    (guide §2.3; A/B-measured 4.6→1.0 s first-exec at sf0.1). Identical
+    rows to the window form: the ordering key (price, -linenumber) is
+    UNIQUE within a group (linenumber is), so max_by picks exactly the
+    window's rn=1 row — max price, ties to the smallest linenumber."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), F.asc("l_linenumber"))
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        li.groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "max_by(named_struct('ln', l_linenumber, 'p', l_extendedprice),"
+                " named_struct('p', l_extendedprice, 'nl', -l_linenumber))"
+            ).alias("t")
+        )
         .select(
             "l_orderkey",
-            "l_linenumber",
-            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+            F.col("t.ln").alias("l_linenumber"),
+            F.round(F.col("t.p") * 100).cast("bigint").alias("price_cents"),
         )
     )
 
@@ -1016,11 +1026,23 @@ def q_attenuated_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     x = F.col("value") / 200.0
     score = 3 * x * F.exp(-3 * x)
-    w = Window.partitionBy("user_id").orderBy(F.desc(score), F.asc("event_id"))
+    # top-1 as a max_by partial agg (the top1_per_group shape): ordering
+    # key (score, -event_id) is unique per group (event_id is), so this
+    # picks exactly the window's rn=1 row — max score, ties to the
+    # smallest event_id — with map-side combine instead of a full sort
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", F.round(score, 6).alias("score"))
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("event_id").alias("eid"), score.alias("s")),
+                F.struct(score.alias("s"), (-F.col("event_id")).alias("neid")),
+            ).alias("t")
+        )
+        .select(
+            "user_id",
+            F.col("t.eid").alias("event_id"),
+            F.round(F.col("t.s"), 6).alias("score"),
+        )
     )
 
 
