@@ -92,6 +92,25 @@ def shingles(docs: DataFrame) -> DataFrame:
     return shingle_explode(docs)
 
 
+def shingle_explode_distinct(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """shingle_explode(...).distinct() with ZERO exchanges: doc_id is part
+    of the distinct key, so global DISTINCT over (doc_id[, per-doc cols],
+    shingle) is per-document-local — a row-local array_distinct before
+    the explode produces the identical row set without shuffling the
+    corpus-sized shingle stream. ``extra_cols`` must be functionally
+    dependent on doc_id (e.g. source), which every caller's are."""
+    return (
+        docs.withColumn("_words", F.split("text", " "))
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.explode(
+                F.expr(f"array_distinct({_SHINGLES_FROM_WORDS})")
+            ).alias("shingle"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
@@ -697,7 +716,7 @@ def jaccard_pairs(
     frequency above ``max_shingle_df`` are removed before the pair join
     (the windowed count shares the join's shuffle key); set sizes use the
     same filtered universe, so jaccard compares distinctive content."""
-    sh = shingle_explode(docs, "source").distinct()
+    sh = shingle_explode_distinct(docs, "source")
     w = Window.partitionBy("source", "shingle")
     sh = (
         sh.withColumn("_df", F.count(F.lit(1)).over(w))
@@ -917,17 +936,15 @@ def decontamination_overlap(
     definition (eval suites are thousands of rows, not billions) →
     broadcast; the final (doc_id, eval_id) count is a partial-agg
     shuffle of matched rows only."""
-    sh = shingle_explode(corpus).distinct()
+    sh = shingle_explode_distinct(corpus)
     w = Window.partitionBy("shingle")
     sh = (
         sh.withColumn("_df", F.count(F.lit(1)).over(w))
         .filter(F.col("_df") <= max_shingle_df)
         .drop("_df")
     )
-    ev = (
-        shingle_explode(eval_docs)
-        .distinct()
-        .select(F.col("doc_id").alias("eval_id"), "shingle")
+    ev = shingle_explode_distinct(eval_docs).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
     )
     return (
         sh.join(F.broadcast(ev), "shingle")
@@ -2307,7 +2324,7 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups (the former shd ⋈ dfr equi-join re-shuffled all distinct
     (doc, shingle) rows a second time to compute exactly this)."""
     docs = _docs_fanout(spark, sf_dir)
-    shd = shingles(docs).distinct()
+    shd = shingle_explode_distinct(docs)
     per_doc = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     uniq = (
         shd.groupBy("shingle")

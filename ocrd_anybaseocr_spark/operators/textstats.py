@@ -1001,9 +1001,14 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
     )
     tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df counts DOCS per term: the (doc_id, term) DISTINCT it needs is
+    # per-document-local (doc_id is in the key), so a row-local
+    # array_distinct over the token array replaces the corpus-wide
+    # distinct exchange — one shuffle (on term) instead of two
     df = (
-        toks.select("doc_id", "term")
-        .distinct()
+        docs.select(
+            F.explode(F.expr("array_distinct(split(text, ' '))")).alias("term")
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -1972,13 +1977,18 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(CMS_D)
         ]
     )
-    sketch = (
-        words.select(F.explode(cells).alias("jc"))
-        .select("jc.j", "jc.cell")
-        .groupBy("j", "cell")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # the sketch is ADDITIVE over word counts (cell cnt = Σ c over the
+    # words hashing there), so build it from the aggregated wc relation,
+    # not the raw stream: the D salted md5s run once per DISTINCT word
+    # instead of once per word instance (stream/vocab ≈ 100-1000x fewer
+    # hashes), and the wc exchange is shared with the exact top-K branch
+    sketch = (
+        wc.select("c", F.explode(cells).alias("jc"))
+        .select("jc.j", "jc.cell", "c")
+        .groupBy("j", "cell")
+        .agg(F.sum("c").alias("cnt"))
+    )
     w_rank = Window.orderBy(F.desc("c"), F.asc("word"))
     top = wc.withColumn("rank", F.row_number().over(w_rank)).where(
         F.col("rank") <= CMS_TOPK
