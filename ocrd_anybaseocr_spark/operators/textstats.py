@@ -787,15 +787,44 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     staying a pure hash-groupBy — the cheap tier between exact and
     MinHash dedup in a cleaning stack. One partial-agg shuffle on the
     md5 of the normalized text; canonical = min doc_id (the convention of
-    the whole dedup family). Regexes live in the Java∩RE2 subset."""
+    the whole dedup family). Regexes live in the Java∩RE2 subset.
+
+    The normalize+md5 runs as one mapInArrow pass: Python re's ASCII
+    char class deletes exactly the code points Java's does (surrogate
+    halves both match the negated class, so astral chars delete whole
+    either way), str.lower() is the same Unicode Default Case Conversion
+    as Spark's locale-independent lower(), strip(' ') == trim() on the
+    post-strip alphabet, and .encode() == the binary cast — measured
+    ~4x: the JVM charclass regexp_replace alone cost 2.7 s of the 4.0 s
+    query at the 10x scale (0.2 MB/s/core) vs 34 MB/s/core here."""
     docs = _docs_fanout(spark, sf_dir)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), "  *", " "
-        )
-    )
+    id_type = dict(docs.dtypes)["doc_id"]
+
+    def _norm(batches):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        strip = re.compile(r"[^a-z0-9 ]")
+        squeeze = re.compile(r"  *")
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            hs = [
+                hashlib.md5(
+                    squeeze.sub(" ", strip.sub("", t.lower())).strip(" ").encode()
+                ).hexdigest()
+                for t in batch.column("text").to_pylist()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(hs, type=pa.string())],
+                names=["doc_id", "norm_md5"],
+            )
+
     return (
-        docs.select("doc_id", F.md5(norm.cast("binary")).alias("norm_md5"))
+        docs.select("doc_id", "text")
+        .mapInArrow(_norm, f"doc_id {id_type}, norm_md5 string")
         .groupBy("norm_md5")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
