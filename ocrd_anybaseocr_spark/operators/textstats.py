@@ -611,9 +611,10 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword stuffing), one near log2(n_tokens) is maximally diverse.
     Quality filters cut the low tail alongside repetition_ratio.
 
-    Shape: explode -> (doc, word) partial-agg count -> per-doc totals via
-    a second partial agg joined back on doc_id (both combine map-side, so
-    a hot word inside one doc never concentrates raw rows). No UDF.
+    Shape: explode -> one doc_id repartition -> (doc, word) count and
+    per-doc totals as windows over the SAME partitioning (one corpus
+    exchange total; a partition holds whole documents, bounded by doc
+    length). No UDF.
 
     Cross-engine determinism: per-word surprisal log2(n/c) is rounded
     HALF-UP to MICRO-bit ints before the c-weighted sum — the same
@@ -621,16 +622,20 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, a 1e6-scale rounding boundary is ~1e-9 wide), so
     entropy_sum_e6 is an exact order-independent int64."""
     docs = _docs_fanout(spark, sf_dir)
+    # ONE doc_id exchange serves everything: hash partitioning on doc_id
+    # satisfies the (doc_id, word) agg's clustering AND the per-doc
+    # totals windows, so the former totals-join re-shuffle of the whole
+    # dwc relation disappears (window sums == the join'd agg, same ints)
     dwc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .repartition("doc_id")
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = dwc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("distinct_words")
-    )
+    wd = Window.partitionBy("doc_id")
     return (
-        dwc.join(totals, "doc_id")
+        dwc.withColumn("n_tokens", F.sum("c").over(wd))
+        .withColumn("distinct_words", F.count(F.lit(1)).over(wd))
         .select(
             "doc_id",
             "n_tokens",
