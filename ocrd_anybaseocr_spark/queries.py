@@ -748,27 +748,33 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar/timezone arithmetic to disagree on), retention as exact
     ppm of the cohort.
 
-    Scale shape: signup anchors = one user partial agg; activity = one
-    distinct (user, week) partial agg; one equi-join on user_id (both
-    sides already user-keyed) and two bounded rollups — cohort_wk x
-    offset cells are calendar-bounded regardless of corpus size."""
+    Scale shape: ONE per-user partial agg carries both the signup anchor
+    (min commutes with the week div) and the distinct active-week set —
+    the former two event-scale passes (signup agg + (user, week)
+    distinct) and their user_id equi-join collapse into it; the rollups
+    are cohort_wk x offset cells, calendar-bounded regardless of corpus
+    size, and count == countDistinct(user) there because each user's
+    week set is distinct by construction."""
     _set_utc(spark)
     ev = load_table(spark, sf_dir, "events")
-    su = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.expr(f"min(unix_millis(cast(ts as timestamp))) div {_WEEK_MS}").alias("cohort_wk"))
+    ms = "unix_millis(cast(ts as timestamp))"
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                f"min(CASE WHEN event_type = 'signup' THEN {ms} END)"
+                f" div {_WEEK_MS}"
+            ).alias("cohort_wk"),
+            F.collect_set(F.expr(f"{ms} div {_WEEK_MS}")).alias("wks"),
+        )
+        .where(F.col("cohort_wk").isNotNull())
     )
-    act = ev.select(
-        "user_id",
-        F.expr(f"unix_millis(cast(ts as timestamp)) div {_WEEK_MS}").alias("wk"),
-    ).distinct()
-    sized = su.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_n"))
+    sized = users.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_n"))
     hits = (
-        act.join(su, "user_id")
+        users.select("cohort_wk", F.explode("wks").alias("wk"))
         .where(F.col("wk") >= F.col("cohort_wk"))
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
     return hits.join(sized, "cohort_wk").select(
         "cohort_wk",
