@@ -328,8 +328,10 @@ def q_gaps_islands_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     )
     per_sess = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # per_sess has exactly one row per (user, session), so count(*) ==
+    # countDistinct(session_id) — and skips the distinct-agg Expand
     return per_sess.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_sessions"),
         F.max("cnt").cast("bigint").alias("max_session_events"),
     )
 
@@ -474,8 +476,10 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     per_island = o.groupBy("user_id", "island").agg((F.max("e") - F.min("s")).alias("span"))
+    # one row per (user, island) by construction: count(*) ==
+    # countDistinct(island), without the distinct-agg Expand
     return per_island.groupBy("user_id").agg(
-        F.countDistinct("island").cast("bigint").alias("n_merged"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
         F.sum("span").cast("bigint").alias("coverage_ms"),
     )
 
